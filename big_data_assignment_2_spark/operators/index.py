@@ -1,0 +1,100 @@
+"""Inverted-index build (SURVEY.md §2.3 X1, §2.5 A1-A3).
+
+The reference runs three sequential Hadoop Streaming jobs — tokenize+explode
+(`mapper1.py`), TF+positions sort-agg (`reducer1.py`), document frequency
+(`mapper2.py`/`reducer2.py`), doc stats (`mapper3.py`) — shuffling
+tab-separated *text* between forked Python subprocesses (`app/index.sh:28-63`)
+and batch-loading Cassandra (`app/app.py:121-250`).  Here the whole thing is
+one declarative DataFrame lineage:
+
+    documents → posexplode(tokenize) → groupBy agg ×2 (+ a map-side length)
+
+Scale notes (100 TB):
+- ``posexplode`` is a generator inside whole-stage codegen — no Python.
+- A1 groups by (term, doc_id): high-cardinality, well-distributed key →
+  hash-agg with map-side partial aggregation; no hot keys.
+- A2 derives df from A1's *already-distinct* (term, doc_id) pairs, so it is a
+  plain count — reusing A1's shuffle output instead of re-exploding tokens
+  (the reference re-reads step1 for the same reason, `mapper2.py:3-16`).
+  ``doc_freq_exact`` keeps the semantically-explicit countDistinct form, and
+  at extreme scale ``approx_count_distinct`` is one argument away.
+- A3 never shuffles at all: doc length is a per-row expression.
+- Persisting postings partitioned by a hash bucket of ``term`` would give
+  storage-level pruning for term probes (the Cassandra-PK equivalent,
+  `app/app.py:48`); at harness scale a plain Parquet table + broadcast join
+  wins, so bucketing is left to the caller via ``sources.io.write_parquet``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def tokenize_positions(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """X1 (`mapper1.py:5-18`): one row per token occurrence.
+
+    Schema: (doc_id string, position int, term string); positions are 0-based
+    token offsets in document order, exactly the reference's emission.
+    """
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("position", "term"),
+    )
+
+
+def build_postings(tokens: DataFrame) -> DataFrame:
+    """A1 (`reducer1.py:4-35`): (term, doc_id) → tf + sorted positions list.
+
+    ``sort_array`` pins the ordering the reference only gets implicitly from
+    Hadoop's per-split emission order (SURVEY.md §1.3, §7.5).
+    """
+    return tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list("position")).alias("positions"),
+    )
+
+
+def doc_freq(postings: DataFrame) -> DataFrame:
+    """A2 (`mapper2.py`+`reducer2.py`): term → number of docs containing it.
+
+    Input rows are already distinct per (term, doc_id) — A1's grouping key —
+    so a plain count is the exact distinct count, no second dedup shuffle.
+    """
+    return postings.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def doc_freq_exact(tokens: DataFrame) -> DataFrame:
+    """A2 computed straight from the token stream with an explicit distinct
+    aggregation (the `set()` in `reducer2.py:9,23`)."""
+    return tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", title_col: str | None = None) -> DataFrame:
+    """A3 (`mapper3.py:5-14`): per-doc token count — a map-side expression,
+    no shuffle (the reference burns a whole MR job + identity reducer on it).
+
+    ``title_col`` mirrors D7's title passthrough when the corpus has one
+    (the harness ``documents`` table doesn't).
+    """
+    cols = [F.col(id_col).cast("string").alias("doc_id")]
+    if title_col:
+        cols.append(F.col(title_col).alias("title"))
+    cols.append(F.size(tokenize(text_col)).alias("length"))
+    return docs.select(*cols)
+
+
+def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                title_col: str | None = None) -> dict[str, DataFrame]:
+    """E2 collapsed (SURVEY.md §3): the three index tables as one lineage."""
+    tokens = tokenize_positions(docs, text_col, id_col)
+    postings = build_postings(tokens)
+    return {
+        "term_document": postings,
+        "document_frequency": doc_freq(postings),
+        "documents_info": doc_stats(docs, text_col, id_col, title_col),
+    }

@@ -1,0 +1,106 @@
+"""BM25 search (SURVEY.md §3 E3, §2.4 J1-J3, §2.6 T1).
+
+The reference's query path is driver-side Python: per-term Cassandra point
+reads (`app/query.py:97-139`), a Python scoring loop (`:182-190`), and one
+RDD ``reduceByKey`` (`:193-194`).  Here the whole query is ONE Catalyst plan:
+
+    query terms ⋈ postings ⋈ doc_freq ⋈ doc_stats
+      → BM25 expr → groupBy(doc).sum → TakeOrderedAndProject(k)
+
+Scale notes (100 TB):
+- The query-term relation is a handful of rows → ``broadcast()`` it so the
+  postings probe is a broadcast hash join: each postings partition is scanned
+  once, no shuffle of the (huge) postings side.  This is the distributed
+  equivalent of the reference's single-partition Cassandra reads
+  (`query.py:114-118`).
+- ``doc_freq`` joins on ``term`` *after* the term filter → only |q| rows
+  survive; Catalyst pushes the semi-join down.
+- ``orderBy().limit(k)`` plans as TakeOrderedAndProject — per-partition
+  top-k then a k-row merge on the driver; no global sort (same early-exit
+  trick as the reference's ``takeOrdered``, `query.py:247`).
+- Ties broken by doc_id: the reference's tie order is partition-dependent
+  (SURVEY.md §7.5); deterministic here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scoring import B_DEFAULT, K1_DEFAULT, bm25_term_score, idf_plain
+from ..functions.text import tokenize_query
+
+
+def collection_stats(documents_info: DataFrame) -> tuple[int, float]:
+    """A4+A5 (`app/query.py:63-80`): N and true-double avgdl in one pass
+    (the reference issues two Cassandra aggregate queries and gets a
+    truncated int average — SURVEY.md §7.5)."""
+    row = documents_info.agg(
+        F.count("*").alias("n"), F.avg("length").alias("avgdl")
+    ).first()
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def bm25_scores(spark: SparkSession, query: str, term_document: DataFrame,
+                document_frequency: DataFrame, documents_info: DataFrame,
+                k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> DataFrame:
+    """Score every candidate doc for ``query``; returns (doc_id, score).
+
+    Distinct query terms (the reference iterates a Python ``set``-free list
+    but scores each term once per occurrence only implicitly — it loops
+    `query.py:161` over tokens; duplicated query terms would double-count
+    there too, so we keep duplicates, matching `query.py:161-175`).
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        return term_document.sparkSession.createDataFrame([], "doc_id string, score double")
+    n_docs, avgdl = collection_stats(documents_info)
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    # J1: broadcast the tiny term relation against postings and df.
+    candidate = (
+        term_document.join(F.broadcast(terms_df), "term")
+        .join(F.broadcast(
+            document_frequency.join(F.broadcast(terms_df.distinct()), "term")
+            .filter(F.col("df") > 0)  # P7 (`query.py:165-167`)
+        ), "term")
+        # J2: attach doc length for the BM25 norm; inner join doubles as the
+        # metadata-existence predicate P8 (`query.py:183`).
+        .join(documents_info.select("doc_id", "length"), "doc_id")
+    )
+    scored = candidate.withColumn(
+        "term_score",
+        bm25_term_score(F.col("tf"), idf_plain(F.col("df"), float(n_docs)),
+                        F.col("length"), avgdl, k1, b),
+    )
+    # A6 (`query.py:193-194`): sum partial scores per doc.
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def bm25_topk(spark: SparkSession, query: str, term_document: DataFrame,
+              document_frequency: DataFrame, documents_info: DataFrame,
+              k: int = 10, k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+              round_to: int | None = 6) -> DataFrame:
+    """T1 (`query.py:247`): top-k by score, deterministic tie-break.
+
+    Scores rounded (default 6 dp) so Spark/DuckDB float summation-order
+    differences can't flip the hash compare (SURVEY.md §7.5); ordering uses
+    the rounded score so the k-boundary is deterministic too.
+    """
+    scores = bm25_scores(spark, query, term_document, document_frequency,
+                         documents_info, k1, b)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_documents(spark: SparkSession, docs: DataFrame, query: str,
+                     k: int = 10, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """End-to-end: build the index lineage and run one query over it.
+    For repeated queries, build the index once and reuse."""
+    from .index import build_index
+
+    ix = build_index(docs, text_col=text_col, id_col=id_col)
+    return bm25_topk(spark, query, ix["term_document"],
+                     ix["document_frequency"], ix["documents_info"], k=k)

@@ -1,0 +1,128 @@
+"""Search-engine family: the reference's entire pipeline as declared queries
+(SURVEY.md §2.3, §2.5, §3) with DuckDB oracle twins.
+
+Oracle tokenizer note: the Spark tokenizer uses ``(?U)[^\\w\\s]`` for
+Python-``\\w`` Unicode parity (SURVEY.md §7.5).  DuckDB's RE2 ``\\w`` is
+ASCII-only; the harness corpus is pure ``[a-z0-9 ]`` (verified), where the
+two agree exactly, so the oracles use plain ``\\w``.  The Unicode divergence
+is covered JVM-side by tests/test_index_invariants.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.index import (build_postings, doc_freq, doc_stats,
+                               tokenize_positions)
+from ..operators.search import search_documents
+from ..sources.io import load_table
+
+# A query over the synthetic corpus vocabulary (TESTDATA.md documents table).
+FLAGSHIP_QUERY = "vector query stream fast join"
+
+# Shared oracle CTEs: tokenize → positions (0-based, document order).
+_TOKENS_CTE = r"""
+docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               t -> t <> '') AS toks
+    FROM documents
+),
+tokens AS (
+    SELECT doc_id,
+           unnest(toks) AS term,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS position
+    FROM docs
+)
+"""
+
+
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: positional token stream."""
+    return tokenize_positions(load_table(spark, sf_dir, "documents")) \
+        .select("doc_id", "term", "position")
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: inverted index postings (term, doc_id, tf, positions)."""
+    toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
+    return build_postings(toks).select("term", "doc_id", "tf", "positions")
+
+
+def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: document frequency per term."""
+    toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
+    return doc_freq(build_postings(toks))
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-document token count."""
+    return doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 end-to-end: BM25 top-10 for the flagship query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return search_documents(spark, docs, FLAGSHIP_QUERY, k=10)
+
+
+QUERIES = {
+    "search_tokenize": q_tokenize,
+    "search_postings": q_postings,
+    "search_doc_freq": q_doc_freq,
+    "search_doc_stats": q_doc_stats,
+    "search_bm25_topk": q_bm25_topk,
+}
+
+ORACLES = {
+    "search_tokenize": f"WITH {_TOKENS_CTE} SELECT doc_id, term, position FROM tokens",
+    "search_postings": f"""
+WITH {_TOKENS_CTE}
+SELECT term, doc_id, CAST(count(*) AS INTEGER) AS tf,
+       list(position ORDER BY position) AS positions
+FROM tokens GROUP BY term, doc_id
+""",
+    "search_doc_freq": f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+""",
+    "search_doc_stats": f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS length FROM docs
+""",
+    # Exact reference BM25 (idf=ln(max(1,N/max(1,df))), k1=1.0, b=0.75,
+    # true-double avgdl; `app/query.py:145,169-188`), ties by doc_id on the
+    # 6-dp-rounded score — mirrors operators/search.py exactly.
+    "search_bm25_topk": f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (
+    SELECT unnest(string_split('{FLAGSHIP_QUERY}', ' ')) AS term
+),
+scored AS (
+    SELECT p.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) )
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
+""",
+}

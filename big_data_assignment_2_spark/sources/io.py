@@ -1,0 +1,59 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S13).
+
+The reference's storage zoo (HDFS TSV staging, per-doc text files, three
+Cassandra tables loaded by driver-side batch INSERTs — `app/app.py:121-250`)
+collapses to Parquet DataFrames: the vectorized Parquet reader (the reference
+opts in at `app/prepare_data.py:12`; Spark's default) gives columnar scans
+with predicate pushdown and column pruning for free.
+
+Writers keep the reference's shapes available (TSV staging S3, per-doc text
+S4) for fidelity, but Parquet is the primary format — splittable, columnar,
+statistics-bearing, the right call at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The harness tables (TESTDATA.md); one parquet file per table.
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one harness table (S1, `prepare_data.py:19`)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so spark.sql(...) sees the same names DuckDB does."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Primary sink. ``partition_by`` enables storage-level partition pruning
+    (the Spark equivalent of the reference's term-partitioned Cassandra table,
+    `app/app.py:48`)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TSV staging sink (S3, `prepare_data.py:41`) — kept for reference parity;
+    prefer Parquet."""
+    df.write.option("sep", "\t").mode(mode).csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Quote-aware TSV scan (S5, `mapper1.py:20-24`)."""
+    return spark.read.option("sep", "\t").schema(schema).csv(path)

@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
+compare row count + column names + order-insensitive values.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def normalize(rows, columns):
+    """Column-name-sorted, order-insensitive, float-rounded row multiset."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = 0.0 if (not math.isnan(v) and v == 0.0) else (
+                    float("nan") if math.isnan(v) else round(v, 6))
+            if isinstance(v, (list, tuple)):
+                v = tuple(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
+    from big_data_assignment_2_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if not problems:
+            a, b = normalize(srows, scols), normalize(orows, ocols)
+            if a != b:
+                diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                problems.append(f"values differ, first at sorted idx {diff[0]}: "
+                                f"spark={diff[1]} duck={diff[2]}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
