@@ -1,0 +1,416 @@
+"""Relational extension surface (SURVEY.md §2.4/§2.5/§2.7 gap notes):
+declared queries on the TPC-H-ish testdata, one per gap category — join
+family (inner/left/semi/anti/range/theta/as-of), aggregation family
+(Q1-style, rollup, cube), set ops, scalar date/JSON/array functions.
+
+Float determinism (SURVEY.md §7.5): money sums over ~600k doubles are NOT
+reproducible across engines at 6 dp (summation order), so every money sum
+aggregates an exact DECIMAL cast and converts the exact result back to
+double — bit-identical in Spark and DuckDB.  Averages divide the exact sum
+by the count.  Timestamps are formatted to strings so value hashing never
+sees engine-specific temporal types.
+
+Scale notes: every dimension join below (region/nation/supplier/customer)
+is broadcast-able and AQE confirms it at runtime; fact-fact joins
+(lineitem ⋈ orders) shuffle on the join key — at 100 TB you'd bucket both
+tables on orderkey to make it shuffle-free (see sources.io.write_parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join
+from ..sources.io import load_table
+
+
+def _dec(col, scale: int = 4):
+    """Exact-money aggregation input: double → DECIMAL(18,s)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# --- aggregation family ----------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs/count over lineitem with a date
+    filter (pushed down to the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+    # All money columns are exact 2-dp values; doing the arithmetic IN
+    # decimal keeps every intermediate exact (casting a 6-dp double product
+    # to decimal would round, and Spark rounds HALF_UP vs DuckDB HALF_EVEN).
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    agg = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order")
+
+
+_Q1_SQL = """
+WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM f GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, round(sum_qty/count_order, 6) AS avg_qty,
+       round(sum_base_price/count_order, 6) AS avg_price, count_order
+FROM agg
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotal + grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"))
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.count("*").alias("n"))
+
+
+# --- join family -----------------------------------------------------------
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01"))
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    out = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+           .agg(F.sum(rev).cast("double").alias("revenue")))
+    return (out.select("l_orderkey", "o_orderdate", F.round("revenue", 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10))
+
+
+_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-01'
+  AND l_shipdate  > TIMESTAMP '1999-06-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join; all dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .filter(c.c_nationkey == s.s_nationkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, with 0-filled order aggregates."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(F.sum(_dec("o_totalprice")).cast("double"),
+                            F.lit(0.0)).alias("total_spent")))
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers who never placed an urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (interval) join: lineitems shipped within 90 days of
+    their order's date, bucketed by order month.  The equi key keeps the
+    join a hash join; the range predicate is a post-join filter Catalyst
+    evaluates inside the same stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate >= o.o_orderdate)
+                & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS")))
+    return (j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(F.count("*").alias("n_shipped"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("qty")))
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta predicate on top of an equi join: line items priced above their
+    part's list price × quantity (discount-adjusted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), (li.l_partkey == p.p_partkey)
+                & (li.l_extendedprice > li.l_quantity * p.p_retailprice))
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_overpriced"),
+        F.round(F.avg(F.col("l_extendedprice")
+                      - F.col("l_quantity") * F.col("p_retailprice")), 4)
+        .alias("avg_overage"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the user's latest
+    click at-or-before it (union + window implementation — one shuffle,
+    no pairwise blow-up; see operators.relational.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_event_id"), "user_id", "ts")
+    j = asof_join(purchases, clicks, on="user_id",
+                  right_cols=["click_event_id"])
+    return (j.select("event_id", "user_id", "click_event_id")
+            .filter(F.col("click_event_id").isNotNull()))
+
+
+_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, c.click_event_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.click_event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, click_event_id FROM j WHERE rn = 1
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def _urgent_keys(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+
+
+def _finished_keys(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent_keys(spark, sf_dir).union(
+        _finished_keys(spark, sf_dir)).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent_keys(spark, sf_dir).intersect(_finished_keys(spark, sf_dir))
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent_keys(spark, sf_dir).exceptAll(
+        _finished_keys(spark, sf_dir)).distinct()
+
+
+_SET_CTES = """
+u AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+f AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+# --- scalar functions: date / JSON / array ---------------------------------
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / extract / datediff family over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                    "yyyy-MM").alias("order_month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct(F.dayofweek("o_orderdate")).alias("n_weekdays"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("month_total")))
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k).groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.sum("k").alias("sum_k")))
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: size,
+    element access, transform+aggregate (L2 norm) — the same fold pattern
+    similarity search uses, all JVM-side."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x))
+    return em.select(
+        "vec_id", F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x)
+                / F.size("embedding"), 6).alias("mean_val"))
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_rollup": q_rollup,
+    "rel_cube": q_cube,
+    "rel_q3_top10": q_q3_shipping_priority,
+    "rel_region_revenue": q_region_revenue,
+    "rel_join_left": q_join_left,
+    "rel_join_semi": q_join_semi,
+    "rel_join_anti": q_join_anti,
+    "rel_join_range": q_join_range,
+    "rel_join_theta": q_join_theta,
+    "rel_asof_join": q_asof_join,
+    "rel_set_union": q_set_union,
+    "rel_set_intersect": q_set_intersect,
+    "rel_set_except": q_set_except,
+    "rel_scalar_date": q_scalar_date,
+    "rel_scalar_json": q_scalar_json,
+    "rel_scalar_array": q_scalar_array,
+}
+
+ORACLES = {
+    "rel_pricing_summary": _Q1_SQL,
+    "rel_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "rel_cube": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "rel_q3_top10": _Q3_SQL,
+    "rel_region_revenue": _Q5_SQL,
+    "rel_join_left": """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    "rel_join_semi": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+    "rel_join_anti": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+""",
+    "rel_join_range": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       count(*) AS n_shipped,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+""",
+    "rel_join_theta": """
+SELECT p_brand, count(*) AS n_overpriced,
+       round(avg(l_extendedprice - l_quantity * p_retailprice), 4) AS avg_overage
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_extendedprice > l_quantity * p_retailprice
+GROUP BY p_brand
+""",
+    "rel_asof_join": _ASOF_SQL,
+    "rel_set_union": f"WITH {_SET_CTES} SELECT custkey FROM u UNION SELECT custkey FROM f",
+    "rel_set_intersect": f"WITH {_SET_CTES} SELECT custkey FROM u INTERSECT SELECT custkey FROM f",
+    "rel_set_except": f"WITH {_SET_CTES} SELECT custkey FROM u EXCEPT SELECT custkey FROM f",
+    "rel_scalar_date": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+       count(*) AS n_orders,
+       count(DISTINCT dayofweek(o_orderdate) + 1) AS n_weekdays,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_total
+FROM orders GROUP BY 1
+""",
+    "rel_scalar_json": """
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+FROM events GROUP BY event_type
+""",
+    "rel_scalar_array": """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
+FROM embeddings
+""",
+}

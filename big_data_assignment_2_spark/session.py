@@ -39,6 +39,10 @@ def get_spark(app_name: str = "bda2-spark", master: str | None = None,
         # Arrow for any pandas_udf / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The harness events table stores TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects; read nanos as long and let sources.io
+        # convert to a proper timestamp (floor to micros, as DuckDB does).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

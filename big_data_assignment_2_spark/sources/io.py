@@ -14,6 +14,7 @@ statistics-bearing, the right call at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The harness tables (TESTDATA.md); one parquet file per table.
 TABLES = (
@@ -23,8 +24,18 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one harness table (S1, `prepare_data.py:19`)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Columnar scan of one harness table (S1, `prepare_data.py:19`).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos-epoch
+    long and is floored to microseconds here — the same truncation DuckDB
+    applies when it reads nanos into its native micro timestamps, so both
+    engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
