@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is collected (full materialization) and timed as the median of
+REPEATS runs after a session warm-up, so JVM/codegen startup is not billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPEATS = 3
+
+# Headline set: one representative per family, weighted toward the heavy
+# shuffling/joining paths that dominate at scale.
+HEADLINE = [
+    "search_bm25_topk",      # full index build + search plan
+    "rel_pricing_summary",   # wide scan + hash agg
+    "rel_q3_top10",          # fact-fact join + topk
+    "rel_region_revenue",    # 6-table star join
+    "rel_join_range",        # equi+range join
+    "win_running_total",     # window over full orders
+    "dedup_minhash_near",    # explode + 16 min-aggs + band self-join
+    "dedup_simhash",         # explode + 60 bit-vote aggs
+    "sim_ann_bruteforce",    # broadcast vector scoring
+    "stream_session_30m",    # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from big_data_assignment_2_spark.session import get_spark
+    from big_data_assignment_2_spark.plans import all_queries
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm up JVM / codegen / parquet footer caches.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in ("region", "nation", "lineitem", "orders", "events",
+                 "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_suite_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

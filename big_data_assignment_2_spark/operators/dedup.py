@@ -100,11 +100,12 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
     """Exact Jaccard on candidate pairs only (never all-pairs): distribute
     |A∩B| via a (term)-join restricted to candidates, |A∪B| = |A|+|B|-∩."""
     sizes = tokensets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # Join the second side on (doc_b, term) so only intersecting terms
+    # materialize — O(pairs · |A∩B|), not O(pairs · |A|·|B|).
     inter = (pairs
              .join(tokensets.select(F.col("doc_id").alias("doc_a"), "term"), "doc_a")
-             .join(tokensets.select(F.col("doc_id").alias("doc_b"),
-                                    F.col("term").alias("term2")), "doc_b")
-             .filter(F.col("term") == F.col("term2"))
+             .join(tokensets.select(F.col("doc_id").alias("doc_b"), "term"),
+                   ["doc_b", "term"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
     return (inter
             .join(sizes.select(F.col("doc_id").alias("doc_a"),
@@ -121,9 +122,22 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full MinHash-LSH near-dup pipeline; result = LSH candidates whose
-    exact token-set Jaccard ≥ threshold."""
-    ts = doc_tokensets(docs, text_col, id_col)
-    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts)))
+    exact token-set Jaccard ≥ threshold.
+
+    The tokenset and candidate relations are each consumed by multiple
+    downstream branches (band self-join; sizes + both sides of the
+    intersection join).  Without materialization Spark re-executes the
+    explode+agg lineage once per branch (~5× the work); persisting the two
+    reused stages is the same move a production pipeline makes by writing
+    signatures/candidates to a table between stages.  MEMORY_AND_DISK so
+    100×-scale inputs spill instead of OOMing.
+    """
+    from pyspark import StorageLevel
+
+    ts = doc_tokensets(docs, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_verify(pairs, ts, threshold)
 
 
@@ -191,7 +205,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
     (any pair within Hamming distance 3 must agree on ≥1 band — pigeonhole),
     then exact Hamming ≤ max_hamming via bit_count(xor)."""
-    sig = simhash(docs, text_col, id_col)
+    from pyspark import StorageLevel
+
+    sig = simhash(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select("doc_id", "simhash", F.posexplode(F.array(*[
         F.shiftright("simhash", b * 15).bitwiseAND(F.lit(0x7FFF))
         for b in range(4)])).alias("band_id", "band_val"))
