@@ -1,0 +1,87 @@
+"""Index persistence — the Cassandra replacement (SURVEY.md §2.1 S8/S9).
+
+The reference creates three Cassandra tables and batch-INSERTs them from the
+driver (`app/app.py:29-72, 121-250`, batch sizes 5/50/25 with a "Batch too
+large" fallback).  Here each index table is a Parquet dataset written
+directly from its DataFrame — distributed, columnar, statistics-bearing.
+
+Physical layout options mirror the reference's storage semantics:
+- ``partition_postings_by_term_bucket``: the reference's `term` partition
+  key (`app.py:48`) made scan-prunable — postings land in
+  ``term_bucket=N/`` directories by a portable hash of the term, so a
+  term-probe query reads 1/N of the data (partition pruning, visible as
+  PartitionFilters in the scan).
+- ``write_bucketed``: bucketBy(orderkey/doc_id) via saveAsTable — two
+  tables bucketed on the same key join with ZERO exchange (tested in
+  tests/test_persist.py).  At 100 TB this is how you make the repeated
+  fact-fact join (lineitem ⋈ orders, postings ⋈ stats) shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64
+
+
+def write_index(index: dict[str, DataFrame], base_path: str,
+                term_buckets: int = 16) -> None:
+    """Persist the three index tables; postings term-bucket-partitioned."""
+    partition_postings_by_term_bucket(
+        index["term_document"], f"{base_path}/term_document", term_buckets)
+    index["document_frequency"].write.mode("overwrite") \
+        .parquet(f"{base_path}/document_frequency")
+    index["documents_info"].write.mode("overwrite") \
+        .parquet(f"{base_path}/documents_info")
+
+
+def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
+    return {
+        "term_document": spark.read.parquet(f"{base_path}/term_document"),
+        "document_frequency": spark.read.parquet(f"{base_path}/document_frequency"),
+        "documents_info": spark.read.parquet(f"{base_path}/documents_info"),
+    }
+
+
+def term_bucket(col, n_buckets: int):
+    """Portable stable bucket id for a term (md5-derived, not JVM-hash)."""
+    return (md5_hash64(col) % n_buckets).alias("term_bucket")
+
+
+def partition_postings_by_term_bucket(postings: DataFrame, path: str,
+                                      n_buckets: int = 16) -> None:
+    (postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(path))
+
+
+def probe_postings(spark: SparkSession, path: str, terms: list[str],
+                   n_buckets: int = 16) -> DataFrame:
+    """Term probe against bucket-partitioned postings: the bucket predicate
+    prunes directories BEFORE any row is read — the Spark analogue of the
+    reference's single-partition Cassandra reads (`query.py:114-118`)."""
+    buckets = sorted({_py_bucket(t, n_buckets) for t in terms})
+    df = spark.read.parquet(path)
+    return df.filter(F.col("term_bucket").isin(buckets)
+                     & F.col("term").isin(terms))
+
+
+def _py_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket` for probe planning."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8, sort_col: str | None = None,
+                   path: str | None = None) -> None:
+    """Persist as a bucketed table (co-located join layout).  ``path`` makes
+    it external — the warehouse dir is a static conf and can't move at
+    runtime."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

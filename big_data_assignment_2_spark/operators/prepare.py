@@ -1,0 +1,68 @@
+"""Data-preparation pipeline (SURVEY.md §3 E1 — `app/prepare_data.py`):
+sample → project → normalize title → stage.
+
+Reference parity notes:
+- P2 sampling: the reference computes ``fraction = 100*n/count`` which
+  EXceeds 1.0 on small inputs and errors (SURVEY.md §7.5); guarded here
+  with ``min(1.0, ...)``.  seed=0 kept.
+- P3 limit after sample (`prepare_data.py:21`).
+- F2 title normalization: the reference registers a Python UDF
+  (`prepare_data.py:23-27`); native ``trim(regexp_replace(...))`` here —
+  no JVM→Python hop.
+- S3 TSV staging sink (`prepare_data.py:41`) and S4 per-doc text files
+  (`prepare_data.py:31-38`, filename ``{id}_{title}.txt`` sanitized per F7)
+  are kept for fidelity but Parquet is the primary staging format: TSV
+  loses types and splits poorly on multiline text at scale.
+- S4 writes one file per row — driver-visible side artifact in the
+  reference; here a partitioned text write so it stays distributed (no
+  ``foreach`` + local-FS dependency on executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_whitespace, sanitize_filename
+
+
+def sample_corpus(docs: DataFrame, n: int = 1000, seed: int = 0,
+                  oversample: float = 100.0) -> DataFrame:
+    """P2+P3 (`prepare_data.py:20-21`): Bernoulli-oversample then cap at n."""
+    total = docs.count()
+    if total == 0:
+        return docs
+    fraction = min(1.0, oversample * n / total)
+    return docs.sample(fraction=fraction, seed=seed).limit(n)
+
+
+def prepare_documents(docs: DataFrame, id_col: str = "doc_id",
+                      title_col: str | None = None,
+                      text_col: str = "text") -> DataFrame:
+    """P1+P4: project to (doc_id, [title,] text), normalize title whitespace."""
+    cols = [F.col(id_col).cast("string").alias("doc_id")]
+    if title_col is not None:
+        cols.append(normalize_whitespace(title_col).alias("title"))
+    cols.append(F.col(text_col).alias("text"))
+    return docs.select(*cols)
+
+
+def stage_tsv(prepared: DataFrame, path: str) -> None:
+    """S3: the reference's HDFS TSV staging write."""
+    from ..sources.io import write_tsv
+
+    write_tsv(prepared, path)
+
+
+def write_doc_files(prepared: DataFrame, path: str,
+                    title_col: str = "title") -> None:
+    """S4: per-document text artifact.  The reference `foreach`-writes one
+    local file per row from executors; here each row becomes
+    ``filename \\t text`` in a distributed text dataset — same information,
+    no driver/local-FS coupling."""
+    fname = sanitize_filename(
+        F.concat_ws("_", F.col("doc_id"),
+                    F.col(title_col) if title_col in prepared.columns
+                    else F.lit("")))
+    (prepared.select(F.concat_ws("\t", fname, F.col("text")).alias("value"))
+     .write.mode("overwrite").text(path))

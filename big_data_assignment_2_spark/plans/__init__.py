@@ -31,9 +31,9 @@ def all_oracles() -> dict[str, str]:
 def _family_modules():
     from . import search_queries
     mods = [search_queries]
-    for name in ("relational_queries", "window_queries", "dedup_queries",
-                 "similarity_queries", "text_queries", "streaming_queries",
-                 "multimodal_queries"):
+    for name in ("relational_queries", "window_queries", "sql_queries",
+                 "dedup_queries", "similarity_queries", "text_queries",
+                 "streaming_queries", "multimodal_queries"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

@@ -71,8 +71,21 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("running_total"))
 
 
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame: each customer's first
+    and latest order price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"))
+
+
 QUERIES = {
     "win_topk_per_group": q_topk_per_group,
+    "win_first_last": q_first_last,
     "win_rank_dense": q_rank_dense,
     "win_lag_delta": q_lag_delta,
     "win_sliding_sum": q_sliding_sum,
@@ -80,6 +93,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_first_last": """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
     "win_topk_per_group": """
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,81 @@
+"""Physical-layout tests: partition pruning on term buckets, shuffle-free
+bucketed joins — asserted from the actual physical plans."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.index import build_index
+from big_data_assignment_2_spark.operators.persist import (
+    _py_bucket, probe_postings, read_index, write_bucketed, write_index)
+from big_data_assignment_2_spark.operators.search import bm25_topk
+from big_data_assignment_2_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    write_index(ix, path, term_buckets=8)
+    return path
+
+
+def test_roundtrip_and_search(spark, sf_dir, index_path):
+    ix = read_index(spark, index_path)
+    live = build_index(load_table(spark, sf_dir, "documents"))
+    q = "vector query stream fast join"
+    got = bm25_topk(spark, q, ix["term_document"], ix["document_frequency"],
+                    ix["documents_info"]).collect()
+    want = bm25_topk(spark, q, live["term_document"],
+                     live["document_frequency"], live["documents_info"]).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_term_bucket_partition_pruning(spark, index_path):
+    probe = probe_postings(spark, f"{index_path}/term_document",
+                           ["vector", "query"], n_buckets=8)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    got_terms = {r["term"] for r in probe.select("term").distinct().collect()}
+    assert got_terms == {"vector", "query"}
+    # pruning must not lose rows vs a full scan
+    full = spark.read.parquet(f"{index_path}/term_document") \
+        .filter(F.col("term").isin(["vector", "query"])).count()
+    assert probe.count() == full
+
+
+def test_py_bucket_matches_spark(spark, index_path):
+    df = spark.read.parquet(f"{index_path}/term_document") \
+        .select("term", "term_bucket").distinct()
+    for r in df.collect():
+        assert _py_bucket(r["term"], 8) == int(r["term_bucket"])
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, "o_orderkey",
+                   path=f"{wh}/orders_b")
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8, "l_orderkey",
+                   path=f"{wh}/lineitem_b")
+    o = spark.table("orders_b")
+    li = spark.table("lineitem_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey) \
+            .groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the join itself must not introduce exchanges on either side
+        pre_agg = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))

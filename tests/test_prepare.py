@@ -1,0 +1,51 @@
+"""Prep pipeline (E1) reference parity, including the small-input sampling
+guard (SURVEY.md §7.5)."""
+
+from __future__ import annotations
+
+import os
+
+from big_data_assignment_2_spark.operators.prepare import (
+    prepare_documents, sample_corpus, stage_tsv, write_doc_files)
+from big_data_assignment_2_spark.sources.io import load_table
+
+
+def test_sample_guard_small_input(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    # reference formula: fraction = 100*1000/10 = 10000 -> would raise
+    out = sample_corpus(docs, n=1000)
+    assert out.count() == 10
+
+
+def test_sample_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r["doc_id"] for r in sample_corpus(docs, n=50).collect())
+    b = sorted(r["doc_id"] for r in sample_corpus(docs, n=50).collect())
+    assert a == b and len(a) == 50
+
+
+def test_prepare_normalizes_title(spark):
+    docs = spark.createDataFrame(
+        [(1, "  A   Title\t with\nspace  ", "body")],
+        "doc_id long, name string, text string")
+    row = prepare_documents(docs, title_col="name").first()
+    assert row["title"] == "A Title with space"
+    assert row["doc_id"] == "1"
+
+
+def test_stage_and_doc_files(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "Apple Pie!", "some body"), (2, "B/C", "other")],
+        "doc_id long, name string, text string")
+    prep = prepare_documents(docs, title_col="name")
+    tsv = os.path.join(tmp_path, "tsv")
+    txt = os.path.join(tmp_path, "txt")
+    stage_tsv(prep, tsv)
+    write_doc_files(prep, txt)
+    back = spark.read.option("sep", "\t") \
+        .schema("doc_id string, title string, text string").csv(tsv)
+    assert back.count() == 2
+    lines = {r["value"] for r in spark.read.text(txt).collect()}
+    assert "1_Apple_Pie\tsome body" in lines          # F7 sanitization
+    assert "2_BC\tother" in lines
