@@ -1,0 +1,71 @@
+"""Unit tests for the scale-aware relational operators (as-of join with
+tolerance/ties, grouped top-k)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.relational import (asof_join,
+                                                              top_k_per_group)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 100.0),
+         (1, ts("2024-01-01T10:05:00"), 101.0),
+         (2, ts("2024-01-01T10:03:00"), 50.0),
+         (3, ts("2024-01-01T09:00:00"), 7.0)],       # before any quote
+        "sym int, ts timestamp, price double")
+    quotes = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:59:00"), 99.5),
+         (1, ts("2024-01-01T10:00:00"), 99.9),        # tie with trade 1 ts
+         (1, ts("2024-01-01T10:04:00"), 100.5),
+         (2, ts("2024-01-01T10:00:00"), 49.5),
+         (3, ts("2024-01-01T12:00:00"), 7.5)],        # after the trade
+        "sym int, ts timestamp, quote double")
+    return trades, quotes
+
+
+def test_asof_backward_with_ties(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", right_cols=["quote"])
+    got = {(r["sym"], r["ts"].isoformat()): r["quote"] for r in out.collect()}
+    # tie at 10:00 → the quote AT the trade timestamp is visible
+    assert got[(1, "2024-01-01T10:00:00")] == 99.9
+    assert got[(1, "2024-01-01T10:05:00")] == 100.5
+    assert got[(2, "2024-01-01T10:03:00")] == 49.5
+    assert got[(3, "2024-01-01T09:00:00")] is None    # nothing at-or-before
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", right_cols=["quote"],
+                    tolerance=F.expr("INTERVAL 2 MINUTES"))
+    got = {(r["sym"], r["ts"].isoformat()): r["quote"] for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:00")] == 99.9    # 0 min old: kept
+    assert got[(1, "2024-01-01T10:05:00")] == 100.5   # 1 min old: kept
+    assert got[(2, "2024-01-01T10:03:00")] is None    # 3 min old: dropped
+
+
+def test_asof_row_count_preserved(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    assert asof_join(trades, quotes, on="sym",
+                     right_cols=["quote"]).count() == trades.count()
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(20)]
+        + [("b", i, float(i)) for i in range(3)],
+        "grp string, id long, score double")
+    out = top_k_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2)
+    got = {(r["grp"], r["id"]) for r in out.collect()}
+    assert got == {("a", 6), ("a", 13), ("b", 2), ("b", 1)}
