@@ -121,24 +121,60 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline; result = LSH candidates whose
-    exact token-set Jaccard ≥ threshold.
+    """Full MinHash-LSH near-dup pipeline; result = all doc pairs that are
+    LSH candidates AND have exact token-set Jaccard ≥ threshold.
 
-    The tokenset and candidate relations are each consumed by multiple
-    downstream branches (band self-join; sizes + both sides of the
-    intersection join).  Without materialization Spark re-executes the
-    explode+agg lineage once per branch (~5× the work); persisting the two
-    reused stages is the same move a production pipeline makes by writing
-    signatures/candidates to a table between stages.  MEMORY_AND_DISK so
-    100×-scale inputs spill instead of OOMing.
+    Scale optimizations (result-identical by construction):
+    - **Exact-dup collapse first**: docs with identical token sets have
+      identical signatures, bands, and Jaccards, so the expensive stages
+      (band self-join, intersection verify) run on one REPRESENTATIVE per
+      distinct token set; member pairs are expanded back afterwards
+      (intra-group pairs get Jaccard 1.0, cross-group pairs inherit their
+      reps' Jaccard).  On self-similar corpora this cuts the quadratic
+      stages by the dup factor squared.
+    - **Persisted reused stages**: tokensets / reps / verified pairs each
+      feed multiple branches; without materialization Spark re-executes the
+      explode+agg lineage per branch.  MEMORY_AND_DISK so 100×-scale
+      inputs spill instead of OOMing (a production pipeline would write
+      signatures/candidates to a table between stages).
     """
     from pyspark import StorageLevel
 
-    ts = doc_tokensets(docs, text_col, id_col) \
+    num_id = F.col(id_col).cast("bigint")
+    keyed = docs.select(num_id.alias("__nid"),
+                        tokenset_key(text_col).alias("__gkey")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts))) \
+    groups = keyed.groupBy("__gkey").agg(
+        F.min("__nid").alias("__rep"), F.count("*").alias("__n"))
+
+    rep_docs = docs.join(
+        groups.select(F.col("__rep").alias("__join_id")),
+        num_id == F.col("__join_id"), "left_semi")
+    ts = doc_tokensets(rep_docs, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_verify(pairs, ts, threshold)
+    cand = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts)))
+    rep_pairs = jaccard_verify(cand, ts, threshold) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    members = keyed.join(groups.select("__gkey", "__rep"), "__gkey") \
+        .select(F.col("__rep").cast("string").alias("__rep_s"),
+                F.col("__nid"))
+    # Cross-group pairs: every member of rep_a's group × rep_b's group.
+    cross = (rep_pairs
+             .join(members.select(F.col("__rep_s").alias("doc_a"),
+                                  F.col("__nid").alias("na")), "doc_a")
+             .join(members.select(F.col("__rep_s").alias("doc_b"),
+                                  F.col("__nid").alias("nb")), "doc_b")
+             .select(F.least("na", "nb").cast("string").alias("doc_a"),
+                     F.greatest("na", "nb").cast("string").alias("doc_b"),
+                     "jaccard"))
+    # Intra-group pairs (identical token sets): Jaccard exactly 1.0.
+    m = members.alias("m1").join(members.alias("m2"), "__rep_s") \
+        .filter(F.col("m1.__nid") < F.col("m2.__nid")) \
+        .select(F.col("m1.__nid").cast("string").alias("doc_a"),
+                F.col("m2.__nid").cast("string").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"))
+    return cross.unionByName(m)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,

@@ -321,7 +321,59 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.size("embedding"), 6).alias("mean_val"))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as orderstatus × orderpriority matrix (explicit
+    pivot values so the output schema is static — required for streaming
+    and for plan caching; never let pivot scan for values at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (o.groupBy("o_orderstatus")
+            .pivot("o_orderpriority", prios)
+            .agg(F.count(F.lit(1))))
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide part attributes → long (attribute, value)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE))"
+        " AS (attribute, value)")
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + day arithmetic: ship-delay histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (j.groupBy(F.year("o_orderdate").alias("order_year"),
+                      F.quarter("o_orderdate").alias("order_quarter"),
+                      F.floor(delay / F.lit(180.0)).alias("delay_halfyears"))
+            .agg(F.count("*").alias("n")))
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics through an outer join: coalesce / nullif / null-safe
+    aggregation over customers with and without urgent orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    j = (c.join(o, c.c_custkey == o.o_custkey, "left")
+         .groupBy("c_custkey", "c_mktsegment")
+         .agg(F.max("o_totalprice").alias("max_urgent")))
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.round("max_urgent", 2), F.lit(-1.0)).alias("max_or_default"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_not_building"),
+        F.col("max_urgent").isNull().alias("never_urgent"))
+
+
 QUERIES = {
+    "rel_pivot": q_pivot,
+    "rel_unpivot": q_unpivot,
+    "rel_date_parts": q_date_parts,
+    "rel_null_handling": q_null_handling,
     "rel_pricing_summary": q_pricing_summary,
     "rel_rollup": q_rollup,
     "rel_cube": q_cube,
@@ -342,6 +394,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_pivot": """
+SELECT o_orderstatus,
+       NULLIF(count(*) FILTER (o_orderpriority = '1-URGENT'), 0) AS "1-URGENT",
+       NULLIF(count(*) FILTER (o_orderpriority = '2-HIGH'), 0) AS "2-HIGH",
+       NULLIF(count(*) FILTER (o_orderpriority = '3-MEDIUM'), 0) AS "3-MEDIUM",
+       NULLIF(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0) AS "4-NOT SPECIFIED",
+       NULLIF(count(*) FILTER (o_orderpriority = '5-LOW'), 0) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+""",
+    "rel_unpivot": """
+SELECT p_partkey, 'retailprice' AS attribute, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+""",
+    "rel_date_parts": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) / 180.0) AS BIGINT)
+           AS delay_halfyears,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3
+""",
+    "rel_null_handling": """
+WITH j AS (
+  SELECT c_custkey, c_mktsegment, max(o_totalprice) AS max_urgent
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey, c_mktsegment)
+SELECT c_custkey,
+       coalesce(round(max_urgent, 2), -1.0) AS max_or_default,
+       nullif(c_mktsegment, 'BUILDING') AS seg_not_building,
+       max_urgent IS NULL AS never_urgent
+FROM j
+""",
     "rel_pricing_summary": _Q1_SQL,
     "rel_rollup": """
 SELECT l_returnflag, l_linestatus,
