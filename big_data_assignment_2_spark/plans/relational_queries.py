@@ -369,7 +369,21 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_urgent").isNull().alias("never_urgent"))
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation — THE cardinality operator at
+    100 TB (exact countDistinct shuffles every distinct value; HLL carries
+    a fixed 1.5 KB sketch per group).  No SQL oracle: DuckDB's approx HLL
+    produces different estimates by construction, so the driver records
+    the weaker rows-only check; the exactness bound is covered by
+    tests/test_relational_ops.py instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+                 F.countDistinct("o_custkey").alias("exact_customers")))
+
+
 QUERIES = {
+    "rel_approx_distinct": q_approx_distinct,
     "rel_pivot": q_pivot,
     "rel_unpivot": q_unpivot,
     "rel_date_parts": q_date_parts,

@@ -38,7 +38,18 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("source").alias("n_sources")))
 
 
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 whitespace normalization (the reference's only Python UDF,
+    `prepare_data.py:23-27`) as a native expression."""
+    from ..functions.text import normalize_whitespace
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       normalize_whitespace("text").alias("normalized"))
+
+
 QUERIES = {
+    "text_normalize": q_normalize,
     "text_quality": q_quality,
     "text_langid": q_langid,
     "text_fingerprint": q_fingerprint,
@@ -60,6 +71,11 @@ _PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
                    for l in _LANGS_SORTED))
 
 ORACLES = {
+    "text_normalize": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS normalized
+FROM documents
+""",
     "text_quality": f"""
 WITH {_TOKENS_CTE}
 SELECT d.doc_id,

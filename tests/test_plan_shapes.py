@@ -1,0 +1,44 @@
+"""Plan-shape regression tests: the optimizations SCALE.md claims must be
+visible in the physical plans (pushdown, pruning, broadcast, no-global-sort
+top-k).  These fail loudly if a refactor silently de-optimizes a query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.plans.relational_queries import (
+    q_pricing_summary, q_region_revenue)
+from big_data_assignment_2_spark.plans.search_queries import q_bm25_topk
+from big_data_assignment_2_spark.sources.io import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: text columns not in ReadSchema
+    assert "l_comment" not in plan
+
+
+def test_q5_all_dimensions_broadcast(spark, sf_dir):
+    plan = plan_of(q_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # partial + final agg split (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_bm25_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(q_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
