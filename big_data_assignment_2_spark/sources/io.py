@@ -32,6 +32,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it reads nanos into its native micro timestamps, so both
     engines see identical values.
     """
+    if name == "events":
+        # Self-sufficient: the driver may hand us a session built without
+        # session.py's conf; the flag is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
