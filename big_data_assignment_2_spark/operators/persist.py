@@ -73,6 +73,23 @@ def _py_bucket(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
 
 
+def export_reference_format(index: dict[str, DataFrame], base_path: str) -> None:
+    """Reference-compatible TSV export of the three index tables — the
+    exact shapes the Hadoop jobs leave on HDFS (SURVEY.md §1.1 D5-D7):
+    ``term \\t doc_id \\t tf \\t pos1,pos2,…`` (F6 position-list rendering,
+    `reducer1.py:7`), ``term \\t df``, ``doc_id \\t [title \\t] length``.
+    A migration-path sink only; Parquet is the real format."""
+    postings = index["term_document"].select(
+        "term", "doc_id", F.col("tf").cast("string"),
+        F.array_join("positions", ","))
+    postings.write.mode("overwrite").option("sep", "\t") \
+        .csv(f"{base_path}/step1")
+    index["document_frequency"].write.mode("overwrite").option("sep", "\t") \
+        .csv(f"{base_path}/step2")
+    index["documents_info"].write.mode("overwrite").option("sep", "\t") \
+        .csv(f"{base_path}/step3")
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 8, sort_col: str | None = None,
                    path: str | None = None) -> None:

@@ -29,10 +29,8 @@ def events_stream(spark: SparkSession, sf_dir: str,
     Converts the nanos-as-long ts exactly like the batch loader."""
     from ..sources.io import load_table
 
-    schema = load_table(spark, sf_dir, "events").schema  # post-conversion
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(sf_dir + "/")
-    # The directory also contains the other tables; restrict via pathGlobFilter
+    # The directory also contains the other tables; restrict via pathGlobFilter.
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":

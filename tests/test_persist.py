@@ -79,3 +79,21 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_reference_format_export(spark, sf_dir, tmp_path_factory):
+    from big_data_assignment_2_spark.operators.persist import export_reference_format
+    from big_data_assignment_2_spark.operators.index import build_index
+
+    path = str(tmp_path_factory.mktemp("refmt"))
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    export_reference_format(ix, path)
+    step1 = spark.read.option("sep", "\t").csv(
+        f"{path}/step1", schema="term string, doc_id string, tf string, positions string")
+    row = step1.filter(F.col("tf").cast("int") > 1).first()
+    # F6 rendering: comma-joined ascending positions, len == tf
+    assert row is not None
+    parts = row["positions"].split(",")
+    assert len(parts) == int(row["tf"])
+    assert [int(x) for x in parts] == sorted(int(x) for x in parts)
+    assert step1.count() == ix["term_document"].count()
