@@ -54,8 +54,14 @@ def bm25_scores(spark: SparkSession, query: str, term_document: DataFrame,
     terms = tokenize_query(query)
     if not terms:
         return term_document.sparkSession.createDataFrame([], "doc_id string, score double")
-    n_docs, avgdl = collection_stats(documents_info)
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    # A4+A5 as a broadcast 1-row relation instead of a driver-side action:
+    # keeps the whole query ONE job (the reference — and an earlier version
+    # here — paid a separate full pass over doc stats before planning the
+    # query; at 100 TB that's an extra scan per query).
+    stats = F.broadcast(documents_info.agg(
+        F.count("*").alias("__n"), F.avg("length").alias("__avgdl")))
 
     # J1: broadcast the tiny term relation against postings and df.
     candidate = (
@@ -67,11 +73,12 @@ def bm25_scores(spark: SparkSession, query: str, term_document: DataFrame,
         # J2: attach doc length for the BM25 norm; inner join doubles as the
         # metadata-existence predicate P8 (`query.py:183`).
         .join(documents_info.select("doc_id", "length"), "doc_id")
+        .crossJoin(stats)
     )
     scored = candidate.withColumn(
         "term_score",
-        bm25_term_score(F.col("tf"), idf_plain(F.col("df"), float(n_docs)),
-                        F.col("length"), avgdl, k1, b),
+        bm25_term_score(F.col("tf"), idf_plain(F.col("df"), F.col("__n")),
+                        F.col("length"), F.col("__avgdl"), k1, b),
     )
     # A6 (`query.py:193-194`): sum partial scores per doc.
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))

@@ -57,3 +57,28 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(order_year" in plan
     want = orders.filter(F.year("o_orderdate") == 1997).count()
     assert back.count() == want
+
+
+def test_permissive_vs_dropmalformed(spark, tmp_path):
+    """P6: malformed-row tolerance moves from per-line try/except
+    (`reducer1.py:16-17`) to the CSV parser's mode."""
+    path = os.path.join(tmp_path, "bad.csv")
+    with open(path, "w") as f:
+        f.write("1\tok text\n")
+        f.write("shortrow\n")                                # too few fields
+        f.write("not_an_int\tbad id cell\n")                 # unparsable cell
+        f.write("3\tanother fine row\n")
+    schema = "doc_id long, text string"
+    permissive = spark.read.option("sep", "\t").schema(schema) \
+        .option("mode", "PERMISSIVE").csv(path)
+    rows = permissive.collect()
+    assert len(rows) == 4                       # every row kept
+    assert sum(r["doc_id"] is None for r in rows) == 2   # bad cells nulled
+    dropped = spark.read.option("sep", "\t").schema(schema) \
+        .option("mode", "DROPMALFORMED").csv(path)
+    # Gotcha encoded on purpose: count() prunes all columns, so parsing
+    # never fails and NOTHING is counted as malformed — only materializing
+    # rows applies the drop.  (One more reason typed Parquet beats CSV.)
+    assert dropped.count() == 4
+    assert [tuple(r) for r in dropped.collect()] == [(1, "ok text"),
+                                                     (3, "another fine row")]

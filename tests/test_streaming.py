@@ -24,3 +24,23 @@ def test_stream_batch_parity(spark, sf_dir, agg):
     got = _rows(spark.table(name))
     want = _rows(batch)
     assert got == want
+
+
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: arbitrary batch sink (e.g. upsert target) — each
+    micro-batch lands as parquet; total rows match the source."""
+    import os
+
+    out = os.path.join(tmp_path, "sink")
+    stream = events_stream(spark, sf_dir, with_watermark=None) \
+        .select("event_id", "event_type", "value")
+
+    def sink(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
