@@ -1,0 +1,113 @@
+"""Property-style randomized tests against independent oracles
+(SURVEY.md §5.3).  Randomness is seeded; each property evaluates a whole
+generated batch in one Spark job (per-example round-trips would pay ~1 s
+of scheduling each).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import string
+
+import pandas as pd
+
+from big_data_assignment_2_spark.functions.text import tokenize, tokenize_query
+from big_data_assignment_2_spark.operators.index import (build_postings,
+                                                         doc_stats,
+                                                         tokenize_positions)
+from big_data_assignment_2_spark.operators.relational import asof_join
+from pyspark.sql import functions as F
+
+ALPHABET = (string.ascii_letters + string.digits + "_-.,;:!?'\"()[] \t\n"
+            + "äöüßéàçñ中文字テスト" + "🙂")
+
+
+def random_texts(rng: random.Random, n: int) -> list[str]:
+    out = []
+    for _ in range(n):
+        ln = rng.randint(0, 80)
+        out.append("".join(rng.choice(ALPHABET) for _ in range(ln)))
+    return out
+
+
+def test_tokenizer_parity_random_unicode(spark):
+    """Spark tokenizer ≡ Python reference tokenizer on arbitrary unicode —
+    the (?U) regex-dialect trap (SURVEY.md §7.5) under fire."""
+    rng = random.Random(42)
+    texts = random_texts(rng, 300)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r["id"]: r["toks"]
+           for r in df.select("id", tokenize("text").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize_query(t), repr(t)
+
+
+def test_index_invariants_random(spark):
+    rng = random.Random(7)
+    texts = random_texts(rng, 200)
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    toks = tokenize_positions(docs)
+    postings = build_postings(toks).cache()
+    stats = doc_stats(docs)
+    joined = (postings.groupBy("doc_id").agg(F.sum("tf").alias("s"))
+              .join(stats, "doc_id", "right")
+              .select(F.coalesce("s", F.lit(0)).alias("s"), "length"))
+    assert joined.filter("s != length").count() == 0
+    bad = postings.filter(
+        (F.size("positions") != F.col("tf"))
+        | (F.col("positions") != F.sort_array("positions")))
+    assert bad.count() == 0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join ≡ pandas.merge_asof (allow_exact_matches=True, backward)
+    on random keyed time series."""
+    rng = random.Random(11)
+    left = [(rng.randint(0, 4), rng.randint(0, 10_000), i)
+            for i in range(400)]
+    right = [(rng.randint(0, 4), rng.randint(0, 10_000), 100 + i)
+             for i in range(400)]
+    # unique (key, ts) on the right so the expected match is unambiguous
+    seen = set()
+    right = [r for r in right
+             if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+
+    ldf = spark.createDataFrame(left, "k int, t long, lid long")
+    rdf = spark.createDataFrame(right, "k int, t long, rid long")
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                              right_cols=["rid"]).collect()}
+
+    lp = pd.DataFrame(left, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["k", "t", "rid"]).sort_values("t")
+    want = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    for _, row in want.iterrows():
+        expect = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[int(row["lid"])] == expect
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from big_data_assignment_2_spark.operators.similarity import brute_force_topk
+
+    q = df.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    got = brute_force_topk(df, q, k=5).collect()
+
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    for qid in range(3):
+        s = [(round(sims[qid, j], 6), j) for j in range(len(v)) if j != qid]
+        s.sort(key=lambda x: (-x[0], x[1]))
+        expect = [(j, c) for c, j in s[:5]]
+        mine = [(r["neighbor_id"], r["cos_sim"]) for r in got
+                if r["query_id"] == qid]
+        assert [(j, round(c, 6)) for j, c in expect] == mine
