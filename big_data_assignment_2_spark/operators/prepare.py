@@ -36,6 +36,21 @@ def sample_corpus(docs: DataFrame, n: int = 1000, seed: int = 0,
     return docs.sample(fraction=fraction, seed=seed).limit(n)
 
 
+def stratified_sample(docs: DataFrame, strata_col: str,
+                      fractions: dict[str, float] | float,
+                      seed: int = 0) -> DataFrame:
+    """Stratified (per-stratum Bernoulli) sampling — the training-data-mix
+    operator: downsample over-represented sources/languages to a target
+    ratio.  ``fractions`` is per-stratum, or a scalar applied to all
+    observed strata.  `sampleBy` is a map-side filter: no shuffle, scales
+    to any input size; only the strata enumeration (when a scalar is
+    given) touches the driver."""
+    if not isinstance(fractions, dict):
+        keys = [r[0] for r in docs.select(strata_col).distinct().collect()]
+        fractions = {k: float(fractions) for k in keys}
+    return docs.sampleBy(strata_col, fractions, seed=seed)
+
+
 def prepare_documents(docs: DataFrame, id_col: str = "doc_id",
                       title_col: str | None = None,
                       text_col: str = "text") -> DataFrame:

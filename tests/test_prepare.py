@@ -49,3 +49,23 @@ def test_stage_and_doc_files(spark, tmp_path):
     lines = {r["value"] for r in spark.read.text(txt).collect()}
     assert "1_Apple_Pie\tsome body" in lines          # F7 sanitization
     assert "2_BC\tother" in lines
+
+
+def test_stratified_sample(spark, sf_dir):
+    from big_data_assignment_2_spark.operators.prepare import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0}, seed=1)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "de" not in langs
+    en_total = docs.filter("lang = 'en'").count()
+    assert out.filter("lang = 'en'").count() == en_total   # fraction 1.0
+    assert "fr" not in langs                               # unlisted -> 0
+
+    half = stratified_sample(docs, "lang", 0.5, seed=1)
+    n, total = half.count(), docs.count()
+    assert 0.3 * total < n < 0.7 * total
+    # deterministic under a fixed seed
+    again = stratified_sample(docs, "lang", 0.5, seed=1)
+    assert sorted(r["doc_id"] for r in half.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
