@@ -101,6 +101,69 @@ def bm25_topk(spark: SparkSession, query: str, term_document: DataFrame,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_batch(spark: SparkSession, queries: dict[str, str],
+                    term_document: DataFrame, document_frequency: DataFrame,
+                    documents_info: DataFrame, k: int = 10,
+                    k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> DataFrame:
+    """Batched BM25: score MANY queries in ONE plan — the throughput path.
+
+    The query-term relation carries a query_id; the postings probe, df
+    attach, scoring, and per-query top-k (window row_number) all amortize
+    into a single pass over the index instead of |Q| sequential jobs.
+    Returns (query_id, doc_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    rows = [(qid, t) for qid, q in queries.items() for t in tokenize_query(q)]
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id string, score double, rank int")
+    terms_df = spark.createDataFrame(rows, "query_id string, term string")
+    stats = F.broadcast(documents_info.agg(
+        F.count("*").alias("__n"), F.avg("length").alias("__avgdl")))
+    scored = (
+        term_document.join(F.broadcast(terms_df), "term")
+        .join(F.broadcast(
+            document_frequency.join(
+                F.broadcast(terms_df.select("term").distinct()), "term")
+            .filter(F.col("df") > 0)), "term")
+        .join(documents_info.select("doc_id", "length"), "doc_id")
+        .crossJoin(stats)
+        .withColumn("term_score",
+                    bm25_term_score(F.col("tf"), idf_plain(F.col("df"), F.col("__n")),
+                                    F.col("length"), F.col("__avgdl"), k1, b))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def phrase_match(term_document: DataFrame, phrase_terms: list[str]) -> DataFrame:
+    """Positional phrase search — the capability the reference's positions
+    lists (D5, `reducer1.py:7`) enable but its query path never uses.
+
+    For phrase [t0..tn-1], a doc matches at position p iff t_i occurs at
+    p+i for all i.  With per-(term,doc) sorted position arrays this is an
+    n-way broadcast-key join on doc_id plus an array-intersection of
+    shifted position lists — no re-tokenization, no explode.
+    Returns (doc_id, n_occurrences > 0).
+    """
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    base = (term_document.filter(F.col("term") == phrase_terms[0])
+            .select("doc_id", F.col("positions").alias("__p")))
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = (term_document.filter(F.col("term") == t)
+               .select("doc_id",
+                       F.transform("positions", lambda x: x - i).alias(f"__q{i}")))
+        base = base.join(nxt, "doc_id") \
+            .withColumn("__p", F.array_intersect("__p", f"__q{i}")) \
+            .drop(f"__q{i}")
+    return (base.select("doc_id", F.size("__p").alias("n_occurrences"))
+            .filter(F.col("n_occurrences") > 0))
+
+
 def search_documents(spark: SparkSession, docs: DataFrame, query: str,
                      k: int = 10, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

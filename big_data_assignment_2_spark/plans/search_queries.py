@@ -68,7 +68,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_documents(spark, docs, FLAGSHIP_QUERY, k=10)
 
 
+BATCH_QUERIES = {
+    "q_vec": "vector query stream",
+    "q_join": "join merge hash",
+    "q_tbl": "table column row data",
+}
+PHRASE = ["data", "line"]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25: 3 queries scored in one plan, top-5 each."""
+    from ..operators.index import build_index
+    from ..operators.search import bm25_topk_batch
+
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    return bm25_topk_batch(spark, BATCH_QUERIES, ix["term_document"],
+                           ix["document_frequency"], ix["documents_info"], k=5)
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the postings arrays."""
+    from ..operators.index import build_index
+    from ..operators.search import phrase_match
+
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    return phrase_match(ix["term_document"], PHRASE)
+
+
 QUERIES = {
+    "search_bm25_batch": q_bm25_batch,
+    "search_phrase_match": q_phrase_match,
     "search_tokenize": q_tokenize,
     "search_postings": q_postings,
     "search_doc_freq": q_doc_freq,
@@ -76,7 +105,62 @@ QUERIES = {
     "search_bm25_topk": q_bm25_topk,
 }
 
+def _phrase_oracle(terms: list[str]) -> str:
+    ctes, joins = [], []
+    inter = "p0.p0"
+    for i, t in enumerate(terms):
+        ctes.append(
+            f"p{i} AS (SELECT doc_id, list(position - {i} ORDER BY position) "
+            f"AS p{i} FROM tokens WHERE term = '{t}' GROUP BY doc_id)")
+        if i > 0:
+            joins.append(f"JOIN p{i} ON p{i}.doc_id = p0.doc_id")
+            inter = f"list_intersect({inter}, p{i}.p{i})"
+    return f"""
+WITH {_TOKENS_CTE},
+{', '.join(ctes)}
+SELECT p0.doc_id, CAST(len({inter}) AS INTEGER) AS n_occurrences
+FROM p0 {' '.join(joins)}
+WHERE len({inter}) > 0
+"""
+
+
+_QTERMS_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in BATCH_QUERIES.items() for t in q.split())
+
+_BATCH_SQL = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (SELECT * FROM (VALUES {_QTERMS_VALUES}) AS t(query_id, term)),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           round(sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (0.25 + 0.75 * s.length / c.avgdl)) ), 6)
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY q.query_id, p.doc_id)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
 ORACLES = {
+    "search_bm25_batch": _BATCH_SQL,
+    "search_phrase_match": _phrase_oracle(PHRASE),
     "search_tokenize": f"WITH {_TOKENS_CTE} SELECT doc_id, term, position FROM tokens",
     "search_postings": f"""
 WITH {_TOKENS_CTE}

@@ -63,3 +63,32 @@ def test_bm25_zero_df_term_skipped(spark, index):
 
 def test_bm25_empty_query(spark, index):
     assert topk(spark, index, "...") == []
+
+
+def test_phrase_match_golden(index):
+    from big_data_assignment_2_spark.operators.search import phrase_match
+
+    td = index["term_document"]
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_match(td, ["apple", "banana"]).collect()}
+    assert got == {"d1": 1}                 # "apple apple banana": one match
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(td, ["cherry", "cherry"]).collect()}
+    assert got2 == {"d3": 2}                # "cherry cherry cherry": overlaps
+    assert phrase_match(td, ["banana", "apple"]).count() == 0
+
+
+def test_bm25_batch_matches_single(spark, index):
+    from big_data_assignment_2_spark.operators.search import bm25_topk_batch
+
+    out = bm25_topk_batch(spark, {"q1": "apple", "q2": "banana cherry"},
+                          index["term_document"], index["document_frequency"],
+                          index["documents_info"], k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
+    for q in by_q:
+        by_q[q].sort(key=lambda x: x[2])
+    assert [(d, s) for d, s, _ in by_q["q1"]] == [("d1", 0.540620), ("d3", 0.360413)]
+    assert [(d, s) for d, s, _ in by_q["q2"]] == [
+        ("d2", 0.926777), ("d3", 0.572421), ("d1", 0.405465)]
