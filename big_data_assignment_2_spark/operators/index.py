@@ -88,6 +88,37 @@ def doc_stats(docs: DataFrame, text_col: str = "text",
     return docs.select(*cols)
 
 
+def merge_index(base: dict[str, DataFrame], delta_docs: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id") -> dict[str, DataFrame]:
+    """Incremental index maintenance: fold a batch of NEW documents into an
+    existing index without re-tokenizing the base corpus.
+
+    Requires delta doc_ids disjoint from the base (append-only corpus — the
+    common ingest shape).  Postings and doc stats are pure unions (the
+    (term, doc_id) key cannot collide); document frequency merges by
+    summing per-term counts — a full-outer join on term, not a recount of
+    the whole corpus.  At 100 TB this is the difference between touching
+    |delta| and |corpus| per ingest batch.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    delta = build_index(delta_docs, text_col, id_col)
+    merged_df = (base["document_frequency"]
+                 .withColumnRenamed("df", "df_a")
+                 .join(delta["document_frequency"].withColumnRenamed("df", "df_b"),
+                       "term", "full_outer")
+                 .select("term",
+                         (F.coalesce("df_a", F.lit(0))
+                          + F.coalesce("df_b", F.lit(0))).alias("df")))
+    return {
+        "term_document": base["term_document"]
+            .unionByName(delta["term_document"]),
+        "document_frequency": merged_df,
+        "documents_info": base["documents_info"]
+            .unionByName(delta["documents_info"]),
+    }
+
+
 def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 title_col: str | None = None) -> dict[str, DataFrame]:
     """E2 collapsed (SURVEY.md §3): the three index tables as one lineage."""

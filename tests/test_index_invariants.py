@@ -75,3 +75,17 @@ def test_tokenizer_unicode_and_punct(spark):
     for (text, want), g in zip(cases, got):
         assert g == want, text
         assert tokenize_query(text) == want, text
+
+
+def test_merge_index_equals_full_rebuild(spark, sf_dir):
+    from big_data_assignment_2_spark.operators.index import build_index, merge_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    merged = merge_index(build_index(old), new)
+    full = build_index(docs)
+    for name in ("term_document", "document_frequency", "documents_info"):
+        a, b = merged[name], full[name]
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name

@@ -44,3 +44,27 @@ def test_foreachbatch_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     want = load_table(spark, sf_dir, "events")
     assert got.count() == want.count()
+
+
+def test_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed foreachBatch: a second run over the same source with the
+    same checkpoint processes nothing — exactly-once at the sink."""
+    import os
+
+    out = os.path.join(tmp_path, "sink")
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def run():
+        stream = events_stream(spark, sf_dir, with_watermark=None) \
+            .select("event_id")
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()   # same checkpoint: source exhausted, nothing re-emitted
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == load_table(spark, sf_dir, "events").count()
