@@ -28,8 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (MERSENNE_P, minhash_sig_aggs,
-                                 minhash_term_hash, md5_hash64)
+from ..functions.hashing import md5_hash64, minhash_sig_aggs, minhash_term_hash
 from ..functions.text import tokenize
 
 NUM_BANDS = 4

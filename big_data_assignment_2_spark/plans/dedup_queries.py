@@ -8,7 +8,6 @@ across engines, so even the MinHash-LSH candidate set hash-matches.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..functions.hashing import (MERSENNE_P, MINHASH_A, MINHASH_B,
                                  md5_hash64_sql)

@@ -18,7 +18,7 @@ tables on orderkey to make it shuffle-free (see sources.io.write_parquet).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join

@@ -27,8 +27,6 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """File-source stream of the events table (one-file directory; for a
     live pipeline this would be Kafka — the transformations are identical).
     Converts the nanos-as-long ts exactly like the batch loader."""
-    from ..sources.io import load_table
-
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The directory also contains the other tables; restrict via pathGlobFilter.
     stream = (spark.readStream.schema(raw_schema)
