@@ -165,6 +165,46 @@ GROUP BY r_name, n_name
 """
 
 
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between customer and
+    supplier nations per year (two independent dimension chains hang off
+    the same fact row — both broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(cn), c.c_nationkey == cn.c_nk)
+            .join(F.broadcast(sn), s.s_nationkey == sn.s_nk)
+            .filter(F.col("cust_nation") != F.col("supp_nation"))
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").alias("ship_year"))
+            .agg(F.sum(rev).cast("double").alias("volume")))
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    out = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy("c_custkey", "c_name", "c_mktsegment")
+           .agg(F.round(F.sum(rev).cast("double"), 4).alias("lost_revenue"),
+                F.count("*").alias("n_returned")))
+    return out.orderBy(F.desc("lost_revenue"), F.asc("c_custkey")).limit(20)
+
+
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join: every customer, with 0-filled order aggregates."""
     c = load_table(spark, sf_dir, "customer")
@@ -393,6 +433,8 @@ QUERIES = {
     "rel_cube": q_cube,
     "rel_q3_top10": q_q3_shipping_priority,
     "rel_region_revenue": q_region_revenue,
+    "rel_nation_volume": q_nation_volume,
+    "rel_returned_top_customers": q_returned_top_customers,
     "rel_join_left": q_join_left,
     "rel_join_semi": q_join_semi,
     "rel_join_anti": q_join_anti,
@@ -459,6 +501,32 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "rel_q3_top10": _Q3_SQL,
     "rel_region_revenue": _Q5_SQL,
+    "rel_nation_volume": """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name != sn.n_name
+GROUP BY 1, 2, 3
+""",
+    "rel_returned_top_customers": """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+           AS lost_revenue,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+""",
     "rel_join_left": """
 SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
