@@ -346,6 +346,18 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("k").alias("sum_k")))
 
 
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: JSON → typed map, explode to entries, aggregate by
+    key (from_json/map_keys/explode — the map-column surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (ev.select(F.explode(m).alias("key", "val"))
+            .groupBy("key")
+            .agg(F.count("*").alias("n"),
+                 F.sum("val").alias("sum_val"),
+                 F.max("val").alias("max_val")))
+
+
 def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions over the embedding column: size,
     element access, transform+aggregate (L2 norm) — the same fold pattern
@@ -446,6 +458,7 @@ QUERIES = {
     "rel_set_except": q_set_except,
     "rel_scalar_date": q_scalar_date,
     "rel_scalar_json": q_scalar_json,
+    "rel_scalar_map": q_scalar_map,
     "rel_scalar_array": q_scalar_array,
 }
 
@@ -574,6 +587,14 @@ SELECT event_type, count(*) AS n,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
        sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
 FROM events GROUP BY event_type
+""",
+    "rel_scalar_map": """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events)
+SELECT key, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS sum_val,
+       max(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS max_val
+FROM kv GROUP BY key
 """,
     "rel_scalar_array": """
 SELECT vec_id,
