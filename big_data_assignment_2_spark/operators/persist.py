@@ -90,6 +90,35 @@ def export_reference_format(index: dict[str, DataFrame], base_path: str) -> None
         .csv(f"{base_path}/step3")
 
 
+def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
+                         k: int = 10, n_buckets: int = 16) -> "DataFrame":
+    """Serving-path BM25: probe a PERSISTED index (term-bucket-pruned
+    postings scan + broadcast joins) — the amortized-latency shape a query
+    service runs, vs. the build-everything-in-flight declared query."""
+    from ..functions.text import tokenize_query
+    from ..operators.search import bm25_topk
+
+    terms = tokenize_query(query)
+    postings = probe_postings(spark, f"{base_path}/term_document", terms,
+                              n_buckets).drop("term_bucket")
+    dfreq = spark.read.parquet(f"{base_path}/document_frequency") \
+        .filter(F.col("term").isin(terms))
+    stats = spark.read.parquet(f"{base_path}/documents_info")
+    return bm25_topk(spark, query, postings, dfreq, stats, k=k)
+
+
+def write_ivf(assigned: DataFrame, path: str) -> None:
+    """Persist IVF-assigned vectors partitioned by list_id — a probe scans
+    only its nprobe lists' directories (partition pruning), mirroring the
+    term-bucket layout for text."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def probe_ivf_lists(spark: SparkSession, path: str,
+                    list_ids: list[int]) -> DataFrame:
+    return spark.read.parquet(path).filter(F.col("list_id").isin(list_ids))
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 8, sort_col: str | None = None,
                    path: str | None = None) -> None:

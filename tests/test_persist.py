@@ -97,3 +97,30 @@ def test_reference_format_export(spark, sf_dir, tmp_path_factory):
     assert len(parts) == int(row["tf"])
     assert [int(x) for x in parts] == sorted(int(x) for x in parts)
     assert step1.count() == ix["term_document"].count()
+
+
+def test_bm25_probe_persisted_matches_inflight(spark, sf_dir, index_path):
+    from big_data_assignment_2_spark.operators.persist import bm25_probe_persisted
+    from big_data_assignment_2_spark.operators.search import search_documents
+
+    q = "vector query stream fast join"
+    got = bm25_probe_persisted(spark, index_path, q, n_buckets=8).collect()
+    want = search_documents(
+        spark, load_table(spark, sf_dir, "documents"), q).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_persist_prunes(spark, sf_dir, tmp_path_factory):
+    from big_data_assignment_2_spark.operators.persist import (
+        probe_ivf_lists, write_ivf)
+    from big_data_assignment_2_spark.operators.similarity import ivf_build
+
+    path = str(tmp_path_factory.mktemp("ivf"))
+    em = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_build(em, n_centroids=8, seed=0)
+    write_ivf(assigned, path)
+    probe = probe_ivf_lists(spark, path, [0, 1])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    full = {r["vec_id"] for r in assigned.filter("list_id IN (0, 1)").collect()}
+    assert {r["vec_id"] for r in probe.collect()} == full
