@@ -208,6 +208,53 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def winnow_fingerprints(docs: DataFrame, n: int = 3, window: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD '03) document fingerprints:
+    hash every token n-gram in document order, slide a ``window``-wide
+    frame, keep the minimum hash per frame.  Guarantees any shared run of
+    ≥ window+n-1 tokens between two docs yields a shared fingerprint —
+    substring-level (plagiarism-style) dedup, unlike the whole-doc /
+    bag-of-words keys above.
+
+    One explode + one window-min + one distinct; hashes are md5-derived so
+    the DuckDB oracle reproduces fingerprints exactly.
+    Returns (doc_id, fingerprint) distinct.
+    """
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                        F.posexplode(tokenize(text_col)).alias("pos", "term")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks
+    lead_cols = ["term"]
+    for i in range(1, n):
+        sh = sh.withColumn(f"t{i}", F.lead("term", i).over(w))
+        lead_cols.append(f"t{i}")
+    sh = (sh.filter(F.col(lead_cols[-1]).isNotNull())
+          .withColumn("h", md5_hash64(F.concat_ws(" ", *lead_cols))))
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(0, window - 1))
+    return (sh.select("doc_id", F.min("h").over(frame).alias("fingerprint"))
+            .distinct())
+
+
+def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 5,
+                         n: int = 3, window: int = 4,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Doc pairs sharing ≥ min_shared winnowing fingerprints — candidate
+    substring-duplicate pairs via an inverted-index join on fingerprint
+    (no all-pairs stage)."""
+    fp = winnow_fingerprints(docs, n, window, text_col, id_col)
+    pairs = (fp.alias("a").join(fp.alias("b"), "fingerprint")
+             .filter(F.col("a.doc_id").cast("bigint")
+                     < F.col("b.doc_id").cast("bigint"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_shared")))
+    return pairs.filter(F.col("n_shared") >= min_shared)
+
+
 # --- SimHash ---------------------------------------------------------------
 
 # 60 bits: 1<<63 overflows signed 64-bit in both engines; 4 bands x 15 bits

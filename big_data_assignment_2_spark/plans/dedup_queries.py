@@ -59,7 +59,28 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
+WINNOW_WINDOW = 4
+WINNOW_MIN_SHARED = 5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, n=3, window=WINNOW_WINDOW)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=WINNOW_MIN_SHARED,
+                                n=3, window=WINNOW_WINDOW)
+
+
 QUERIES = {
+    "dedup_winnow_fp": q_winnow_fingerprints,
+    "dedup_winnow_overlap": q_winnow_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_tokenset": q_dedup_tokenset,
     "dedup_minhash_sig": q_minhash_signatures,
@@ -131,7 +152,34 @@ _SIMHASH_BANDS = "\n  UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * 15}) & 32767 AS band_val FROM sig"
     for b in range(4))
 
+_WINNOW_FP_CTE = f"""
+led AS (
+  SELECT doc_id, position,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh,
+         lead(term, 2) OVER w AS t2
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY position)),
+hashes AS (
+  SELECT doc_id, position, {md5_hash64_sql('sh')} AS h
+  FROM led WHERE t2 IS NOT NULL),
+fp AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY position
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM hashes)
+"""
+
 ORACLES = {
+    "dedup_winnow_fp": f"WITH {_TOKENS_CTE}, {_WINNOW_FP_CTE} "
+                       "SELECT doc_id, fingerprint FROM fp",
+    "dedup_winnow_overlap": f"""
+WITH {_TOKENS_CTE}, {_WINNOW_FP_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+""",
     "dedup_exact": """
 SELECT CAST(min(doc_id) AS VARCHAR) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)

@@ -69,3 +69,25 @@ def test_simhash_identical_and_near(docs):
     # Band pigeonhole guarantee: every pair within Hamming ≤ 3 is found.
     for (a, b), h in near.items():
         assert h <= 10
+
+
+def test_winnowing_substring_guarantee(spark):
+    from big_data_assignment_2_spark.operators.dedup import (
+        winnow_fingerprints, winnow_overlap_pairs)
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame([
+        (1, f"intro words here {shared_run} closing remarks"),
+        (2, f"totally other opening {shared_run} and different tail words"),
+        (3, "no overlap at all in this quite separate document text"),
+    ], "doc_id long, text string")
+    fp = winnow_fingerprints(docs, n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # any shared token run >= window+n-1 (6) tokens must share a fingerprint
+    assert by_doc["1"] & by_doc["2"]
+    assert not (by_doc["1"] & by_doc["3"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
+    assert ("1", "2") in pairs and ("1", "3") not in pairs
