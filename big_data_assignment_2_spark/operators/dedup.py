@@ -208,6 +208,65 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — turns
+    near-dup PAIRS into dedup CLUSTERS (keep min doc per cluster, drop the
+    rest), the last step of a production dedup pipeline.
+
+    ``edges``: (a, b) undirected; ``nodes``: (id).  Returns
+    (id, component) with component = min node id reachable.
+
+    Iterative DataFrame algorithm (the one family Catalyst can't express
+    in a single plan): each round joins labels across edges and takes the
+    min; ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1.  Converges in O(diameter) rounds —
+    real near-dup graphs are dense clique-ish clusters with tiny
+    diameters, so a handful of rounds; large-diameter graphs would call
+    for the alternating large/small-star algorithm (same join shape).
+    """
+    from pyspark import StorageLevel
+
+    both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")) \
+        .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)  # re-joined every round
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (both
+                        .join(labels, both.y == labels.id)
+                        .groupBy("x").agg(F.min("component").alias("nc")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.id == neighbor_min.x, "left")
+                      .select(labels.id,
+                              F.least("component",
+                                      F.coalesce("nc", "component"))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.9,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """End-to-end: MinHash near-dup pairs → connected components →
+    (doc_id, cluster_rep, is_survivor).  Survivor = min doc of cluster."""
+    pairs = minhash_near_dups(docs, threshold, text_col, id_col) \
+        .select(F.col("doc_a").cast("bigint").alias("a"),
+                F.col("doc_b").cast("bigint").alias("b"))
+    nodes = docs.select(F.col(id_col).cast("bigint").alias("id"))
+    comp = connected_components(pairs, nodes)
+    return comp.select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("component").cast("string").alias("cluster_rep"),
+        (F.col("id") == F.col("component")).alias("is_survivor"))
+
+
 def winnow_fingerprints(docs: DataFrame, n: int = 3, window: int = 4,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD '03) document fingerprints:

@@ -78,7 +78,15 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=3, window=WINNOW_WINDOW)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, threshold=JACCARD_THRESHOLD)
+
+
 QUERIES = {
+    "dedup_clusters": q_near_dup_clusters,
     "dedup_winnow_fp": q_winnow_fingerprints,
     "dedup_winnow_overlap": q_winnow_overlap,
     "dedup_exact": q_dedup_exact,
@@ -169,7 +177,35 @@ fp AS (
   FROM hashes)
 """
 
+def _clusters_oracle() -> str:
+    """Connected components via recursive reachability over the near-dup
+    edge set (the whole minhash-near pipeline nests as a CTE body)."""
+    near = ("WITH " + _TOKENS_CTE + ", " + _sig_cte().strip() + ", "
+            + _bands_cte() + ",\n"
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            "  FROM bands a JOIN bands b USING (band_id, band_key)\n"
+            "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
+            + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD))
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+  FROM ({near})),
+bidir AS (SELECT a AS x, b AS y FROM edges
+          UNION ALL SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, b.y FROM reach r JOIN bidir b ON b.x = r.dst)
+SELECT CAST(src AS VARCHAR) AS doc_id,
+       CAST(min(dst) AS VARCHAR) AS cluster_rep,
+       src = min(dst) AS is_survivor
+FROM reach GROUP BY src
+"""
+
+
 ORACLES = {
+    "dedup_clusters": _clusters_oracle(),
     "dedup_winnow_fp": f"WITH {_TOKENS_CTE}, {_WINNOW_FP_CTE} "
                        "SELECT doc_id, fingerprint FROM fp",
     "dedup_winnow_overlap": f"""

@@ -91,3 +91,30 @@ def test_winnowing_substring_guarantee(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
              for r in winnow_overlap_pairs(docs, min_shared=1).collect()}
     assert ("1", "2") in pairs and ("1", "3") not in pairs
+
+
+def test_connected_components(spark):
+    from big_data_assignment_2_spark.operators.dedup import connected_components
+
+    # two chains + an isolated node: {1-2-3}, {10-11}, {99}
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
+                                  "id long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges, nodes).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_near_dup_clusters_survivors(spark):
+    from big_data_assignment_2_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(
+        spark.createDataFrame(CORPUS, "doc_id long, text string"),
+        threshold=0.5).collect()
+    rows = {r["doc_id"]: (r["cluster_rep"], r["is_survivor"]) for r in out}
+    # docs 1,2,3,4 form one near-dup cluster; 5 is alone
+    assert rows["1"] == ("1", True)
+    assert rows["2"] == ("1", False)
+    assert rows["3"] == ("1", False)
+    assert rows["4"] == ("1", False)
+    assert rows["5"] == ("5", True)
