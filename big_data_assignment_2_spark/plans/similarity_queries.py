@@ -48,7 +48,27 @@ def q_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_top_pairs(em, top_n=TOP_PAIRS)
 
 
+COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
+                            # (max pairwise cosine ≈ 0.48); production
+                            # near-dup would use ~0.95+
+
+
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded embedding near-dup pairs (the dedup-by-vector surface);
+    at scale the pair source is lsh_topk per vector, not all-pairs."""
+    from ..operators.similarity import as_double, cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(F.col("vec_id").alias("id"), as_double("embedding").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
+
+
 QUERIES = {
+    "sim_cosine_near_dups": q_cosine_near_dups,
     "sim_ann_bruteforce": q_ann_bruteforce,
     "sim_ann_lsh": q_ann_lsh,
     "sim_lsh_buckets": q_lsh_buckets,
@@ -72,6 +92,14 @@ _BUCKET_EXPR = " + ".join(
     for p in range(NUM_PLANES))
 
 ORACLES = {
+    "sim_cosine_near_dups": f"""
+WITH {_VECS}
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_COS}, 6) AS cos_sim
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+""",
     "sim_ann_bruteforce": f"""
 WITH {_VECS},
 q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
