@@ -1,0 +1,46 @@
+"""transformWithStateInPandas (Spark 4 StatefulProcessor) converges to the
+batch aggregation, same as the applyInPandasWithState variant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.sources.io import load_table
+from big_data_assignment_2_spark.streaming.windows import events_stream
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in "
+           "this container; the applyInPandasWithState variant in "
+           "test_stateful_streaming.py covers custom state end-to-end)")
+def test_stateful_v2_converges_to_batch(spark, sf_dir):
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        rocksdb_state_conf, running_user_totals_v2)
+
+    rocksdb_state_conf(spark)
+    stream = events_stream(spark, sf_dir, with_watermark=None)
+    out = running_user_totals_v2(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("running_totals_v2")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("running_totals_v2").collect()}
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("t"))
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u, (n, t) in want.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - t) < 1e-4
