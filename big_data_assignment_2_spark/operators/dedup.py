@@ -11,8 +11,9 @@ Scale design (100 TB):
   verification on candidates only.  This is the standard
   shingle→minhash→band→bucket-join pipeline (Broder '97; used by C4/
   RefinedWeb/Dolma-style dedup).
-- SimHash packs a document into one 64-bit signature (Charikar '02);
-  near-dup candidates share one of four 16-bit sub-fingerprint bands
+- SimHash packs a document into one 60-bit signature (Charikar '02;
+  60 not 64 because 1<<63 overflows signed 64-bit in both engines);
+  near-dup candidates share one of four 15-bit sub-fingerprint bands
   (Manku et al. '07 Hamming-distance trick) — again no all-pairs stage.
 - All hashing is md5-derived (functions/hashing.py) so the DuckDB oracles
   reproduce signatures bit-for-bit; pyspark.ml's MinHashLSH would be
@@ -323,9 +324,9 @@ SIMHASH_BITS = 60
 
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: md5-derived term hashes, tf-weighted bit
-    votes, sign → bit.  One explode + one hash-agg; the 64 per-bit sums are
-    columns of a single aggregation (no 64 passes)."""
+    """60-bit SimHash per doc: md5-derived term hashes, tf-weighted bit
+    votes, sign → bit.  One explode + one hash-agg; the 60 per-bit sums are
+    columns of a single aggregation (no 60 passes)."""
     tf = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
                       F.explode(tokenize(text_col)).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -343,7 +344,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
+    """Near-dup pairs by SimHash: candidates share one of four 15-bit bands
     (any pair within Hamming distance 3 must agree on ≥1 band — pigeonhole),
     then exact Hamming ≤ max_hamming via bit_count(xor)."""
     from pyspark import StorageLevel
