@@ -48,13 +48,19 @@ def main() -> None:
                  "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").count()
 
+    def materialize(df) -> None:
+        # noop sink: full computation, zero driver-side row serialization
+        # (collect() on a ~1M-row result would bill py4j transfer to the
+        # engine).
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         # min, not median: the metric is the engine's cost, and min-of-N is
         # the estimator least contaminated by co-tenant machine load.
@@ -78,7 +84,7 @@ def main() -> None:
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY).collect()
+            materialize(bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY))
             runs.append(time.perf_counter() - t0)
         timings["search_bm25_probe_persisted"] = round(min(runs), 3)
 
