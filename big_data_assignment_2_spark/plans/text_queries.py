@@ -48,7 +48,21 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        normalize_whitespace("text").alias("normalized"))
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation query: confusion counts of predicted vs labeled language
+    (the documents table carries a `lang` label) — the shape of a pipeline
+    quality report."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(docs).select("doc_id", "pred_lang")
+    labeled = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                          F.col("lang").alias("true_lang"))
+    return (labeled.join(pred, "doc_id")
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").alias("n")))
+
+
 QUERIES = {
+    "text_langid_eval": q_langid_eval,
     "text_normalize": q_normalize,
     "text_quality": q_quality,
     "text_langid": q_langid,
@@ -71,6 +85,19 @@ _PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
                    for l in _LANGS_SORTED))
 
 ORACLES = {
+    "text_langid_eval": f"""
+WITH {_TOKENS_CTE},
+scored AS (
+  SELECT doc_id,
+       {_LANG_SCORES}
+  FROM docs),
+pred AS (
+  SELECT doc_id, {_PRED} AS pred_lang FROM scored)
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents) d
+JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+""",
     "text_normalize": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS normalized

@@ -82,3 +82,13 @@ def test_permissive_vs_dropmalformed(spark, tmp_path):
     assert dropped.count() == 4
     assert [tuple(r) for r in dropped.collect()] == [(1, "ok text"),
                                                      (3, "another fine row")]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC: the other bundled columnar format (parquet remains primary)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tmp_path, "orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
