@@ -42,3 +42,23 @@ def test_projection_prunes_scan(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     plan = plan_of(df)
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
+    """The union+window as-of join must not plan a nested-loop/cartesian
+    pairwise stage; one hash exchange on the key feeds the sort+window."""
+    from big_data_assignment_2_spark.plans.relational_queries import q_asof_join
+
+    plan = plan_of(q_asof_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_window_query_single_exchange(spark, sf_dir):
+    from big_data_assignment_2_spark.plans.window_queries import q_sliding_sum
+
+    plan = plan_of(q_sliding_sum(spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1        # one shuffle on user_id
