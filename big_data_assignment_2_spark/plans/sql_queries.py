@@ -97,7 +97,19 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+# Null-safe equality: rows where nullable computed keys match including
+# NULL==NULL (Spark `<=>` ≡ ANSI IS NOT DISTINCT FROM, which DuckDB has).
+_NULLSAFE_JOIN_SPARK = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) a
+JOIN (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer) b
+  ON a.seg <=> b.seg AND a.c_custkey < b.c_custkey AND a.c_custkey <= 20
+"""
+_NULLSAFE_JOIN_DUCK = _NULLSAFE_JOIN_SPARK.replace(
+    "a.seg <=> b.seg", "a.seg IS NOT DISTINCT FROM b.seg")
+
 QUERIES = {
+    "sql_nullsafe_join": _sql(_NULLSAFE_JOIN_SPARK),
     "sql_distinct": _sql(_DISTINCT),
     "sql_grouping_sets": _sql(_GROUPING_SETS),
     "sql_scalar_subquery": _sql(_SCALAR_SUBQ),
@@ -109,6 +121,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_nullsafe_join": _NULLSAFE_JOIN_DUCK,
     "sql_distinct": _DISTINCT,
     "sql_grouping_sets": _GROUPING_SETS,
     "sql_scalar_subquery": _SCALAR_SUBQ,

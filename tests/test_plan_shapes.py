@@ -62,3 +62,26 @@ def test_window_query_single_exchange(spark, sf_dir):
     plan = plan_of(q_sliding_sum(spark, sf_dir))
     assert "Window" in plan
     assert plan.count("Exchange") == 1        # one shuffle on user_id
+
+
+def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
+    """Sweep every declared query's physical plan: product joins
+    (CartesianProduct / BroadcastNestedLoopJoin) are allowed only where a
+    non-equi pairing is the SEMANTICS (documented allowlist); anywhere
+    else one appearing means a join key got lost in a refactor."""
+    import __spark_entry__ as contract
+
+    INTENTIONAL = {
+        # broadcast 1-row stats relation / tiny query-set scoring
+        "search_bm25_topk", "search_bm25_batch",
+        # all-pairs by definition at test scale (scale path = LSH/IVF)
+        "sim_cosine_top_pairs", "sim_cosine_near_dups",
+        "sim_ann_bruteforce", "sim_ann_lsh",
+    }
+    offenders = {}
+    for name, fn in contract.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) \
+                and name not in INTENTIONAL:
+            offenders[name] = True
+    assert not offenders, f"unexpected product joins in: {sorted(offenders)}"

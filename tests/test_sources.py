@@ -92,3 +92,17 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == orders.count()
     assert dict(back.dtypes) == dict(orders.dtypes)
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """mergeSchema: later files may add columns (a 100 TB dataset is written
+    over months; readers must tolerate schema drift)."""
+    path = os.path.join(tmp_path, "evolve")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(path + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double") \
+        .write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
