@@ -97,6 +97,28 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+# TPC-H Q2 shape: correlated scalar subquery in WHERE — for each part the
+# cheapest line item; Catalyst decorrelates into an aggregate + join.
+_MIN_COST_SUPPLIER = """
+SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice
+FROM lineitem l
+WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+ORDER BY l.l_partkey, l.l_suppkey
+"""
+
+# TPC-H Q18 shape: HAVING-filtered aggregate driving an IN subquery.
+_BIG_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, qty_sum
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS qty_sum
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 120) big
+  ON o_orderkey = big.l_orderkey
+"""
+
 # Null-safe equality: rows where nullable computed keys match including
 # NULL==NULL (Spark `<=>` ≡ ANSI IS NOT DISTINCT FROM, which DuckDB has).
 _NULLSAFE_JOIN_SPARK = """
@@ -109,6 +131,8 @@ _NULLSAFE_JOIN_DUCK = _NULLSAFE_JOIN_SPARK.replace(
     "a.seg <=> b.seg", "a.seg IS NOT DISTINCT FROM b.seg")
 
 QUERIES = {
+    "sql_min_cost_supplier": _sql(_MIN_COST_SUPPLIER),
+    "sql_big_orders": _sql(_BIG_ORDERS),
     "sql_nullsafe_join": _sql(_NULLSAFE_JOIN_SPARK),
     "sql_distinct": _sql(_DISTINCT),
     "sql_grouping_sets": _sql(_GROUPING_SETS),
@@ -121,6 +145,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_min_cost_supplier": _MIN_COST_SUPPLIER,
+    "sql_big_orders": _BIG_ORDERS,
     "sql_nullsafe_join": _NULLSAFE_JOIN_DUCK,
     "sql_distinct": _DISTINCT,
     "sql_grouping_sets": _GROUPING_SETS,

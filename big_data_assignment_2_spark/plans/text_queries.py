@@ -61,7 +61,28 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n")))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning composite (the shape of a real
+    training-data prep job): quality gate (length + stopword bounds) →
+    exact-dedup survivors on the token-set key → surviving doc ids with
+    their quality stats."""
+    from ..operators.dedup import dedup_exact, tokenset_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    passing = q.filter((F.col("n_tokens") >= 20)
+                       & (F.col("stopword_ratio") <= 0.3))
+    filtered = (docs.withColumn("doc_id_s", F.col("doc_id").cast("string"))
+                .join(passing.select(F.col("doc_id").alias("doc_id_s")),
+                      "doc_id_s")
+                .select("doc_id", "text"))
+    survivors = dedup_exact(filtered, tokenset_key("text"))
+    return (survivors.join(passing, "doc_id")
+            .select("doc_id", "n_copies", "n_tokens", "stopword_ratio"))
+
+
 QUERIES = {
+    "pipeline_clean_corpus": q_clean_corpus,
     "text_langid_eval": q_langid_eval,
     "text_normalize": q_normalize,
     "text_quality": q_quality,
@@ -85,6 +106,26 @@ _PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
                    for l in _LANGS_SORTED))
 
 ORACLES = {
+    "pipeline_clean_corpus": f"""
+WITH {_TOKENS_CTE},
+quality AS (
+  SELECT d.doc_id,
+         CAST(len(d.toks) AS INTEGER) AS n_tokens,
+         round(CASE WHEN len(d.toks) > 0
+               THEN CAST(len(list_filter(d.toks, t -> t IN ({_STOP_LIST})))
+                         AS DOUBLE) / len(d.toks)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS k
+  FROM docs d),
+passing AS (
+  SELECT * FROM quality WHERE n_tokens >= 20 AND stopword_ratio <= 0.3),
+survivors AS (
+  SELECT CAST(min(CAST(doc_id AS BIGINT)) AS VARCHAR) AS doc_id,
+         count(*) AS n_copies
+  FROM passing GROUP BY k)
+SELECT s.doc_id, s.n_copies, p.n_tokens, p.stopword_ratio
+FROM survivors s JOIN passing p USING (doc_id)
+""",
     "text_langid_eval": f"""
 WITH {_TOKENS_CTE},
 scored AS (
