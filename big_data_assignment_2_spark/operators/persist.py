@@ -51,7 +51,14 @@ def term_bucket(col, n_buckets: int):
 
 def partition_postings_by_term_bucket(postings: DataFrame, path: str,
                                       n_buckets: int = 16) -> None:
+    """Directory pruning via the bucket column; within each file the rows
+    are sorted by term so parquet rowgroup min/max statistics let the
+    reader skip rowgroups for a term predicate — two pruning levels, the
+    same layering Cassandra gives the reference (partition key + clustering
+    key, `app/app.py:48`)."""
     (postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+     .repartition(F.col("term_bucket"))
+     .sortWithinPartitions("term")
      .write.mode("overwrite").partitionBy("term_bucket").parquet(path))
 
 
