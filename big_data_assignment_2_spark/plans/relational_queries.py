@@ -304,9 +304,38 @@ def _finished_keys(spark, sf_dir):
         .select(F.col("o_custkey").alias("custkey")).distinct()
 
 
+def _urgent_keys_all(spark, sf_dir):
+    """Non-distinct variant: one row per urgent ORDER (multiset input)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
+def _finished_keys_all(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
 def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _urgent_keys(spark, sf_dir).union(
         _finished_keys(spark, sf_dir)).distinct()
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: bag-difference keeps surplus multiplicity
+    (a customer with 3 urgent and 1 finished order survives twice) —
+    distinct from EXCEPT, which drops the key entirely."""
+    return (_urgent_keys_all(spark, sf_dir)
+            .exceptAll(_finished_keys_all(spark, sf_dir))
+            .groupBy("custkey").agg(F.count("*").alias("surplus")))
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: per-key min multiplicity."""
+    return (_urgent_keys_all(spark, sf_dir)
+            .intersectAll(_finished_keys_all(spark, sf_dir))
+            .groupBy("custkey").agg(F.count("*").alias("overlap")))
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +483,8 @@ QUERIES = {
     "rel_join_theta": q_join_theta,
     "rel_asof_join": q_asof_join,
     "rel_set_union": q_set_union,
+    "rel_set_except_all": q_set_except_all,
+    "rel_set_intersect_all": q_set_intersect_all,
     "rel_set_intersect": q_set_intersect,
     "rel_set_except": q_set_except,
     "rel_scalar_date": q_scalar_date,
@@ -572,6 +603,18 @@ GROUP BY p_brand
 """,
     "rel_asof_join": _ASOF_SQL,
     "rel_set_union": f"WITH {_SET_CTES} SELECT custkey FROM u UNION SELECT custkey FROM f",
+    "rel_set_except_all": """
+WITH ua AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+fa AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+d AS (SELECT custkey FROM ua EXCEPT ALL SELECT custkey FROM fa)
+SELECT custkey, count(*) AS surplus FROM d GROUP BY custkey
+""",
+    "rel_set_intersect_all": """
+WITH ua AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+fa AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+d AS (SELECT custkey FROM ua INTERSECT ALL SELECT custkey FROM fa)
+SELECT custkey, count(*) AS overlap FROM d GROUP BY custkey
+""",
     "rel_set_intersect": f"WITH {_SET_CTES} SELECT custkey FROM u INTERSECT SELECT custkey FROM f",
     "rel_set_except": f"WITH {_SET_CTES} SELECT custkey FROM u EXCEPT SELECT custkey FROM f",
     "rel_scalar_date": """

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "bda2-spark", master: str | None = None,
         # Dimension tables (region/nation/supplier, query-term relations)
         # must broadcast — never sort-merge a 5-row table at 100 TB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level filtering: build a bloom filter from the small
+        # join side and push it into the big side's scan — at 100 TB this
+        # skips most of a fact scan when the dimension filter is selective
+        # (complements static partition pruning / DPP).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for any pandas_udf / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
