@@ -375,6 +375,36 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("k").alias("sum_k")))
 
 
+def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-capturing regexp extraction over order priorities
+    ('N-NAME' → rank int + name)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select(
+        F.regexp_extract("o_orderpriority", r"^(\d)-(.+)$", 1)
+        .cast("int").alias("prio_rank"),
+        F.regexp_extract("o_orderpriority", r"^(\d)-(.+)$", 2)
+        .alias("prio_name"))
+        .groupBy("prio_rank", "prio_name").agg(F.count("*").alias("n")))
+
+
+def q_scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface part 2: slice, flatten, zip_with, sequence — the
+    head/tail split of each embedding plus a self-dot via zip_with."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    head = F.slice(dbl, 1, 4)
+    tail = F.slice(dbl, 61, 4)
+    return em.select(
+        "vec_id",
+        F.round(F.aggregate(F.flatten(F.array(head, tail)), F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("edge_sum"),
+        F.round(F.aggregate(F.zip_with(head, tail, lambda x, y: x * y),
+                            F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("head_tail_dot"),
+        F.size(F.sequence(F.lit(1), F.size("embedding"), F.lit(8)))
+        .alias("n_strides"))
+
+
 def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map functions: JSON → typed map, explode to entries, aggregate by
     key (from_json/map_keys/explode — the map-column surface)."""
@@ -489,6 +519,8 @@ QUERIES = {
     "rel_set_except": q_set_except,
     "rel_scalar_date": q_scalar_date,
     "rel_scalar_json": q_scalar_json,
+    "rel_scalar_regexp": q_scalar_regexp,
+    "rel_scalar_array2": q_scalar_array2,
     "rel_scalar_map": q_scalar_map,
     "rel_scalar_array": q_scalar_array,
 }
@@ -630,6 +662,22 @@ SELECT event_type, count(*) AS n,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
        sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
 FROM events GROUP BY event_type
+""",
+    "rel_scalar_regexp": """
+SELECT CAST(regexp_extract(o_orderpriority, '^(\\d)-(.+)$', 1) AS INTEGER) AS prio_rank,
+       regexp_extract(o_orderpriority, '^(\\d)-(.+)$', 2) AS prio_name,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+""",
+    "rel_scalar_array2": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+parts AS (SELECT vec_id, d[1:4] AS head, d[61:64] AS tail FROM v)
+SELECT vec_id,
+       round(list_sum(flatten([head, tail])), 6) AS edge_sum,
+       round(list_sum(list_transform(range(1, 5), i -> head[i] * tail[i])), 6)
+           AS head_tail_dot,
+       CAST(len(range(1, 65, 8)) AS INTEGER) AS n_strides
+FROM parts
 """,
     "rel_scalar_map": """
 WITH kv AS (
