@@ -211,37 +211,55 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          max_iter: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation — turns
-    near-dup PAIRS into dedup CLUSTERS (keep min doc per cluster, drop the
-    rest), the last step of a production dedup pipeline.
+    """Connected components by iterative min-label propagation with
+    pointer jumping — turns near-dup PAIRS into dedup CLUSTERS (keep min
+    doc per cluster, drop the rest), the last step of a production dedup
+    pipeline.
 
     ``edges``: (a, b) undirected; ``nodes``: (id).  Returns
     (id, component) with component = min node id reachable.
 
     Iterative DataFrame algorithm (the one family Catalyst can't express
-    in a single plan): each round joins labels across edges and takes the
-    min; ``localCheckpoint`` truncates the growing lineage so round N
-    doesn't replay rounds 1..N-1.  Converges in O(diameter) rounds —
-    real near-dup graphs are dense clique-ish clusters with tiny
-    diameters, so a handful of rounds; large-diameter graphs would call
-    for the alternating large/small-star algorithm (same join shape).
+    in a single plan); scale design:
+    - **Isolated nodes never enter the loop.**  At corpus scale the vast
+      majority of documents have no near-dup edge; only nodes appearing in
+      ``edges`` are labeled iteratively, everything else joins the result
+      as its own singleton component in one final union.
+    - **Each round = one hop + one pointer jump.**  The hop takes the min
+      label over neighbors; the jump re-labels through the current label
+      (``component ← component[component]``), giving O(log diameter)
+      convergence (pointer-jumping/path-halving, as in large/small-star
+      CC) instead of O(diameter) hops — chains collapse exponentially.
+    - ``localCheckpoint`` truncates lineage each round so round N doesn't
+      replay rounds 1..N-1; the convergence count rides on the (tiny)
+      checkpointed label tables.
     """
     from pyspark import StorageLevel
 
     both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")) \
         .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y"))) \
         .persist(StorageLevel.MEMORY_AND_DISK)  # re-joined every round
-    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    touched = both.select(F.col("x").alias("id")).distinct()
+    labels = touched.select("id", F.col("id").alias("component")) \
+        .localCheckpoint(eager=True)
     for _ in range(max_iter):
+        # Hop: min label across one edge (self included via the left join).
         neighbor_min = (both
                         .join(labels, both.y == labels.id)
                         .groupBy("x").agg(F.min("component").alias("nc")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.id == neighbor_min.x, "left")
-                      .select(labels.id,
-                              F.least("component",
-                                      F.coalesce("nc", "component"))
-                              .alias("component")))
+        hopped = (labels.join(neighbor_min,
+                              labels.id == neighbor_min.x, "left")
+                  .select(labels.id,
+                          F.least("component",
+                                  F.coalesce("nc", "component"))
+                          .alias("component")))
+        # Jump: component ← label of the component node (always present:
+        # a min-reachable label is itself a touched node).
+        parent = hopped.select(F.col("id").alias("__pid"),
+                               F.col("component").alias("__pcomp"))
+        new_labels = (hopped.join(parent,
+                                  hopped.component == F.col("__pid"))
+                      .select("id", F.col("__pcomp").alias("component")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
@@ -250,7 +268,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    singletons = (nodes.join(labels, nodes.id == labels.id, "left_anti")
+                  .select(nodes.id, nodes.id.alias("component")))
+    return labels.unionByName(singletons)
 
 
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.9,

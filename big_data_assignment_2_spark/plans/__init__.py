@@ -18,24 +18,41 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict = {}
     for mod in _family_modules():
         out.update(mod.QUERIES)
-    return out
+    return _prioritized(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict = {}
     for mod in _family_modules():
         out.update(mod.ORACLES)
-    return out
+    return _prioritized(out)
 
 
 def _family_modules():
-    from . import search_queries
-    mods = [search_queries]
-    for name in ("relational_queries", "window_queries", "sql_queries",
-                 "dedup_queries", "similarity_queries", "text_queries",
-                 "streaming_queries", "multimodal_queries"):
+    # Registry order: the external correctness driver walks entries in dict
+    # order under a budget, so the LLM-pipeline families (dedup / similarity
+    # / text / streaming / multimodal) — the ones with no driver rows in
+    # round 1 — come first; the already-proven search/relational/window
+    # families close the list.
+    mods = []
+    for name in ("dedup_queries", "similarity_queries", "text_queries",
+                 "streaming_queries", "multimodal_queries", "sql_queries",
+                 "search_queries", "relational_queries", "window_queries"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
             pass
     return mods
+
+
+# Queries whose round-1 driver rows were red for representation reasons and
+# were fixed this round — promoted ahead of the proven-green tail so the
+# fixes are re-verified even under a tight driver budget.
+_PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
+             "rel_approx_distinct")
+
+
+def _prioritized(entries: dict) -> dict:
+    head = {k: entries[k] for k in _PROMOTED if k in entries}
+    head.update(entries)
+    return head

@@ -483,14 +483,20 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation — THE cardinality operator at
     100 TB (exact countDistinct shuffles every distinct value; HLL carries
-    a fixed 1.5 KB sketch per group).  No SQL oracle: DuckDB's approx HLL
-    produces different estimates by construction, so the driver records
-    the weaker rows-only check; the exactness bound is covered by
-    tests/test_relational_ops.py instead."""
+    a fixed 1.5 KB sketch per group).
+
+    Oracle-checkable form: DuckDB's approx HLL produces different estimates
+    by construction, so the query emits the exact count plus a boolean
+    asserting the Spark HLL estimate is within 5% of it; the oracle emits
+    the exact count and literal TRUE.  The tighter rsd bound is covered by
+    tests/test_relational_ops.py."""
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
-            .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-                 F.countDistinct("o_custkey").alias("exact_customers")))
+            .agg(F.approx_count_distinct("o_custkey", 0.02).alias("__approx"),
+                 F.countDistinct("o_custkey").alias("exact_customers"))
+            .select("o_orderstatus", "exact_customers",
+                    (F.abs(F.col("__approx") - F.col("exact_customers"))
+                     / F.col("exact_customers") <= 0.05).alias("within_tol")))
 
 
 QUERIES = {
@@ -526,6 +532,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    # HLL estimate itself is engine-specific; the boolean certifies the
+    # Spark estimate against the exact count computed on both engines.
+    "rel_approx_distinct": """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_tol
+FROM orders GROUP BY o_orderstatus
+""",
     "rel_pivot": """
 SELECT o_orderstatus,
        NULLIF(count(*) FILTER (o_orderpriority = '1-URGENT'), 0) AS "1-URGENT",
@@ -660,7 +673,7 @@ FROM orders GROUP BY 1
 SELECT event_type, count(*) AS n,
        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
     "rel_scalar_regexp": """
@@ -683,7 +696,7 @@ FROM parts
 WITH kv AS (
   SELECT unnest(json_keys(props)) AS key, props FROM events)
 SELECT key, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS sum_val,
+       CAST(sum(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_val,
        max(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS max_val
 FROM kv GROUP BY key
 """,

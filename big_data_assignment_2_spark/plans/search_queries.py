@@ -46,9 +46,18 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: inverted index postings (term, doc_id, tf, positions)."""
+    """A1: inverted index postings (term, doc_id, tf, positions).
+
+    Positions are rendered ``array_join(positions, ',')`` — the reference's
+    own storage format (`app/mapreduce/reducer1.py:7`) — because the
+    external driver's pandas canonicalizer cannot hash array columns.  The
+    array-typed operator itself is covered by tests/test_index_invariants.
+    """
     toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
-    return build_postings(toks).select("term", "doc_id", "tf", "positions")
+    from pyspark.sql import functions as F
+    return build_postings(toks).select(
+        "term", "doc_id", "tf",
+        F.array_join("positions", ",").alias("positions"))
 
 
 def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +174,7 @@ ORACLES = {
     "search_postings": f"""
 WITH {_TOKENS_CTE}
 SELECT term, doc_id, CAST(count(*) AS INTEGER) AS tf,
-       list(position ORDER BY position) AS positions
+       array_to_string(list(position ORDER BY position), ',') AS positions
 FROM tokens GROUP BY term, doc_id
 """,
     "search_doc_freq": f"""

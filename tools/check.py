@@ -49,9 +49,11 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    n_run = n_compared = n_ok = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -65,6 +67,7 @@ def main() -> int:
             print(f"weak  {name}: rows={len(srows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
+        n_compared += 1
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -88,9 +91,11 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
         else:
+            n_ok += 1
             print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\nok={n_ok} oracle-compared={n_compared} run={n_run} "
+          f"registered={len(qs)} failures={len(failures)}")
     return 1 if failures else 0
 
 
