@@ -84,14 +84,21 @@ def lsh_band_keys(signatures: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(bands).alias("band_id", "band_key"))
 
 
-def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(band_keys: DataFrame,
+                        hot_threshold: int = 4096) -> DataFrame:
     """Docs sharing any (band_id, band_key) bucket, as distinct canonical
-    pairs ordered by numeric doc_id."""
-    a, b = band_keys.alias("a"), band_keys.alias("b")
-    return (a.join(b, ["band_id", "band_key"])
-            .filter(F.col("a.doc_id").cast("bigint") < F.col("b.doc_id").cast("bigint"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    pairs ordered by numeric doc_id.  The self-join is skew-safe: a hot
+    band bucket (all-identical boilerplate docs) is salted instead of
+    serializing one task (operators/skew.py)."""
+    from .skew import skew_safe_self_pairs
+
+    pairs = skew_safe_self_pairs(band_keys, ["band_id", "band_key"],
+                                 ["doc_id"], hot_threshold=hot_threshold)
+    return (pairs
+            .filter(F.col("doc_id_a").cast("bigint")
+                    < F.col("doc_id_b").cast("bigint"))
+            .select(F.col("doc_id_a").alias("doc_a"),
+                    F.col("doc_id_b").alias("doc_b"))
             .distinct())
 
 
@@ -192,10 +199,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                      F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (sh.alias("x").join(sh.alias("y"), "shingle")
-             .filter(F.col("x.doc_id").cast("bigint") < F.col("y.doc_id").cast("bigint"))
-             .groupBy(F.col("x.doc_id").alias("doc_a"),
-                      F.col("y.doc_id").alias("doc_b"))
+    # Skew-safe inverted-index join: a stop-shingle (very common n-gram)
+    # would otherwise degenerate one bucket quadratically.
+    from .skew import skew_safe_self_pairs
+    inter = (skew_safe_self_pairs(sh, ["shingle"], ["doc_id"])
+             .filter(F.col("doc_id_a").cast("bigint")
+                     < F.col("doc_id_b").cast("bigint"))
+             .groupBy(F.col("doc_id_a").alias("doc_a"),
+                      F.col("doc_id_b").alias("doc_b"))
              .agg(F.count("*").alias("n_inter")))
     return (inter
             .join(sizes.select(F.col("doc_id").alias("doc_a"),
@@ -325,12 +336,14 @@ def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 5,
     """Doc pairs sharing ≥ min_shared winnowing fingerprints — candidate
     substring-duplicate pairs via an inverted-index join on fingerprint
     (no all-pairs stage)."""
+    from .skew import skew_safe_self_pairs
+
     fp = winnow_fingerprints(docs, n, window, text_col, id_col)
-    pairs = (fp.alias("a").join(fp.alias("b"), "fingerprint")
-             .filter(F.col("a.doc_id").cast("bigint")
-                     < F.col("b.doc_id").cast("bigint"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    pairs = (skew_safe_self_pairs(fp, ["fingerprint"], ["doc_id"])
+             .filter(F.col("doc_id_a").cast("bigint")
+                     < F.col("doc_id_b").cast("bigint"))
+             .groupBy(F.col("doc_id_a").alias("doc_a"),
+                      F.col("doc_id_b").alias("doc_b"))
              .agg(F.count("*").alias("n_shared")))
     return pairs.filter(F.col("n_shared") >= min_shared)
 
@@ -369,17 +382,21 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     then exact Hamming ≤ max_hamming via bit_count(xor)."""
     from pyspark import StorageLevel
 
+    from .skew import skew_safe_self_pairs
+
     sig = simhash(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select("doc_id", "simhash", F.posexplode(F.array(*[
         F.shiftright("simhash", b * 15).bitwiseAND(F.lit(0x7FFF))
         for b in range(4)])).alias("band_id", "band_val"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, ["band_id", "band_val"])
-            .filter(F.col("a.doc_id").cast("bigint") < F.col("b.doc_id").cast("bigint"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("sig_a"),
-                    F.col("b.simhash").alias("sig_b"))
+    # Skew-safe band self-join (hot 15-bit band values get salted).
+    cand = (skew_safe_self_pairs(bands, ["band_id", "band_val"],
+                                 ["doc_id", "simhash"])
+            .filter(F.col("doc_id_a").cast("bigint")
+                    < F.col("doc_id_b").cast("bigint"))
+            .select(F.col("doc_id_a").alias("doc_a"),
+                    F.col("doc_id_b").alias("doc_b"),
+                    F.col("simhash_a").alias("sig_a"),
+                    F.col("simhash_b").alias("sig_b"))
             .distinct())
     return (cand.withColumn("hamming",
                             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))

@@ -50,16 +50,25 @@ def term_bucket(col, n_buckets: int):
 
 
 def partition_postings_by_term_bucket(postings: DataFrame, path: str,
-                                      n_buckets: int = 16) -> None:
+                                      n_buckets: int = 16,
+                                      rowgroup_bytes: int | None = None) -> None:
     """Directory pruning via the bucket column; within each file the rows
     are sorted by term so parquet rowgroup min/max statistics let the
     reader skip rowgroups for a term predicate — two pruning levels, the
     same layering Cassandra gives the reference (partition key + clustering
-    key, `app/app.py:48`)."""
-    (postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-     .repartition(F.col("term_bucket"))
-     .sortWithinPartitions("term")
-     .write.mode("overwrite").partitionBy("term_bucket").parquet(path))
+    key, `app/app.py:48`).
+
+    ``rowgroup_bytes`` sizes parquet rowgroups (``parquet.block.size``):
+    at 100 TB you tune this so a selective term probe skips most groups
+    while scans still stream ≥tens of MB per group; tests use a tiny value
+    to exercise skipping on small data."""
+    w = (postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+         .repartition(F.col("term_bucket"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite"))
+    if rowgroup_bytes is not None:
+        w = w.option("parquet.block.size", str(rowgroup_bytes))
+    w.partitionBy("term_bucket").parquet(path)
 
 
 def probe_postings(spark: SparkSession, path: str, terms: list[str],

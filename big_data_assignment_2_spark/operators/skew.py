@@ -36,6 +36,49 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str, salt: int = 16,
     return out.drop("__salt")
 
 
+def skew_safe_self_pairs(df: DataFrame, keys: list[str], payload: list[str],
+                         hot_threshold: int = 4096, salt: int = 16) -> DataFrame:
+    """Self equi-join on ``keys`` producing all ordered row pairs per key
+    bucket, with HOT buckets salted — the candidate-pair join shape of
+    every LSH/shingle/fingerprint dedup stage, made safe against a single
+    hot key (stop-shingle, degenerate band) serializing a stage at scale.
+
+    Result-identical to ``df ⋈ df on keys``: keys with ≤ hot_threshold
+    rows join directly; for hotter keys the left side is hashed into
+    ``salt`` sub-keys and the right side replicated ``salt`` ways, so one
+    S-row bucket becomes ``salt`` tasks of ~S/salt × S instead of one S×S
+    task.  (AQE skew splitting only rescues sort-merge joins; this also
+    covers the broadcast/shuffled-hash shapes these joins usually take.)
+
+    Returns columns ``<c>_a``/``<c>_b`` for each payload column.
+    """
+    from pyspark import StorageLevel
+
+    # The input feeds three consumers (frequency pass, cold branch, hot
+    # branch); persist it so upstream lineage (tokenize/minhash/explode)
+    # is computed once, spilling to disk at scale.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
+    hot_keys = freq.filter(F.col("__kn") > hot_threshold) \
+        .select(*keys).withColumn("__hot", F.lit(True))
+    tagged = df.join(F.broadcast(hot_keys), keys, "left")
+    cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+
+    def _side(d: DataFrame, suffix: str) -> DataFrame:
+        return d.select(*keys, *[F.col(c).alias(f"{c}_{suffix}") for c in payload])
+
+    cold_pairs = _side(cold, "a").join(_side(cold, "b"), keys)
+    hot_a = _side(hot, "a").withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(f"{c}_a") for c in payload]),
+                         F.lit(salt)).cast("int"))
+    hot_b = _side(hot, "b").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    hot_pairs = hot_a.join(hot_b, keys + ["__salt"]).drop("__salt")
+    out_cols = [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
+    return cold_pairs.select(*out_cols).unionByName(hot_pairs.select(*out_cols))
+
+
 def two_phase_agg(df: DataFrame, key: str, aggs: dict[str, tuple[str, str]],
                   salt: int = 16) -> DataFrame:
     """Skew-safe exact aggregation for algebraic functions.

@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (NUM_PLANES, PLANE_MOD, brute_force_topk,
-                                    cosine_top_pairs, lsh_topk)
+                                    cosine_near_dups, cosine_top_pairs,
+                                    lsh_topk, probe_masks)
 from ..sources.io import load_table
 
 TOP_K = 10
@@ -43,9 +44,12 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket").agg(F.count("*").alias("n_vectors")))
 
 
+PROBE_HAMMING = 2  # candidate pairs = buckets within 2 bit flips
+
+
 def q_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    return cosine_top_pairs(em, top_n=TOP_PAIRS)
+    return cosine_top_pairs(em, top_n=TOP_PAIRS, probe_hamming=PROBE_HAMMING)
 
 
 COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
@@ -54,17 +58,13 @@ COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
 
 
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thresholded embedding near-dup pairs (the dedup-by-vector surface);
-    at scale the pair source is lsh_topk per vector, not all-pairs."""
-    from ..operators.similarity import as_double, cosine
-
+    """Thresholded embedding near-dup pairs (the dedup-by-vector surface):
+    pair generation is the LSH bucket equi-join (plus ≤2-bit probes), never
+    all-pairs — the oracle replicates the same deterministic candidate
+    set, so recall is part of the checked semantics."""
     em = load_table(spark, sf_dir, "embeddings")
-    v = em.select(F.col("vec_id").alias("id"), as_double("embedding").alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD))
+    return cosine_near_dups(em, COSINE_DUP_THRESHOLD,
+                            probe_hamming=PROBE_HAMMING)
 
 
 QUERIES = {
@@ -91,13 +91,25 @@ _BUCKET_EXPR = " + ".join(
         THEN {1 << p} ELSE 0 END)"""
     for p in range(NUM_PLANES))
 
-ORACLES = {
-    "sim_cosine_near_dups": f"""
-WITH {_VECS}
-SELECT vec_a, vec_b, cos_sim FROM (
+# LSH-candidate pair CTE: replicates lsh_candidate_pairs exactly — probe
+# masks are generated from the same probe_masks() list, so the candidate
+# set (hence recall) is bit-identical across engines.
+_CAND_CTES = f"""
+bv AS (SELECT vec_id, v, {_BUCKET_EXPR} AS bucket FROM vecs),
+pr AS (SELECT vec_id, v,
+              unnest(list_transform({probe_masks(PROBE_HAMMING)},
+                                    m -> xor(bucket, CAST(m AS BIGINT)))) AS bucket
+       FROM bv),
+cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round({_COS}, 6) AS cos_sim
-  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+  FROM pr a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+"""
+
+ORACLES = {
+    "sim_cosine_near_dups": f"""
+WITH {_VECS}, {_CAND_CTES}
+SELECT vec_a, vec_b, cos_sim FROM cand
 WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """,
     "sim_ann_bruteforce": f"""
@@ -141,11 +153,8 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
     "sim_cosine_top_pairs": f"""
-WITH {_VECS}
-SELECT vec_a, vec_b, cos_sim FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({_COS}, 6) AS cos_sim
-  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+WITH {_VECS}, {_CAND_CTES}
+SELECT vec_a, vec_b, cos_sim FROM cand
 ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
 LIMIT {TOP_PAIRS}
 """,

@@ -19,8 +19,9 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = contract.queries(), contract.oracle_sql()
     assert set(os_) <= set(qs)
     missing_oracle = set(qs) - set(os_)
-    # only the documented rows-only exceptions may lack an oracle
-    assert missing_oracle == {"rel_approx_distinct"}
+    # every declared query now has an oracle twin (rel_approx_distinct got
+    # its exact-count + tolerance-boolean form this round)
+    assert missing_oracle == set()
 
 
 def test_entry_smoke(spark):

@@ -47,6 +47,63 @@ def test_term_bucket_partition_pruning(spark, index_path):
     assert probe.count() == full
 
 
+@pytest.mark.parametrize("n_buckets", [2, 4])
+def test_probe_prunes_directories_and_rowgroups(spark, sf_dir,
+                                                tmp_path_factory, n_buckets):
+    """100×-pruning proof at two bucket counts: the probe plan must carry a
+    term_bucket PartitionFilter (directory pruning) AND a pushed term
+    filter, and the sorted-by-term layout must produce rowgroup min/max
+    stats that actually skip non-matching rowgroups (counted from the
+    parquet footers of the matching bucket directories)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_assignment_2_spark.operators.persist import (
+        partition_postings_by_term_bucket)
+
+    path = str(tmp_path_factory.mktemp(f"ixrg{n_buckets}"))
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    partition_postings_by_term_bucket(ix["term_document"], path,
+                                      n_buckets, rowgroup_bytes=4096)
+    terms = ["vector", "query"]
+    probe = probe_postings(spark, path, terms, n_buckets=n_buckets)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+
+    # 1. directory pruning: partition filter on term_bucket in the scan
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    # 2. rowgroup pruning precondition: term IN-filter pushed to parquet
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed and "In" in pushed
+
+    # 3. rowgroup stats skip count: within the matching bucket dirs, some
+    # rowgroups must be skippable for the probe terms (sorted layout ⇒
+    # disjoint min/max ranges), and at least one must match.
+    want_buckets = {_py_bucket(t, n_buckets) for t in terms}
+    total = matching = 0
+    for dirname in glob.glob(f"{path}/term_bucket=*"):
+        if int(dirname.rsplit("=", 1)[1]) not in want_buckets:
+            continue
+        for fname in glob.glob(f"{dirname}/*.parquet"):
+            md = pq.ParquetFile(fname).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ti = names.index("term")
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(ti).statistics
+                total += 1
+                if any(st.min <= t <= st.max for t in terms):
+                    matching += 1
+    assert total >= 3, f"layout produced only {total} rowgroups"
+    assert 1 <= matching < total, \
+        f"no skippable rowgroups (matching={matching}, total={total})"
+
+    # 4. pruning loses no rows vs a full scan
+    full = spark.read.parquet(path) \
+        .filter(F.col("term").isin(terms)).count()
+    assert probe.count() == full
+
+
 def test_py_bucket_matches_spark(spark, index_path):
     df = spark.read.parquet(f"{index_path}/term_document") \
         .select("term", "term_bucket").distinct()

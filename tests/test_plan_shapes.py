@@ -74,8 +74,8 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
     INTENTIONAL = {
         # broadcast 1-row stats relation / tiny query-set scoring
         "search_bm25_topk", "search_bm25_batch",
-        # all-pairs by definition at test scale (scale path = LSH/IVF)
-        "sim_cosine_top_pairs", "sim_cosine_near_dups",
+        # exact baseline scores every vector against the broadcast query
+        # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
     }
     offenders = {}

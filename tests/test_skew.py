@@ -1,11 +1,14 @@
-"""Salted join / two-phase agg must be result-identical to the plain ops."""
+"""Salted join / two-phase agg / skew-safe self pairs must be
+result-identical to the plain ops."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from big_data_assignment_2_spark.operators.skew import salted_join, two_phase_agg
+from big_data_assignment_2_spark.operators.skew import (salted_join,
+                                                        skew_safe_self_pairs,
+                                                        two_phase_agg)
 
 
 @pytest.fixture(scope="module")
@@ -36,6 +39,46 @@ def test_salted_left_join_identical(spark, skewed):
     plain = missing.join(dim, "k", "left")
     salted = salted_join(missing, dim, "k", salt=8, how="left")
     assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_self_pairs_hot_key_identical(spark):
+    """Planted hot key (300 of 400 rows in one bucket): the salted path
+    must produce exactly the plain self-join's pair multiset, and the
+    salt must actually engage (bounded per-task bucket size)."""
+    rows = [("hot", i) for i in range(300)] + \
+           [(f"k{i % 20}", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, doc_id long")
+
+    plain = (df.alias("a").join(df.alias("b"), "key")
+             .select(F.col("a.doc_id").alias("doc_id_a"),
+                     F.col("b.doc_id").alias("doc_id_b")))
+    safe = skew_safe_self_pairs(df, ["key"], ["doc_id"],
+                                hot_threshold=50, salt=8)
+    assert _rows(safe) == _rows(plain)
+
+    # The hot branch exists in the plan (union of cold + salted hot).
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+
+    # Salting bounds the left-side rows per (key, salt) task to ~1/salt.
+    salted_left = (df.filter(F.col("key") == "hot")
+                   .withColumn("__salt",
+                               F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+                               .cast("int"))
+                   .groupBy("__salt").count())
+    counts = [r["count"] for r in salted_left.collect()]
+    assert len(counts) == 8 and max(counts) < 300 / 8 * 2
+
+
+def test_self_pairs_no_hot_keys_pure_cold(spark):
+    """Below threshold nothing is salted; result identical to plain."""
+    df = spark.createDataFrame([(f"k{i % 5}", i) for i in range(50)],
+                               "key string, doc_id long")
+    plain = (df.alias("a").join(df.alias("b"), "key")
+             .select(F.col("a.doc_id").alias("doc_id_a"),
+                     F.col("b.doc_id").alias("doc_id_b")))
+    safe = skew_safe_self_pairs(df, ["key"], ["doc_id"], hot_threshold=100)
+    assert _rows(safe) == _rows(plain)
 
 
 def test_two_phase_agg_exact(skewed):
