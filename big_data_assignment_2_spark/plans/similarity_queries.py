@@ -92,17 +92,24 @@ _BUCKET_EXPR = " + ".join(
     for p in range(NUM_PLANES))
 
 # LSH-candidate pair CTE: replicates lsh_candidate_pairs exactly — probe
-# masks are generated from the same probe_masks() list, so the candidate
-# set (hence recall) is bit-identical across engines.
+# masks come from the same probe_masks() list (candidate set bit-identical)
+# and the cosine is computed the same way (normalize each element by the
+# row's L2 norm, then a single in-order dot product) so the 6-dp rounding
+# agrees across engines.
 _CAND_CTES = f"""
-bv AS (SELECT vec_id, v, {_BUCKET_EXPR} AS bucket FROM vecs),
-pr AS (SELECT vec_id, v,
+bv AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_sum(
+                  list_transform(v, y -> y * y)))) AS vn,
+              {_BUCKET_EXPR} AS bucket
+       FROM vecs),
+pr AS (SELECT vec_id, vn,
               unnest(list_transform({probe_masks(PROBE_HAMMING)},
                                     m -> xor(bucket, CAST(m AS BIGINT)))) AS bucket
        FROM bv),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({_COS}, 6) AS cos_sim
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> a.vn[i] * b.vn[i])), 6) AS cos_sim
   FROM pr a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 """
 

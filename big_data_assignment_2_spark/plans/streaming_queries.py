@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.io import load_table
-from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from ..streaming.windows import (dedup_keys, interval_join, session_agg,
+                                 sliding_agg, tumbling_agg)
 
 
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,13 +29,36 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keys(load_table(spark, sf_dir, "events"))
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_join(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "stream_dedup_keys": q_dedup,
+    "stream_interval_join_1h": q_interval_join,
     "stream_tumbling_1d": q_tumbling,
     "stream_sliding_2d_1d": q_sliding,
     "stream_session_30m": q_session,
 }
 
 ORACLES = {
+    "stream_dedup_keys": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id, event_type
+FROM events GROUP BY 1, 2, 3
+""",
+    "stream_interval_join_1h": """
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS left_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS right_ts
+FROM events l JOIN events r ON r.user_id = l.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+""",
     "stream_tumbling_1d": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n,

@@ -81,7 +81,46 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_copies", "n_tokens", "stopword_ratio"))
 
 
+# --- Unicode tokenizer parity --------------------------------------------
+# The harness corpus is pure ASCII, so the `(?U)` tokenizer (Python-`\w`
+# parity, SURVEY.md §7.5) only had pytest coverage.  This query tokenizes a
+# fixed multilingual mini-corpus with the ENGINE tokenizer; the oracle is
+# the literal expected output computed at module level with the reference's
+# own Python semantics (`app/mapreduce/mapper1.py:5-10`:
+# lower → re.sub(r'[^\w\s]', ' ') → split).  Characters avoid
+# locale-sensitive case mappings (no Turkish İ, no final sigma).
+_UNICODE_DOCS = [
+    ("u1", "Héllo, wörld! Füße — straße."),
+    ("u2", "Ελληνικά: ναι ή όχι;"),
+    ("u3", "русский Текст здесь"),
+    ("u4", "点心 好吃 12３4"),
+    ("u5", "naïve café résumé's test"),
+    ("u6", "  mixed\tWHITESPACE\nand ASCII words  "),
+]
+
+
+def _ref_tokenize(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t]
+
+
+def q_tokenize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = spark.createDataFrame(_UNICODE_DOCS, "doc_id string, text string")
+    return docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("position", "term"))
+
+
+_UNI_EXPECTED = ", ".join(
+    f"('{doc_id}', {i}, '{tok}')"
+    for doc_id, text in _UNICODE_DOCS
+    for i, tok in enumerate(_ref_tokenize(text)))
+
+
 QUERIES = {
+    "text_tokenize_unicode": q_tokenize_unicode,
     "pipeline_clean_corpus": q_clean_corpus,
     "text_langid_eval": q_langid_eval,
     "text_normalize": q_normalize,
@@ -106,6 +145,12 @@ _PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
                    for l in _LANGS_SORTED))
 
 ORACLES = {
+    # Golden oracle: rows precomputed with the reference's Python tokenizer
+    # (DuckDB's RE2 `\w` is ASCII-only and cannot express `(?U)` itself).
+    "text_tokenize_unicode": f"""
+SELECT doc_id, position, term
+FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
+""",
     "pipeline_clean_corpus": f"""
 WITH {_TOKENS_CTE},
 quality AS (

@@ -69,10 +69,55 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                     "user_id", "n_events", "session_value"))
 
 
-def stream_to_memory(stream_df: DataFrame, name: str) -> None:
+def dedup_keys(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """Streaming deduplication: one row per (user, event_type, window) key.
+
+    Under readStream this is ``dropDuplicates`` on a watermarked window
+    column, so state evicts once the watermark passes the window — bounded
+    by (horizon × key cardinality), the standard streaming-dedup shape.
+    Projected to the key columns so batch and streaming (and the oracle's
+    DISTINCT) agree deterministically regardless of which duplicate row
+    the operator keeps.
+    """
+    return (events
+            .select("user_id", "event_type", F.window("ts", width).alias("w"))
+            .dropDuplicates(["user_id", "event_type", "w"])
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "user_id", "event_type"))
+
+
+def interval_join(events: DataFrame, left_type: str = "click",
+                  right_type: str = "purchase",
+                  horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream event-time interval join: pair each ``left_type``
+    event with the same user's ``right_type`` events in the following
+    ``horizon`` (click→purchase attribution).
+
+    In streaming both sides carry the source watermark and the join
+    condition bounds event-time distance, so Spark can evict join state
+    older than (watermark + horizon); in batch the same plan is an
+    equi-join on user_id with a range predicate (no cartesian).
+    """
+    l = (events.filter(F.col("event_type") == left_type)
+         .select("user_id", F.col("ts").alias("l_ts")))
+    r = (events.filter(F.col("event_type") == right_type)
+         .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")))
+    j = l.join(r, (F.col("user_id") == F.col("r_user"))
+               & (F.col("r_ts") >= F.col("l_ts"))
+               & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")))
+    return j.select(
+        "user_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("left_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("right_ts"))
+
+
+def stream_to_memory(stream_df: DataFrame, name: str,
+                     output_mode: str = "complete") -> None:
     """Run a streaming query to completion over the available data
     (availableNow trigger) into an in-memory sink; returns after the
-    stream finishes.  Complete mode because the aggs above are stateful."""
+    stream finishes.  Complete mode for the stateful aggs above; dedup and
+    stream-stream joins emit with ``append``."""
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()

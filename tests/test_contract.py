@@ -12,7 +12,8 @@ import __spark_entry__ as contract
 # Queries whose semantics legitimately may return 0 rows at tiny scale.
 MAY_BE_EMPTY = {"rel_join_anti", "dedup_simhash_near", "dedup_winnow_overlap",
                 "sim_cosine_near_dups", "dedup_minhash_near",
-                "dedup_ngram_jaccard", "search_phrase_match"}
+                "dedup_ngram_jaccard", "search_phrase_match",
+                "stream_interval_join_1h"}
 
 
 def test_oracle_keys_subset_of_queries():

@@ -7,7 +7,8 @@ import pytest
 
 from big_data_assignment_2_spark.sources.io import load_table
 from big_data_assignment_2_spark.streaming.windows import (
-    events_stream, session_agg, sliding_agg, stream_to_memory, tumbling_agg)
+    dedup_keys, events_stream, interval_join, session_agg, sliding_agg,
+    stream_to_memory, tumbling_agg)
 
 
 def _rows(df):
@@ -21,6 +22,21 @@ def test_stream_batch_parity(spark, sf_dir, agg):
     assert stream.isStreaming
     name = f"t_{agg.__name__}"
     stream_to_memory(stream, name)
+    got = _rows(spark.table(name))
+    want = _rows(batch)
+    assert got == want
+
+
+@pytest.mark.parametrize("op", [dedup_keys, interval_join])
+def test_append_mode_stream_batch_parity(spark, sf_dir, op):
+    """Streaming dedup and stream-stream interval join (append-mode
+    operators with watermark-bounded state) must agree with their batch
+    evaluation.  availableNow emits all rows once the source drains."""
+    batch = op(load_table(spark, sf_dir, "events"))
+    stream = op(events_stream(spark, sf_dir, with_watermark="1 hour"))
+    assert stream.isStreaming
+    name = f"t_append_{op.__name__}"
+    stream_to_memory(stream, name, output_mode="append")
     got = _rows(spark.table(name))
     want = _rows(batch)
     assert got == want
