@@ -46,11 +46,11 @@ def _family_modules():
     return mods
 
 
-# Queries whose round-1 driver rows were red for representation reasons and
-# were fixed this round — promoted ahead of the proven-green tail so the
-# fixes are re-verified even under a tight driver budget.
+# Promoted ahead of the proven-green tail so they are verified even under a
+# tight driver budget: round-1 rows fixed this round (first four) and
+# queries NEW this round that live in late-registry families.
 _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
-             "rel_approx_distinct")
+             "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles")
 
 
 def _prioritized(entries: dict) -> dict:

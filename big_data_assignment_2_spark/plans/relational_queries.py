@@ -234,6 +234,51 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name"))
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived per-customer relations (urgent vs
+    finished order counts) — each side has keys the other lacks, so left-
+    only, right-only and matched rows all appear; the USING key coalesces."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .groupBy(F.col("o_custkey").alias("custkey"))
+         .agg(F.count("*").alias("n_urgent")))
+    f = (o.filter(F.col("o_orderstatus") == "F")
+         .groupBy(F.col("o_custkey").alias("custkey"))
+         .agg(F.count("*").alias("n_finished")))
+    j = u.join(f, "custkey", "full")
+    return j.select(
+        "custkey",
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+        F.when(F.col("n_urgent").isNull(), "right_only")
+        .when(F.col("n_finished").isNull(), "left_only")
+        .otherwise("both").alias("presence"))
+
+
+QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna percentile_approx) against
+    exact interpolated percentiles — the 100 TB quantile path carries a
+    bounded sketch per group instead of sorting every value.  Like
+    rel_approx_distinct, the oracle checks the exact value plus a
+    tolerance boolean on the sketch estimate."""
+    o = load_table(spark, sf_dir, "orders")
+    qarr = F.array(*[F.lit(q) for q in QUANTILES])
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qarr, 10000).alias("ap"),
+        F.percentile("o_totalprice", qarr).alias("ex"))
+    return (agg.select("o_orderstatus",
+                       F.posexplode(F.arrays_zip("ap", "ex"))
+                       .alias("i", "z"))
+            .select("o_orderstatus",
+                    F.element_at(qarr, F.col("i") + 1).alias("q"),
+                    F.round(F.col("z.ex"), 4).alias("exact_price"),
+                    (F.abs(F.col("z.ap") - F.col("z.ex"))
+                     / F.col("z.ex") <= 0.02).alias("within_tol")))
+
+
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range (interval) join: lineitems shipped within 90 days of
     their order's date, bucketed by order month.  The equi key keeps the
@@ -512,6 +557,8 @@ QUERIES = {
     "rel_region_revenue": q_region_revenue,
     "rel_nation_volume": q_nation_volume,
     "rel_returned_top_customers": q_returned_top_customers,
+    "rel_join_full": q_join_full,
+    "rel_approx_quantiles": q_approx_quantiles,
     "rel_join_left": q_join_left,
     "rel_join_semi": q_join_semi,
     "rel_join_anti": q_join_anti,
@@ -615,6 +662,30 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_mktsegment
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "rel_join_full": """
+WITH u AS (SELECT o_custkey AS custkey, count(*) AS n_urgent
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+f AS (SELECT o_custkey AS custkey, count(*) AS n_finished
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT coalesce(u.custkey, f.custkey) AS custkey,
+       coalesce(n_urgent, 0) AS n_urgent,
+       coalesce(n_finished, 0) AS n_finished,
+       CASE WHEN n_urgent IS NULL THEN 'right_only'
+            WHEN n_finished IS NULL THEN 'left_only'
+            ELSE 'both' END AS presence
+FROM u FULL JOIN f ON u.custkey = f.custkey
+""",
+    "rel_approx_quantiles": f"""
+WITH per AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, {QUANTILES}) AS ex
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus,
+       unnest(CAST({QUANTILES} AS DOUBLE[])) AS q,
+       round(unnest(ex), 4) AS exact_price,
+       TRUE AS within_tol
+FROM per
 """,
     "rel_join_left": """
 SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

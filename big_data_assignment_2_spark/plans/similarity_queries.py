@@ -67,7 +67,32 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                             probe_hamming=PROBE_HAMMING)
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    storage/serving compression step of a production vector index (4x
+    smaller, dot products in int arithmetic).  Per-vector scale =
+    max|x|/127; emits the scale, the quantized head (rendered as a string
+    for the driver's canonicalizer), and the max absolute reconstruction
+    error — all native array expressions, map-side only."""
+    from ..operators.similarity import as_double
+
+    em = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(v, q, lambda x, qq: F.abs(x - qq.cast("double") * scale)))
+    return em.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.array_join(F.transform(F.slice(q, 1, 8),
+                                 lambda x: x.cast("string")), ",").alias("q_head"),
+        F.round(recon_err, 6).alias("max_recon_err"))
+
+
 QUERIES = {
+    "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
     "sim_ann_bruteforce": q_ann_bruteforce,
     "sim_ann_lsh": q_ann_lsh,
@@ -114,6 +139,22 @@ cand AS (
 """
 
 ORACLES = {
+    "sim_quantize_int8": f"""
+WITH {_VECS},
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM vecs),
+q AS (SELECT vec_id, scale, v,
+             list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+      FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(list_transform(qv[1:8], x -> CAST(x AS VARCHAR)), ',')
+           AS q_head,
+       round(list_max(list_transform(range(1, 65),
+                                     i -> abs(v[i] - qv[i] * scale))), 6)
+           AS max_recon_err
+FROM q
+""",
     "sim_cosine_near_dups": f"""
 WITH {_VECS}, {_CAND_CTES}
 SELECT vec_a, vec_b, cos_sim FROM cand

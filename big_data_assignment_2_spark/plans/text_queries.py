@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_hash64_sql
 from ..operators.textstats import (LANG_MARKERS, STOPWORDS, predict_lang,
                                    quality_features, fingerprint)
 from ..sources.io import load_table
@@ -119,8 +120,153 @@ _UNI_EXPECTED = ", ".join(
     for i, tok in enumerate(_ref_tokenize(text)))
 
 
+# --- PII redaction ---------------------------------------------------------
+# Training-data scrubbing: emails / URLs / phone-ish numbers → typed tags.
+# Patterns are restricted to syntax Java regex and RE2 share (no lookaround,
+# no backrefs) so the DuckDB oracle runs the very same patterns; the golden
+# corpus is inline because the harness documents are a clean 31-word
+# vocabulary with no PII.
+_PII_DOCS = [
+    ("p1", "contact me at alice.smith+spam@example.co.uk or bob@test.io now"),
+    ("p2", "visit https://example.com/a?b=c#frag or http://t.co/x for info"),
+    ("p3", "call +1 415 555 2671 or 020-7946-0958 before friday"),
+    ("p4", "no pii here, just plain words and numbers like 42"),
+    ("p5", "mixed: eve@corp.example, https://corp.example/path, +44 7911 123456"),
+]
+_PII_RULES = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("https?://[^ ]+", "<URL>"),
+    ("\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.createDataFrame(_PII_DOCS, "doc_id string, text string")
+    out = F.col("text")
+    for pat, tag in _PII_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    n_redactions = F.size(F.split(out, "<(EMAIL|URL|PHONE)>")) - 1
+    return docs.select("doc_id", out.alias("redacted"),
+                       n_redactions.alias("n_redactions"))
+
+
+# --- repetition filter (Gopher-style quality signal) -----------------------
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram ratio per document — the 'repetitive text' quality
+    filter from LLM data pipelines (Rae et al. '21 §A1.3): share of token
+    bigrams that are repeats of an earlier bigram.  Pure array expressions
+    (no explode, no shuffle): this is a map-side per-row signal at 100 TB."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    # sequence(1, 0) would generate a DESCENDING sequence — guard short docs.
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(bigrams)
+    nd = F.size(F.array_distinct(bigrams))
+    ratio = F.when(n > 0, F.round(1.0 - nd.cast("double") / n, 6)) \
+        .otherwise(F.lit(0.0))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n.alias("n_bigrams"),
+        ratio.alias("dup_bigram_ratio"),
+        (ratio > 0.5).alias("is_repetitive"))
+
+
+# --- domain mixture weights ------------------------------------------------
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for training-mix construction: token
+    share per source, smoothed by sqrt (alpha=0.5, the multilingual-mixing
+    trick), renormalized.  Two tiny aggs over an all-rows window — the
+    grouped relation is a handful of rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (docs.select("source", F.size(tokenize("text")).alias("n_tok"))
+               .groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens")))
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    smooth = F.sqrt(share)
+    return per_src.select(
+        "source", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(smooth / F.sum(smooth).over(w), 6).alias("mix_weight"))
+
+
+# --- deterministic training shards ----------------------------------------
+
+N_SHARDS = 8
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    stable (shard, position) from an md5-derived hash — reproducible
+    across runs/engines, no RNG, no driver-side pass.  One shuffle on the
+    shard key; positions via row_number within shard."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash64(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard"),
+                        h.alias("h"))
+            .withColumn("position", F.row_number().over(w))
+            .select("doc_id", "shard", "position"))
+
+
+# --- benchmark-contamination detection -------------------------------------
+
+CONTAM_N = 5        # shingle width
+EVAL_MAX_ID = 20    # doc_id < 20 plays the held-out benchmark set
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination scan: for every training document, how many
+    distinct 5-gram shingles it shares with the held-out set (doc_id <
+    EVAL_MAX_ID) and how many eval docs it hits — the de-contamination
+    report an LLM data pipeline runs before training.  Inverted-index
+    shingle equi-join (train side × tiny eval side), never all-pairs."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n = CONTAM_N
+    shingles = F.when(F.size(toks) >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)])))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.explode(shingles).alias("shingle"))
+    ev = (sh.filter(F.col("doc_id") < EVAL_MAX_ID)
+          .select(F.col("doc_id").alias("eval_doc"), "shingle"))
+    tr = sh.filter(F.col("doc_id") >= EVAL_MAX_ID)
+    return (tr.join(F.broadcast(ev), "shingle")
+            .groupBy(F.col("doc_id").cast("string").alias("doc_id"))
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                 F.countDistinct("eval_doc").alias("n_eval_docs_hit")))
+
+
 QUERIES = {
+    "text_contamination": q_contamination,
     "text_tokenize_unicode": q_tokenize_unicode,
+    "text_redact_pii": q_redact_pii,
+    "text_repetition": q_repetition,
+    "pipeline_mixture_weights": q_mixture_weights,
+    "pipeline_shard_assign": q_shard_assign,
     "pipeline_clean_corpus": q_clean_corpus,
     "text_langid_eval": q_langid_eval,
     "text_normalize": q_normalize,
@@ -144,12 +290,100 @@ _PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
     whens=" ".join(f"WHEN score_{l} = {_BEST} THEN '{l}'"
                    for l in _LANGS_SORTED))
 
+_PII_VALUES = ", ".join(f"('{d}', '{t}')" for d, t in _PII_DOCS)
+_PII_REDACTED_SQL = "text"
+for _pat, _tag in _PII_RULES:
+    _PII_REDACTED_SQL = (f"regexp_replace({_PII_REDACTED_SQL}, "
+                         f"'{_pat}', '{_tag}', 'g')")
+
+_MIX_DOCS_CTE = r"""
+sdocs AS (
+    SELECT source,
+           list_filter(
+               string_split_regex(
+                   regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               t -> t <> '') AS toks
+    FROM documents)
+"""
+
 ORACLES = {
     # Golden oracle: rows precomputed with the reference's Python tokenizer
     # (DuckDB's RE2 `\w` is ASCII-only and cannot express `(?U)` itself).
     "text_tokenize_unicode": f"""
 SELECT doc_id, position, term
 FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
+""",
+    "text_contamination": f"""
+WITH {_TOKENS_CTE},
+led AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+         {", ".join(f"lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY position) AS t{j}"
+                    for j in range(1, CONTAM_N))}
+  FROM tokens),
+sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || {" || ' ' || ".join(f"t{j}" for j in range(1, CONTAM_N))} AS shingle
+  FROM led WHERE t{CONTAM_N - 1} IS NOT NULL),
+ev AS (SELECT doc_id AS eval_doc, shingle FROM sh WHERE doc_id < {EVAL_MAX_ID}),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {EVAL_MAX_ID})
+SELECT CAST(tr.doc_id AS VARCHAR) AS doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_shingles,
+       count(DISTINCT ev.eval_doc) AS n_eval_docs_hit
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+""",
+    # Same patterns, same engine-shared regex subset, same inline corpus.
+    "text_redact_pii": f"""
+WITH src AS (SELECT * FROM (VALUES {_PII_VALUES}) AS t(doc_id, text))
+SELECT doc_id, {_PII_REDACTED_SQL} AS redacted,
+       CAST(len(string_split_regex({_PII_REDACTED_SQL},
+                                   '<(EMAIL|URL|PHONE)>')) - 1 AS INTEGER)
+           AS n_redactions
+FROM src
+""",
+    "text_repetition": f"""
+WITH {_TOKENS_CTE},
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM docs)
+SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+       round(CASE WHEN len(bg) > 0
+             THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END, 6) AS dup_bigram_ratio,
+       round(CASE WHEN len(bg) > 0
+             THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             ELSE 0.0 END, 6) > 0.5 AS is_repetitive
+FROM b
+""",
+    "pipeline_mixture_weights": f"""
+WITH {_MIX_DOCS_CTE},
+per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+  FROM sdocs GROUP BY source),
+t AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share,
+         sqrt(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS smooth
+  FROM per)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(smooth / sum(smooth) OVER (), 6) AS mix_weight
+FROM t
+""",
+    "pipeline_shard_assign": f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {md5_hash64_sql('doc_id')} AS h
+  FROM documents)
+SELECT doc_id, CAST(h % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS INTEGER) AS position
+FROM h
 """,
     "pipeline_clean_corpus": f"""
 WITH {_TOKENS_CTE},

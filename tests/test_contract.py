@@ -13,7 +13,7 @@ import __spark_entry__ as contract
 MAY_BE_EMPTY = {"rel_join_anti", "dedup_simhash_near", "dedup_winnow_overlap",
                 "sim_cosine_near_dups", "dedup_minhash_near",
                 "dedup_ngram_jaccard", "search_phrase_match",
-                "stream_interval_join_1h"}
+                "stream_interval_join_1h", "text_contamination"}
 
 
 def test_oracle_keys_subset_of_queries():
