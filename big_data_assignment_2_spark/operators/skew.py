@@ -37,37 +37,59 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str, salt: int = 16,
 
 
 def skew_safe_self_pairs(df: DataFrame, keys: list[str], payload: list[str],
-                         hot_threshold: int = 4096, salt: int = 16) -> DataFrame:
+                         hot_threshold: int = 4096, salt: int = 16,
+                         detect_fraction: float = 0.05,
+                         max_hot_keys: int = 128, seed: int = 7) -> DataFrame:
     """Self equi-join on ``keys`` producing all ordered row pairs per key
     bucket, with HOT buckets salted — the candidate-pair join shape of
     every LSH/shingle/fingerprint dedup stage, made safe against a single
     hot key (stop-shingle, degenerate band) serializing a stage at scale.
 
-    Result-identical to ``df ⋈ df on keys``: keys with ≤ hot_threshold
-    rows join directly; for hotter keys the left side is hashed into
-    ``salt`` sub-keys and the right side replicated ``salt`` ways, so one
-    S-row bucket becomes ``salt`` tasks of ~S/salt × S instead of one S×S
-    task.  (AQE skew splitting only rescues sort-merge joins; this also
-    covers the broadcast/shuffled-hash shapes these joins usually take.)
+    Result-identical to ``df ⋈ df on keys``.  Hot keys are DETECTED on a
+    ``detect_fraction`` sample (a key is hot when its sampled count
+    exceeds hot_threshold × fraction) and collected to the driver — a
+    bounded list (≤ max_hot_keys), like broadcasting IVF centroids.
+    Detection affects only ROUTING: a borderline key classified either
+    way joins correctly, so sampling never changes the result.  With no
+    hot keys (the common case) the function degrades to the plain
+    self-join — zero extra join stages, just the cheap sampled count.
+
+    For hot keys the left side is hashed into ``salt`` sub-keys and the
+    right side replicated ``salt`` ways, so one S-row bucket becomes
+    ``salt`` tasks of ~S/salt × S instead of one S×S task.  (AQE skew
+    splitting only rescues sort-merge joins; this also covers the
+    broadcast/shuffled-hash shapes these joins usually take.  Keys hotter
+    than the max_hot_keys cap simply stay unsplit — still correct.)
 
     Returns columns ``<c>_a``/``<c>_b`` for each payload column.
     """
     from pyspark import StorageLevel
 
-    # The input feeds three consumers (frequency pass, cold branch, hot
-    # branch); persist it so upstream lineage (tokenize/minhash/explode)
-    # is computed once, spilling to disk at scale.
+    # The input feeds the detection pass plus both join sides; persist it
+    # so upstream lineage (tokenize/minhash/explode) is computed once,
+    # spilling to disk at scale.
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    freq = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kn"))
-    hot_keys = freq.filter(F.col("__kn") > hot_threshold) \
-        .select(*keys).withColumn("__hot", F.lit(True))
-    tagged = df.join(F.broadcast(hot_keys), keys, "left")
-    cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
-    hot = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    kcol = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    frac = min(max(detect_fraction, 0.0), 1.0)
+    sampled = df.sample(fraction=frac, seed=seed) if frac < 1.0 else df
+    hot_list = [
+        r["__k"] for r in
+        (sampled.groupBy(kcol.alias("__k"))
+         .agg(F.count(F.lit(1)).alias("__kn"))
+         .filter(F.col("__kn") > hot_threshold * frac)
+         .orderBy(F.desc("__kn")).limit(max_hot_keys)
+         .collect())
+    ]
 
     def _side(d: DataFrame, suffix: str) -> DataFrame:
         return d.select(*keys, *[F.col(c).alias(f"{c}_{suffix}") for c in payload])
 
+    out_cols = [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
+    if not hot_list:
+        return _side(df, "a").join(_side(df, "b"), keys).select(*out_cols)
+
+    cold = df.filter(~kcol.isin(hot_list))
+    hot = df.filter(kcol.isin(hot_list))
     cold_pairs = _side(cold, "a").join(_side(cold, "b"), keys)
     hot_a = _side(hot, "a").withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(f"{c}_a") for c in payload]),
@@ -75,7 +97,6 @@ def skew_safe_self_pairs(df: DataFrame, keys: list[str], payload: list[str],
     hot_b = _side(hot, "b").withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     hot_pairs = hot_a.join(hot_b, keys + ["__salt"]).drop("__salt")
-    out_cols = [f"{c}_a" for c in payload] + [f"{c}_b" for c in payload]
     return cold_pairs.select(*out_cols).unionByName(hot_pairs.select(*out_cols))
 
 

@@ -53,7 +53,8 @@ def test_self_pairs_hot_key_identical(spark):
              .select(F.col("a.doc_id").alias("doc_id_a"),
                      F.col("b.doc_id").alias("doc_id_b")))
     safe = skew_safe_self_pairs(df, ["key"], ["doc_id"],
-                                hot_threshold=50, salt=8)
+                                hot_threshold=50, salt=8,
+                                detect_fraction=1.0)
     assert _rows(safe) == _rows(plain)
 
     # The hot branch exists in the plan (union of cold + salted hot).
@@ -71,13 +72,33 @@ def test_self_pairs_hot_key_identical(spark):
 
 
 def test_self_pairs_no_hot_keys_pure_cold(spark):
-    """Below threshold nothing is salted; result identical to plain."""
+    """Below threshold nothing is salted; result identical to plain and
+    the plan degrades to the single self-join (no Union branch)."""
     df = spark.createDataFrame([(f"k{i % 5}", i) for i in range(50)],
                                "key string, doc_id long")
     plain = (df.alias("a").join(df.alias("b"), "key")
              .select(F.col("a.doc_id").alias("doc_id_a"),
                      F.col("b.doc_id").alias("doc_id_b")))
-    safe = skew_safe_self_pairs(df, ["key"], ["doc_id"], hot_threshold=100)
+    safe = skew_safe_self_pairs(df, ["key"], ["doc_id"], hot_threshold=100,
+                                detect_fraction=1.0)
+    assert _rows(safe) == _rows(plain)
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
+def test_self_pairs_sampled_detection_identical(spark):
+    """Default sampled detection: routing may differ run to run but the
+    pair multiset never does (hot key is far above threshold, so the
+    sample finds it reliably here)."""
+    rows = [("hot", i) for i in range(2000)] + \
+           [(f"k{i % 10}", 10_000 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, doc_id long")
+    plain = (df.alias("a").join(df.alias("b"), "key")
+             .select(F.col("a.doc_id").alias("doc_id_a"),
+                     F.col("b.doc_id").alias("doc_id_b")))
+    safe = skew_safe_self_pairs(df, ["key"], ["doc_id"],
+                                hot_threshold=100, salt=4,
+                                detect_fraction=0.2)
     assert _rows(safe) == _rows(plain)
 
 
