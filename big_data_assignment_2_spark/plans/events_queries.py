@@ -1,0 +1,98 @@
+"""Event-analytics family (batch queries over the events table) + DuckDB
+oracle twins: ordered conversion funnel and cohort retention — the two
+canonical product-analytics shapes a warehouse engine must run well.
+
+Scale notes: both queries aggregate to per-user rows first (one shuffle on
+user_id, map-side combinable), then to tiny report relations; no
+self-joins on the raw stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: a stage counts only when
+    it happens at-or-after the user's previous stage.  Three conditional
+    min-aggregations per user (single shuffle), then a tiny stage-count
+    rollup — never a self-join of the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in FUNNEL_STAGES])
+    t0, t1, t2 = [F.col(f"t_{s}") for s in FUNNEL_STAGES]
+    # stage reached: timestamps must be present AND ordered
+    reached1 = t0.isNotNull()
+    reached2 = reached1 & t1.isNotNull() & (t1 >= t0)
+    reached3 = reached2 & t2.isNotNull() & (t2 >= t1)
+    staged = per_user.select(
+        F.when(reached3, 3).when(reached2, 2).when(reached1, 1)
+        .otherwise(0).alias("funnel_stage"))
+    return (staged.groupBy("funnel_stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each later week, how many were active.  Per-user distinct
+    activity weeks (one shuffle), cohort = min week, offsets exact because
+    week-truncated dates differ by multiples of 7 days."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (ev.select("user_id",
+                       F.date_trunc("week", "ts").cast("date").alias("week"))
+             .distinct())
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = weeks.join(cohort, "user_id")
+    return (j.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+QUERIES = {
+    "events_funnel": q_funnel,
+    "events_retention": q_retention,
+}
+
+ORACLES = {
+    "events_funnel": f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+staged AS (
+  SELECT CASE
+           WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                AND t_click >= t_signup AND t_purchase IS NOT NULL
+                AND t_purchase >= t_click THEN 3
+           WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                AND t_click >= t_signup THEN 2
+           WHEN t_signup IS NOT NULL THEN 1
+           ELSE 0 END AS funnel_stage
+  FROM per_user)
+SELECT funnel_stage, count(*) AS n_users
+FROM staged GROUP BY funnel_stage
+""",
+    "events_retention": """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INTEGER)
+           AS week_offset,
+       count(*) AS n_active_users
+FROM weeks w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+}

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (NUM_PLANES, PLANE_MOD, brute_force_topk,
                                     cosine_near_dups, cosine_top_pairs,
-                                    lsh_topk, probe_masks)
+                                    kmeans_assign, lsh_topk, probe_masks)
 from ..sources.io import load_table
 
 TOP_K = 10
@@ -91,7 +91,20 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(recon_err, 6).alias("max_recon_err"))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (deterministic init, rounded centroid
+    updates) — the oracle replays BOTH iterations in SQL, so this is an
+    iterative ML algorithm under exact cross-engine verification."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(em, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 QUERIES = {
+    "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
     "sim_ann_bruteforce": q_ann_bruteforce,
@@ -138,7 +151,42 @@ cand AS (
   FROM pr a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 """
 
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assignment = row_number
+    over a vecs × centroids cross join (k rows), update = per-dimension
+    round(avg(), 6) — mirroring the Spark operator's argmin tie-break
+    (lowest cid) and rounded-mean update exactly."""
+    def dist(x: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, 65), "
+                f"d -> ({x}[d] - {c}[d]) * ({x}[d] - {c}[d])))")
+
+    ctes = [f"c0 AS (SELECT vec_id AS cid, v FROM vecs WHERE vec_id < {KMEANS_K})"]
+    for i in range(1, KMEANS_ITERS + 1):
+        avg_list = ", ".join(f"round(avg(v[{d}]), 6)" for d in range(1, 65))
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"n{i} AS (SELECT cid, [{avg_list}] AS v "
+                    f"FROM a{i} GROUP BY cid)")
+        ctes.append(f"c{i} AS (SELECT p.cid, coalesce(n.v, p.v) AS v "
+                    f"FROM c{i - 1} p LEFT JOIN n{i} n USING (cid))")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_VECS},
+{joined}
+SELECT vec_id, CAST(cid AS INTEGER) AS list_id FROM (
+  SELECT x.vec_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+           ORDER BY {dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+  FROM vecs x CROSS JOIN c{KMEANS_ITERS} c) WHERE rn = 1
+"""
+
+
 ORACLES = {
+    "sim_kmeans_assign": _kmeans_oracle(),
     "sim_quantize_int8": f"""
 WITH {_VECS},
 s AS (SELECT vec_id, v,

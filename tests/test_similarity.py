@@ -56,3 +56,40 @@ def test_lsh_topk_finds_colinear(spark, vectors):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(vectors, q, k=3, probe_hamming=1).collect()
     assert out and out[0]["neighbor_id"] == 5
+
+
+def test_kmeans_assign_deterministic_and_nearest(spark, sf_dir):
+    """Lloyd assignment: ids in range, deterministic across invocations,
+    and every vector sits with its nearest final-iteration centroid
+    (recomputed independently with numpy)."""
+    import numpy as np
+
+    from big_data_assignment_2_spark.operators.similarity import kmeans_assign
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    a1 = {r["vec_id"]: r["list_id"]
+          for r in kmeans_assign(em, k=4, iters=2).collect()}
+    a2 = {r["vec_id"]: r["list_id"]
+          for r in kmeans_assign(em, k=4, iters=2).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(4))
+    assert len(a1) == em.count()
+
+    # independent replay: same init, same rounded-mean updates
+    rows = sorted(em.collect(), key=lambda r: r["vec_id"])
+    x = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    cent = x[:4].copy()
+    for _ in range(2):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = cent.copy()
+        for c in range(4):
+            m = assign == c
+            if m.any():
+                new[c] = np.round(x[m].mean(axis=0), 6)
+        cent = new
+    d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    want = {i: int(a) for i, a in zip(ids, d.argmin(axis=1))}
+    assert a1 == want
