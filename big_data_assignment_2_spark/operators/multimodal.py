@@ -21,8 +21,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType()),
@@ -119,3 +119,71 @@ def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     return (decoded.filter(F.col("media_type") == "video")
             .select("media_id",
                     F.explode(idx).alias("frame_idx")))
+
+
+def resize_plan(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize + letterbox arithmetic for image rows —
+    the planning half of a preprocessing resize (the pixel op itself would
+    run next to the codec).  `floor(x + 0.5)` rather than round() because
+    the two engines disagree on round-half semantics for doubles.
+    Pure column expressions."""
+    w, h = F.col("width"), F.col("height")
+    scale = F.lit(float(target)) / F.greatest(w, h)
+    new_w = F.greatest(F.lit(1), F.floor(w * scale + 0.5)).cast("int")
+    new_h = F.greatest(F.lit(1), F.floor(h * scale + 0.5)).cast("int")
+    return (decoded.filter(F.col("media_type") == "image")
+            .select("media_id", "width", "height",
+                    new_w.alias("new_width"), new_h.alias("new_height"),
+                    F.floor((F.lit(target) - new_w) / 2).cast("int")
+                    .alias("pad_left"),
+                    F.floor((F.lit(target) - new_h) / 2).cast("int")
+                    .alias("pad_top")))
+
+
+def audio_chunks(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
+    """Fixed-size chunk boundaries for audio rows (the windowing step of a
+    transcription/feature pipeline): explode (chunk_idx, offset, length)
+    from the payload size — per-chunk decode would `substr` the payload
+    next to the codec.  Column expressions only."""
+    n = F.octet_length("payload")
+    n_chunks = F.ceil(n.cast("double") / chunk_bytes).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (media.filter(F.col("media_type") == "audio")
+            .select("media_id", n.alias("n_bytes"),
+                    F.explode(idx).alias("chunk_idx"))
+            .select("media_id", "chunk_idx",
+                    (F.col("chunk_idx") * chunk_bytes).alias("offset"),
+                    F.least(F.lit(chunk_bytes),
+                            F.col("n_bytes") - F.col("chunk_idx") * chunk_bytes)
+                    .alias("length")))
+
+
+EMBED_DIM = 4
+
+EMBED_SCHEMA = StructType(
+    [StructField("media_id", StringType())]
+    + [StructField(f"f{i}", DoubleType()) for i in range(EMBED_DIM)])
+
+
+def fake_embed(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Feature-extraction shape (CLIP-style embedding stand-in): an
+    Arrow-batched ``mapInPandas`` step that maps each payload to a small
+    float vector.  The real model is stubbed with a deterministic
+    md5-derived projection (digest bytes scaled to [0, 1]) so the full
+    Python-UDF plumbing — batch iteration, vector-typed output columns,
+    JVM round-trip — is exercised AND SQL-oracle-checkable."""
+    import hashlib
+
+    import pandas as pd
+
+    def embed_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            digs = [hashlib.md5(p or b"").digest() for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"]}
+            for i in range(EMBED_DIM):
+                out[f"f{i}"] = [round(d[i] / 255.0, 6) for d in digs]
+            yield pd.DataFrame(out)
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(embed_batches, EMBED_SCHEMA)

@@ -50,7 +50,9 @@ def _family_modules():
 # tight driver budget: round-1 rows fixed this round (first four) and
 # queries NEW this round that live in late-registry families.
 _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
-             "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles")
+             "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles",
+             # never reached by the round-1 gate (sat past its 50-entry cut)
+             "sql_string_funcs", "sql_case_buckets", "sql_percentile")
 
 
 def _prioritized(entries: dict) -> dict:

@@ -11,8 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import (decode_media, frame_sample,
-                                    media_from_documents, media_metadata)
+from ..operators.multimodal import (EMBED_DIM, audio_chunks, decode_media,
+                                    fake_embed, frame_sample,
+                                    media_from_documents, media_metadata,
+                                    resize_plan)
 from ..sources.io import load_table
 
 _MEDIA_CTE = """
@@ -55,10 +57,28 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         every_n=10)
 
 
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(decode_media(media_from_documents(docs), fake=True))
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_chunks(media_from_documents(docs))
+
+
+def q_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_embed(media_from_documents(docs))
+
+
 QUERIES = {
     "mm_media_metadata": q_media_metadata,
     "mm_media_decode": q_media_decode,
     "mm_frame_sample": q_frame_sample,
+    "mm_resize_plan": q_resize_plan,
+    "mm_audio_chunks": q_audio_chunks,
+    "mm_fake_embed": q_fake_embed,
 }
 
 ORACLES = {
@@ -77,5 +97,41 @@ SELECT media_id, media_type, n_bytes, width, height, n_frames FROM decoded
 WITH {_DECODE_CTE}
 SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx
 FROM decoded WHERE media_type = 'video'
+""",
+    "mm_resize_plan": f"""
+WITH {_DECODE_CTE},
+scaled AS (
+  SELECT media_id, width, height,
+         CAST(greatest(1, floor(width * (224.0 / greatest(width, height)) + 0.5))
+              AS INTEGER) AS new_width,
+         CAST(greatest(1, floor(height * (224.0 / greatest(width, height)) + 0.5))
+              AS INTEGER) AS new_height
+  FROM decoded WHERE media_type = 'image')
+SELECT media_id, width, height, new_width, new_height,
+       CAST(floor((224 - new_width) / 2.0) AS INTEGER) AS pad_left,
+       CAST(floor((224 - new_height) / 2.0) AS INTEGER) AS pad_top
+FROM scaled
+""",
+    "mm_audio_chunks": f"""
+WITH {_MEDIA_CTE},
+a AS (SELECT media_id, octet_length(payload) AS n_bytes FROM media
+      WHERE media_type = 'audio')
+SELECT media_id,
+       CAST(unnest(range(0, CAST(ceil(n_bytes / 4096.0) AS BIGINT))) AS INTEGER)
+           AS chunk_idx,
+       CAST(unnest(range(0, CAST(ceil(n_bytes / 4096.0) AS BIGINT))) * 4096
+           AS INTEGER) AS offset,
+       CAST(least(4096, n_bytes
+                  - unnest(range(0, CAST(ceil(n_bytes / 4096.0) AS BIGINT))) * 4096)
+           AS INTEGER) AS length
+FROM a
+""",
+    "mm_fake_embed": f"""
+WITH {_MEDIA_CTE},
+d AS (SELECT media_id, md5(payload::VARCHAR) AS dg FROM media)
+SELECT media_id,
+       {", ".join(f"round(CAST('0x' || substr(dg, {2 * i + 1}, 2) AS INTEGER) / 255.0, 6) AS f{i}"
+                  for i in range(EMBED_DIM))}
+FROM d
 """,
 }
