@@ -51,6 +51,7 @@ def _family_modules():
 # queries NEW this round that live in late-registry families.
 _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
              "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles",
+             "rel_explode_outer", "search_index_merge", "win_distribution",
              # never reached by the round-1 gate (sat past its 50-entry cut)
              "sql_string_funcs", "sql_case_buckets", "sql_percentile")
 

@@ -85,7 +85,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, threshold=JACCARD_THRESHOLD)
 
 
+EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
+EDIT_SIM_MIN = 0.6
+
+
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of MinHash-LSH candidates: levenshtein
+    similarity on a bounded text prefix (cost O(pairs · prefix²), never
+    O(pairs · |doc|²)) — the fuzzy-dedup confirmation step.  Pure native
+    `levenshtein`, identical semantics in both engines."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=JACCARD_THRESHOLD) \
+        .select("doc_a", "doc_b")
+    pre = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+    j = (pairs
+         .join(pre.select(F.col("doc_id").alias("doc_a"),
+                          F.col("pre").alias("pre_a")), "doc_a")
+         .join(pre.select(F.col("doc_id").alias("doc_b"),
+                          F.col("pre").alias("pre_b")), "doc_b"))
+    sim = F.round(
+        1.0 - F.levenshtein("pre_a", "pre_b")
+        / F.greatest(F.length("pre_a"), F.length("pre_b")), 6)
+    return (j.select("doc_a", "doc_b", sim.alias("edit_sim"))
+            .filter(F.col("edit_sim") >= EDIT_SIM_MIN))
+
+
 QUERIES = {
+    "dedup_edit_verify": q_edit_verify,
     "dedup_clusters": q_near_dup_clusters,
     "dedup_winnow_fp": q_winnow_fingerprints,
     "dedup_winnow_overlap": q_winnow_overlap,
@@ -204,7 +233,26 @@ FROM reach GROUP BY src
 """
 
 
+_NEAR_SQL = (
+    f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "  FROM bands a JOIN bands b USING (band_id, band_key)\n"
+    "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
+    + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD))
+
 ORACLES = {
+    "dedup_edit_verify": f"""
+WITH pre AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                    substr(text, 1, {EDIT_PREFIX}) AS pre FROM documents),
+np AS (SELECT doc_a, doc_b FROM ({_NEAR_SQL}))
+SELECT np.doc_a, np.doc_b,
+       round(1.0 - levenshtein(a.pre, b.pre)
+             / greatest(length(a.pre), length(b.pre)), 6) AS edit_sim
+FROM np JOIN pre a ON a.doc_id = np.doc_a
+        JOIN pre b ON b.doc_id = np.doc_b
+WHERE round(1.0 - levenshtein(a.pre, b.pre)
+            / greatest(length(a.pre), length(b.pre)), 6) >= {EDIT_SIM_MIN}
+""",
     "dedup_clusters": _clusters_oracle(),
     "dedup_winnow_fp": f"WITH {_TOKENS_CTE}, {_WINNOW_FP_CTE} "
                        "SELECT doc_id, fingerprint FROM fp",
@@ -231,12 +279,7 @@ GROUP BY k
 """,
     "dedup_minhash_sig": f"WITH {_TOKENS_CTE}, {_sig_cte().strip().lstrip()} "
                          f"SELECT * FROM sig",
-    "dedup_minhash_near": (
-        f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        "  FROM bands a JOIN bands b USING (band_id, band_key)\n"
-        "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
-        + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)),
+    "dedup_minhash_near": _NEAR_SQL,
     "dedup_ngram_jaccard": f"""
 WITH {_TOKENS_CTE},
 led AS (

@@ -279,6 +279,18 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("z.ex") <= 0.02).alias("within_tol")))
 
 
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an EMPTY array survive as a single
+    null-valued row (plain explode drops them) — the generator-variant
+    surface.  The per-order array holds the order's priority tags, empty
+    for finished orders."""
+    o = load_table(spark, sf_dir, "orders")
+    tags = F.when(F.col("o_orderstatus") == "F",
+                  F.array().cast("array<string>")) \
+        .otherwise(F.array("o_orderstatus", "o_orderpriority"))
+    return (o.select("o_orderkey", F.explode_outer(tags).alias("tag")))
+
+
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range (interval) join: lineitems shipped within 90 days of
     their order's date, bucketed by order month.  The equi key keeps the
@@ -559,6 +571,7 @@ QUERIES = {
     "rel_returned_top_customers": q_returned_top_customers,
     "rel_join_full": q_join_full,
     "rel_approx_quantiles": q_approx_quantiles,
+    "rel_explode_outer": q_explode_outer,
     "rel_join_left": q_join_left,
     "rel_join_semi": q_join_semi,
     "rel_join_anti": q_join_anti,
@@ -686,6 +699,13 @@ SELECT o_orderstatus,
        round(unnest(ex), 4) AS exact_price,
        TRUE AS within_tol
 FROM per
+""",
+    # unnest drops empty lists; [NULL] emulates Spark's explode_outer row
+    "rel_explode_outer": """
+SELECT o_orderkey,
+       unnest(CASE WHEN o_orderstatus = 'F' THEN [NULL]
+                   ELSE [o_orderstatus, o_orderpriority] END) AS tag
+FROM orders
 """,
     "rel_join_left": """
 SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

@@ -104,7 +104,24 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(ix["term_document"], PHRASE)
 
 
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance proven by oracle: build the index on
+    80% of the corpus, fold the other 20% in with merge_index (pure
+    unions + a full-outer df merge — |delta| work, not |corpus|), and
+    return the merged document-frequency table.  The oracle computes df
+    over the FULL corpus, so a green row means merge ≡ rebuild."""
+    from ..operators.index import build_index, merge_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    merged = merge_index(build_index(base), delta)
+    return merged["document_frequency"]
+
+
 QUERIES = {
+    "search_index_merge": q_index_merge,
     "search_bm25_batch": q_bm25_batch,
     "search_phrase_match": q_phrase_match,
     "search_tokenize": q_tokenize,
@@ -168,6 +185,11 @@ WHERE rank <= 5
 """
 
 ORACLES = {
+    # full-corpus df — identical to search_doc_freq: merge must ≡ rebuild
+    "search_index_merge": f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+""",
     "search_bm25_batch": _BATCH_SQL,
     "search_phrase_match": _phrase_oracle(PHRASE),
     "search_tokenize": f"WITH {_TOKENS_CTE} SELECT doc_id, term, position FROM tokens",

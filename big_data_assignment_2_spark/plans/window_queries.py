@@ -83,7 +83,21 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"))
 
 
+def q_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution functions per segment — the
+    remaining window-function family members (rank/dense_rank/ntile live
+    in win_rank_dense)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"))
+
+
 QUERIES = {
+    "win_distribution": q_distribution,
     "win_topk_per_group": q_topk_per_group,
     "win_first_last": q_first_last,
     "win_rank_dense": q_rank_dense,
@@ -93,6 +107,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_distribution": """
+SELECT c_mktsegment, c_custkey,
+       round(percent_rank() OVER w, 6) AS bal_pct_rank,
+       round(cume_dist() OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
     "win_first_last": """
 SELECT o_custkey, o_orderkey,
        first_value(o_totalprice) OVER w AS first_price,
