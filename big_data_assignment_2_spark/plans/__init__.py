@@ -52,6 +52,7 @@ def _family_modules():
 _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
              "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles",
              "rel_explode_outer", "search_index_merge", "win_distribution",
+             "rel_profile_orders",
              # never reached by the round-1 gate (sat past its 50-entry cut)
              "sql_string_funcs", "sql_case_buckets", "sql_percentile")
 

@@ -279,6 +279,25 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("z.ex") <= 0.02).alias("within_tol")))
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report over orders in ONE aggregation pass: row
+    count, per-column null counts, key distinctness, categorical
+    cardinalities, date span — the table-health check a warehouse runs
+    before trusting a source (all map-side combinable)."""
+    o = load_table(spark, sf_dir, "orders")
+    nulls = [F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
+             for c in ("o_custkey", "o_orderstatus", "o_totalprice",
+                       "o_orderdate")]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        *nulls,
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"))
+
+
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer: rows with an EMPTY array survive as a single
     null-valued row (plain explode drops them) — the generator-variant
@@ -572,6 +591,7 @@ QUERIES = {
     "rel_join_full": q_join_full,
     "rel_approx_quantiles": q_approx_quantiles,
     "rel_explode_outer": q_explode_outer,
+    "rel_profile_orders": q_profile_orders,
     "rel_join_left": q_join_left,
     "rel_join_semi": q_join_semi,
     "rel_join_anti": q_join_anti,
@@ -699,6 +719,19 @@ SELECT o_orderstatus,
        round(unnest(ex), 4) AS exact_price,
        TRUE AS within_tol
 FROM per
+""",
+    "rel_profile_orders": """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS distinct_keys,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderstatus,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderdate,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+FROM orders
 """,
     # unnest drops empty lists; [NULL] emulates Spark's explode_outer row
     "rel_explode_outer": """

@@ -260,7 +260,27 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("eval_doc").alias("n_eval_docs_hit")))
 
 
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod corpus split (90/10 train/eval): stable
+    across runs, engines and corpus growth — the reproducible-split
+    pattern every training pipeline needs (seeded RNG sampling is
+    engine-specific and unreplayable).  Returns per-(source, split) doc
+    and token counts for the split report."""
+    from ..functions.hashing import md5_hash64
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(F.pmod(md5_hash64(F.col("doc_id").cast("string")),
+                          F.lit(100)) < 90, "train").otherwise("eval")
+    return (docs.select("source", split.alias("split"),
+                        F.size(tokenize("text")).alias("n_tok"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens")))
+
+
 QUERIES = {
+    "pipeline_split_train_eval": q_split_train_eval,
     "text_contamination": q_contamination,
     "text_tokenize_unicode": q_tokenize_unicode,
     "text_redact_pii": q_redact_pii,
@@ -312,6 +332,18 @@ ORACLES = {
     "text_tokenize_unicode": f"""
 SELECT doc_id, position, term
 FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
+""",
+    "pipeline_split_train_eval": f"""
+WITH {_MIX_DOCS_CTE.replace("SELECT source,", "SELECT source, doc_id,")},
+s AS (
+  SELECT source,
+         CASE WHEN {md5_hash64_sql('doc_id')} % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split,
+         len(toks) AS n_tok
+  FROM sdocs)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM s GROUP BY source, split
 """,
     "text_contamination": f"""
 WITH {_TOKENS_CTE},
