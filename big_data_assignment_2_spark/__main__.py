@@ -36,11 +36,24 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline bench suite")
 
+    sub.add_parser("list", help="list every declared query/operator")
+
+    sq = sub.add_parser("query", help="run any declared query by name")
+    sq.add_argument("name")
+    sq.add_argument("--limit", type=int, default=20,
+                    help="max rows to print (the plan still fully runs)")
+
     args = p.parse_args(argv)
     if args.cmd == "bench":
         import bench
 
         bench.main()
+        return 0
+    if args.cmd == "list":
+        from .plans import all_queries
+
+        for name in all_queries():
+            print(name)
         return 0
 
     from .session import get_spark
@@ -79,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
                 result = search_documents(spark, docs, args.query, k=args.k)
             for i, row in enumerate(result.collect(), 1):
                 print(f"{i:2d}. doc {row['doc_id']}  score={row['score']:.6f}")
+        elif args.cmd == "query":
+            from .plans import all_queries
+
+            qs = all_queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; see `list`",
+                      file=sys.stderr)
+                return 2
+            df = qs[args.name](spark, args.sf_dir)
+            rows = df.collect()
+            for row in rows[:args.limit]:
+                print(tuple(row))
+            print(f"-- {len(rows)} rows ({args.name})")
     finally:
         spark.stop()
     return 0
