@@ -210,30 +210,48 @@ fp AS (
   FROM hashes)
 """
 
+_CC_ROUNDS = 8  # hop+jump per round ⇒ exact for any diameter ≤ ~2^8
+
+
 def _clusters_oracle() -> str:
-    """Connected components via recursive reachability over the near-dup
-    edge set (the whole minhash-near pipeline nests as a CTE body)."""
+    """Connected components as UNROLLED min-label propagation with pointer
+    jumping (the same algorithm the Spark operator iterates), not
+    transitive closure: per round the state is one label per node (linear),
+    where the old recursive-CTE reachability materialized O(Σ cluster²)
+    pairs and blew up on large self-similar corpora.  Exact whenever the
+    graph diameter ≤ ~2^_CC_ROUNDS — astronomically beyond any real
+    near-dup graph."""
     near = ("WITH " + _TOKENS_CTE + ", " + _sig_cte().strip() + ", "
             + _bands_cte() + ",\n"
             "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
             "  FROM bands a JOIN bands b USING (band_id, band_key)\n"
             "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
             + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD))
-    return f"""
-WITH RECURSIVE
-edges AS (
+    ctes = [
+        f"""edges AS MATERIALIZED (
   SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
-  FROM ({near})),
-bidir AS (SELECT a AS x, b AS y FROM edges
-          UNION ALL SELECT b, a FROM edges),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, b.y FROM reach r JOIN bidir b ON b.x = r.dst)
-SELECT CAST(src AS VARCHAR) AS doc_id,
-       CAST(min(dst) AS VARCHAR) AS cluster_rep,
-       src = min(dst) AS is_survivor
-FROM reach GROUP BY src
+  FROM ({near}))""",
+        "bidir AS MATERIALIZED (SELECT a AS x, b AS y FROM edges\n"
+        "          UNION ALL SELECT b, a FROM edges)",
+        "l0 AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS id,\n"
+        "              CAST(doc_id AS BIGINT) AS comp FROM documents)",
+    ]
+    for i in range(1, _CC_ROUNDS + 1):
+        ctes.append(f"""h{i} AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+  FROM l{i - 1} l
+  LEFT JOIN bidir b ON b.x = l.id
+  LEFT JOIN l{i - 1} n ON n.id = b.y
+  GROUP BY l.id, l.comp)""")
+        ctes.append(f"l{i} AS MATERIALIZED (SELECT h.id, p.comp FROM h{i} h "
+                    f"JOIN h{i} p ON p.id = h.comp)")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(id AS VARCHAR) AS doc_id,
+       CAST(comp AS VARCHAR) AS cluster_rep,
+       id = comp AS is_survivor
+FROM l{_CC_ROUNDS}
 """
 
 

@@ -279,7 +279,21 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("n_tokens")))
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy via the sanctioned Arrow
+    ``pandas_udf`` path (functions/udfs.py) — the one place Python math is
+    on a declared data path, so the U1 UDF surface itself gets a hard
+    cross-engine correctness row (6-dp rounding absorbs summation-order
+    differences)."""
+    from ..functions.udfs import shannon_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       shannon_entropy("text").alias("entropy"))
+
+
 QUERIES = {
+    "text_entropy": q_entropy,
     "pipeline_split_train_eval": q_split_train_eval,
     "text_contamination": q_contamination,
     "text_tokenize_unicode": q_tokenize_unicode,
@@ -332,6 +346,21 @@ ORACLES = {
     "text_tokenize_unicode": f"""
 SELECT doc_id, position, term
 FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
+""",
+    "text_entropy": """
+WITH ch AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n,
+         unnest(string_split(text, '')) AS c
+  FROM documents),
+cc AS (SELECT doc_id, n, c, count(*) AS k FROM ch GROUP BY doc_id, n, c),
+e AS (
+  SELECT doc_id,
+         round(-sum((k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE))), 6)
+             AS entropy
+  FROM cc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN e USING (doc_id)
 """,
     "pipeline_split_train_eval": f"""
 WITH {_MIX_DOCS_CTE.replace("SELECT source,", "SELECT source, doc_id,")},
