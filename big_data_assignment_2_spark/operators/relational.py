@@ -68,6 +68,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return carried.select(*out_cols)
 
 
+def global_rank(df: DataFrame, order_cols: list[Column],
+                rank_col: str = "rank", partitions: int | None = None) -> DataFrame:
+    """Total-order enumeration WITHOUT the single-partition window trap.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY plans a
+    window over ONE partition — every row funnels through a single task,
+    the textbook scale killer.  This operator produces the identical rank
+    with bounded per-task work:
+
+    1. ``repartitionByRange`` on the sort keys (Spark samples range
+       boundaries), then ``sortWithinPartitions`` — partition *i* holds a
+       contiguous, locally-sorted slice of the total order.
+    2. ``monotonically_increasing_id`` encodes (partition id << 33) +
+       record position — a documented layout — so the partition-local
+       position falls out of the low 33 bits with no further shuffle.
+    3. Per-partition counts (a tiny agg, one row per partition) turn into
+       cumulative offsets with a window over that driver-sized relation;
+       a broadcast join adds each row's offset to its local position.
+
+    One full-data range shuffle + one broadcast join, vs. the naive plan's
+    all-data-on-one-task sort.  ``order_cols`` must total-order the data
+    (include a unique tiebreaker) or ranks among ties are arbitrary.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    local = (df.repartitionByRange(int(n), *order_cols)
+             .sortWithinPartitions(*order_cols)
+             .withColumn("__pid", F.spark_partition_id())
+             .withColumn("__pos", F.monotonically_increasing_id()
+                         .bitwiseAND(F.lit((1 << 33) - 1))))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # One row per partition: a window over it is driver-sized by
+    # construction, not a data-volume single-partition sort.
+    w = (Window.orderBy("__pid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = counts.withColumn(
+        "__off", F.sum("__n").over(w) - F.col("__n")).drop("__n")
+    return (local.join(F.broadcast(offsets), "__pid")
+            .withColumn(rank_col, (F.col("__off") + F.col("__pos") + 1)
+                        .cast("bigint"))
+            .drop("__pid", "__pos", "__off"))
+
+
 def top_k_per_group(df: DataFrame, partition_cols: list[str],
                     order_cols: list[Column], k: int) -> DataFrame:
     """Grouped top-k via row_number — the distributed replacement for the

@@ -36,9 +36,9 @@ def _family_modules():
     # families close the list.
     mods = []
     for name in ("dedup_queries", "similarity_queries", "text_queries",
-                 "streaming_queries", "multimodal_queries", "skew_queries",
-                 "events_queries", "sql_queries", "search_queries",
-                 "relational_queries", "window_queries"):
+                 "streaming_queries", "multimodal_queries", "source_queries",
+                 "skew_queries", "events_queries", "sql_queries",
+                 "search_queries", "relational_queries", "window_queries"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:
@@ -54,7 +54,9 @@ _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
              "rel_explode_outer", "search_index_merge", "win_distribution",
              "rel_profile_orders",
              # never reached by the round-1 gate (sat past its 50-entry cut)
-             "sql_string_funcs", "sql_case_buckets", "sql_percentile")
+             "sql_string_funcs", "sql_case_buckets", "sql_percentile",
+             # new in round 2, late-registry families
+             "rel_global_rank")
 
 
 def _prioritized(entries: dict) -> dict:

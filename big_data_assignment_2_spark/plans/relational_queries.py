@@ -575,7 +575,27 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("exact_customers") <= 0.05).alias("within_tol")))
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order enumeration of every order by price via
+    :func:`operators.relational.global_rank` — the scale-safe replacement
+    for a PARTITION-BY-less ``row_number()`` window (which Spark plans as
+    a single-partition sort; see the operator docstring).  The oracle IS
+    that naive window, so the two-shuffle distributed plan is proven
+    rank-for-rank identical to the textbook definition."""
+    from ..operators.relational import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")])
+    return ranked.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.col("rank"))
+
+
 QUERIES = {
+    "rel_global_rank": q_global_rank,
     "rel_approx_distinct": q_approx_distinct,
     "rel_pivot": q_pivot,
     "rel_unpivot": q_unpivot,
@@ -612,6 +632,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The oracle is the textbook single-window definition the distributed
+    # operator must reproduce rank-for-rank.
+    "rel_global_rank": """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM orders
+""",
     # HLL estimate itself is engine-specific; the boolean certifies the
     # Spark estimate against the exact count computed on both engines.
     "rel_approx_distinct": """

@@ -72,3 +72,21 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_tsv(spark: SparkSession, path: str, schema) -> DataFrame:
     """Quote-aware TSV scan (S5, `mapper1.py:20-24`)."""
     return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink — the lingua franca of LLM training corpora.
+    One JSON object per line, splittable when uncompressed (each executor
+    reads a byte range and resyncs on newlines), so a 100 TB corpus export
+    still parallelizes on read."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan.  ALWAYS pass a schema in production: schema
+    inference is a full extra pass over the data (at 100 TB, a second
+    100 TB scan before the first byte of real work)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

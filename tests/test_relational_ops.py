@@ -69,3 +69,34 @@ def test_top_k_per_group(spark):
     out = top_k_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2)
     got = {(r["grp"], r["id"]) for r in out.collect()}
     assert got == {("a", 6), ("a", 13), ("b", 2), ("b", 1)}
+
+
+def test_global_rank_matches_naive_window(spark, sf_dir):
+    from big_data_assignment_2_spark.operators.relational import global_rank
+    from big_data_assignment_2_spark.sources.io import load_table
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    naive = o.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+    for n in (4, 13):  # rank must not depend on the partition count
+        got = global_rank(o, order, partitions=n)
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0
+
+
+def test_global_rank_plan_has_range_exchange(spark, sf_dir):
+    """The full-data path must be range-partitioned, NOT a single-partition
+    window sort (the trap this operator exists to avoid)."""
+    from big_data_assignment_2_spark.operators.relational import global_rank
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = global_rank(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                      partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # The only SinglePartition exchange feeds the per-partition-count window
+    # (one row per partition), never the orders scan.
+    assert plan.count("SinglePartition") <= 1
