@@ -144,19 +144,21 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
             .select("doc_a", "doc_b", "jaccard"))
 
 
-def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline; result = all doc pairs that are
-    LSH candidates AND have exact token-set Jaccard ≥ threshold.
+def _minhash_rep_structure(docs: DataFrame, threshold: float,
+                           text_col: str, id_col: str):
+    """Shared core of the MinHash-LSH pipeline: exact-dup group structure
+    plus verified near-dup pairs computed on one REPRESENTATIVE per
+    distinct token set.  Returns ``(keyed, groups, rep_pairs)`` where
+    ``keyed`` = (``__nid``, ``__gkey``), ``groups`` = (``__gkey``,
+    ``__rep`` = min member id, ``__n``), and ``rep_pairs`` = verified
+    (doc_a, doc_b, jaccard) over representatives only.
 
-    Scale optimizations (result-identical by construction):
+    Scale rationale (result-identical by construction):
     - **Exact-dup collapse first**: docs with identical token sets have
       identical signatures, bands, and Jaccards, so the expensive stages
-      (band self-join, intersection verify) run on one REPRESENTATIVE per
-      distinct token set; member pairs are expanded back afterwards
-      (intra-group pairs get Jaccard 1.0, cross-group pairs inherit their
-      reps' Jaccard).  On self-similar corpora this cuts the quadratic
-      stages by the dup factor squared.
+      (band self-join, intersection verify) run once per distinct token
+      set.  On self-similar corpora this cuts the quadratic stages by the
+      dup factor squared.
     - **Persisted reused stages**: tokensets / reps / verified pairs each
       feed multiple branches; without materialization Spark re-executes the
       explode+agg lineage per branch.  MEMORY_AND_DISK so 100×-scale
@@ -180,6 +182,21 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
     cand = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts)))
     rep_pairs = jaccard_verify(cand, ts, threshold) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    return keyed, groups, rep_pairs
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline; result = all doc pairs that are
+    LSH candidates AND have exact token-set Jaccard ≥ threshold.
+
+    Runs the quadratic stages on token-set representatives
+    (:func:`_minhash_rep_structure`), then expands member pairs back:
+    intra-group pairs get Jaccard 1.0, cross-group pairs inherit their
+    reps' Jaccard.
+    """
+    keyed, groups, rep_pairs = _minhash_rep_structure(
+        docs, threshold, text_col, id_col)
 
     members = keyed.join(groups.select("__gkey", "__rep"), "__gkey") \
         .select(F.col("__rep").cast("string").alias("__rep_s"),
@@ -305,16 +322,28 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.9,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """End-to-end: MinHash near-dup pairs → connected components →
-    (doc_id, cluster_rep, is_survivor).  Survivor = min doc of cluster."""
-    pairs = minhash_near_dups(docs, threshold, text_col, id_col) \
-        .select(F.col("doc_a").cast("bigint").alias("a"),
-                F.col("doc_b").cast("bigint").alias("b"))
-    nodes = docs.select(F.col(id_col).cast("bigint").alias("id"))
-    comp = connected_components(pairs, nodes)
-    return comp.select(
-        F.col("id").cast("string").alias("doc_id"),
-        F.col("component").cast("string").alias("cluster_rep"),
-        (F.col("id") == F.col("component")).alias("is_survivor"))
+    (doc_id, cluster_rep, is_survivor).  Survivor = min doc of cluster.
+
+    The iterative CC loop runs on the token-set REPRESENTATIVE graph, not
+    the expanded member graph — result-identical because each exact-dup
+    group is a clique whose rep is the group's min id, so a member's
+    component equals its rep's component, and the component label (min
+    reachable rep) is also the min member across the whole cluster.  On
+    self-similar corpora this shrinks the iterated graph by the dup
+    factor (edges by its square) and skips pair expansion entirely.
+    """
+    keyed, groups, rep_pairs = _minhash_rep_structure(
+        docs, threshold, text_col, id_col)
+    edges = rep_pairs.select(F.col("doc_a").cast("bigint").alias("a"),
+                             F.col("doc_b").cast("bigint").alias("b"))
+    rep_nodes = groups.select(F.col("__rep").alias("id"))
+    comp = connected_components(edges, rep_nodes)
+    members = keyed.join(groups.select("__gkey", "__rep"), "__gkey")
+    return (members
+            .join(comp, members["__rep"] == comp["id"])
+            .select(F.col("__nid").cast("string").alias("doc_id"),
+                    F.col("component").cast("string").alias("cluster_rep"),
+                    (F.col("__nid") == F.col("component")).alias("is_survivor")))
 
 
 def winnow_fingerprints(docs: DataFrame, n: int = 3, window: int = 4,
