@@ -44,7 +44,7 @@ EXTRA = [
 # `<name>_cold` entries are informational and excluded from the suite total
 # (BASELINE.md's totals predate them).  "Cold" = no Spark persisted blocks;
 # OS page cache / JIT warmth is inherent to an in-process bench.
-COLD_ALSO = ["dedup_minhash_near"]
+COLD_ALSO = ["dedup_minhash_near", "dedup_clusters"]
 
 
 def main() -> None:

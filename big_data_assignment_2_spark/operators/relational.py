@@ -110,6 +110,40 @@ def global_rank(df: DataFrame, order_cols: list[Column],
             .drop("__pid", "__pos", "__off"))
 
 
+def global_cumsum(df: DataFrame, order_cols: list[Column], value_col: str,
+                  cum_col: str = "cum", partitions: int | None = None) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over a TOTAL order, without the
+    single-partition window trap (same scale story as :func:`global_rank`).
+
+    1. ``repartitionByRange`` on the sort keys → partition *i* holds a
+       contiguous slice of the total order.
+    2. A window partitioned by the physical partition id computes the
+       LOCAL running sum — per-task work is one partition's rows, never
+       the whole relation.
+    3. Per-partition totals (one row per partition) become cumulative
+       offsets via a window over that driver-sized relation, broadcast
+       back and added.
+
+    ``order_cols`` must total-order the data (unique tiebreaker) or the
+    running sum among ties is arbitrary.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    local = (df.repartitionByRange(int(n), *order_cols)
+             .withColumn("__pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy("__pid").orderBy(*order_cols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = local.withColumn("__lcum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__n"))
+    w = (Window.orderBy("__pid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.withColumn(
+        "__off", F.sum("__n").over(w) - F.col("__n")).drop("__n")
+    return (local.join(F.broadcast(offsets), "__pid")
+            .withColumn(cum_col,
+                        (F.col("__off") + F.col("__lcum")).cast("bigint"))
+            .drop("__pid", "__lcum", "__off"))
+
+
 def top_k_per_group(df: DataFrame, partition_cols: list[str],
                     order_cols: list[Column], k: int) -> DataFrame:
     """Grouped top-k via row_number — the distributed replacement for the

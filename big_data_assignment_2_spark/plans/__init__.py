@@ -56,7 +56,7 @@ _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
              # never reached by the round-1 gate (sat past its 50-entry cut)
              "sql_string_funcs", "sql_case_buckets", "sql_percentile",
              # new in round 2, late-registry families
-             "rel_global_rank")
+             "rel_global_rank", "events_zscore_outliers")
 
 
 def _prioritized(entries: dict) -> dict:

@@ -56,12 +56,43 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users")))
 
 
+Z_CUTOFF = 2.5
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly scan: events whose ``value`` deviates
+    ≥ Z_CUTOFF population standard deviations from their type's mean.
+    The per-type moments are a tiny agg broadcast back onto the stream —
+    NOT a window partitioned by event_type, which would funnel each
+    (few-valued, hence hot) type through one task at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type", "value", z.alias("z"))
+            .filter(F.abs(F.col("z")) >= Z_CUTOFF))
+
+
 QUERIES = {
     "events_funnel": q_funnel,
     "events_retention": q_retention,
+    "events_zscore_outliers": q_zscore_outliers,
 }
 
 ORACLES = {
+    "events_zscore_outliers": f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round((e.value - s.mu) / s.sigma, 6) AS z
+  FROM events e JOIN stats s USING (event_type))
+SELECT event_id, event_type, value, z
+FROM z WHERE abs(z) >= {Z_CUTOFF}
+""",
     "events_funnel": f"""
 WITH per_user AS (
   SELECT user_id,

@@ -93,6 +93,7 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 2
+IVF_NPROBE = 2
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +104,33 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(em, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under EXACT oracle check: the coarse quantizer is the
+    deterministic Lloyd k-means (same CTE chain as sim_kmeans_assign), so
+    list assignment, nprobe probe choice, and candidate ranking are all
+    replayed in SQL — the approximate index's semantics, not just a recall
+    bound, are the verified contract."""
+    from ..operators.similarity import ivf_topk_deterministic
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_deterministic(
+        em, _queries_df(spark, sf_dir), k=TOP_K, n_centroids=KMEANS_K,
+        iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k over the documents table via the
+    inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
+    text-side nearest neighbors with an exact SQL twin."""
+    from ..operators.similarity import tfidf_cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_topk(docs, k=TOP_K, n_queries=N_QUERIES)
+
+
 QUERIES = {
+    "sim_tfidf_topk": q_tfidf_topk,
+    "sim_ivf_topk": q_ivf_topk,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -151,15 +178,17 @@ cand AS (
   FROM pr a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 """
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations as chained CTEs: assignment = row_number
-    over a vecs × centroids cross join (k rows), update = per-dimension
-    round(avg(), 6) — mirroring the Spark operator's argmin tie-break
-    (lowest cid) and rounded-mean update exactly."""
-    def dist(x: str, c: str) -> str:
-        return (f"list_sum(list_transform(range(1, 65), "
-                f"d -> ({x}[d] - {c}[d]) * ({x}[d] - {c}[d])))")
+def _sq_dist(x: str, c: str) -> str:
+    return (f"list_sum(list_transform(range(1, 65), "
+            f"d -> ({x}[d] - {c}[d]) * ({x}[d] - {c}[d])))")
 
+
+def _lloyd_cte_chain() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (shared by the k-means and
+    IVF oracles): assignment = row_number over a vecs × centroids cross
+    join (k rows), update = per-dimension round(avg(), 6) — mirroring the
+    Spark operator's argmin tie-break (lowest cid) and rounded-mean update
+    exactly.  Final centroids land in CTE ``c{KMEANS_ITERS}``."""
     ctes = [f"c0 AS (SELECT vec_id AS cid, v FROM vecs WHERE vec_id < {KMEANS_K})"]
     for i in range(1, KMEANS_ITERS + 1):
         avg_list = ", ".join(f"round(avg(v[{d}]), 6)" for d in range(1, 65))
@@ -167,25 +196,90 @@ def _kmeans_oracle() -> str:
   SELECT vec_id, v, cid FROM (
     SELECT x.vec_id, x.v, c.cid,
            row_number() OVER (PARTITION BY x.vec_id
-             ORDER BY {dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+             ORDER BY {_sq_dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
     FROM vecs x CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
         ctes.append(f"n{i} AS (SELECT cid, [{avg_list}] AS v "
                     f"FROM a{i} GROUP BY cid)")
         ctes.append(f"c{i} AS (SELECT p.cid, coalesce(n.v, p.v) AS v "
                     f"FROM c{i - 1} p LEFT JOIN n{i} n USING (cid))")
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle() -> str:
     return f"""
 WITH {_VECS},
-{joined}
+{_lloyd_cte_chain()}
 SELECT vec_id, CAST(cid AS INTEGER) AS list_id FROM (
   SELECT x.vec_id, c.cid,
          row_number() OVER (PARTITION BY x.vec_id
-           ORDER BY {dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+           ORDER BY {_sq_dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
   FROM vecs x CROSS JOIN c{KMEANS_ITERS} c) WHERE rn = 1
 """
 
 
+def _ivf_oracle() -> str:
+    """Replays ivf_topk_deterministic end-to-end: Lloyd centroids (shared
+    chain), full-corpus list assignment, per-query nprobe nearest lists
+    (ties → lowest cid), cosine over candidates, windowed top-k."""
+    cfin = f"c{KMEANS_ITERS}"
+    return f"""
+WITH {_VECS},
+{_lloyd_cte_chain()},
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {_sq_dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN {cfin} c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+pr AS (
+  SELECT query_id, v, cid FROM (
+    SELECT q.query_id, q.v, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_sq_dist('q.v', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {cfin} c) WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
+  FROM pr a JOIN asg b ON b.cid = a.cid AND b.vec_id != a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+from .search_queries import _TOKENS_CTE  # noqa: E402
+
 ORACLES = {
+    "sim_tfidf_topk": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+q AS (SELECT doc_id AS query_id, term, w AS wq FROM w
+      WHERE CAST(doc_id AS BIGINT) < {N_QUERIES}),
+num AS (SELECT q.query_id, d.doc_id AS neighbor_id, sum(q.wq * d.w) AS num
+        FROM q JOIN w d ON q.term = d.term AND d.doc_id <> q.query_id
+        GROUP BY 1, 2),
+scored AS (
+  SELECT num.query_id, num.neighbor_id,
+         round(num.num / (nq.nrm * nd.nrm), 6) AS cos_sim
+  FROM num JOIN nrm nq ON nq.doc_id = num.query_id
+           JOIN nrm nd ON nd.doc_id = num.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, CAST(neighbor_id AS BIGINT) ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+""",
+    "sim_ivf_topk": _ivf_oracle(),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_quantize_int8": f"""
 WITH {_VECS},

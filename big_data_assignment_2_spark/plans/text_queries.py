@@ -279,6 +279,16 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("n_tokens")))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing: each document's
+    (seq_id, seq_offset, n_seq_spans) in the fixed-budget token stream,
+    via the scale-safe global cumulative sum (operators/packing.py)."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs)
+
+
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy via the sanctioned Arrow
     ``pandas_udf`` path (functions/udfs.py) — the one place Python math is
@@ -293,6 +303,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pipeline_pack_sequences": q_pack_sequences,
     "text_entropy": q_entropy,
     "pipeline_split_train_eval": q_split_train_eval,
     "text_contamination": q_contamination,
@@ -340,7 +351,32 @@ sdocs AS (
     FROM documents)
 """
 
+from ..operators.packing import SEQ_BUDGET as _SEQ_BUDGET  # noqa: E402
+
 ORACLES = {
+    # Exclusive running sum over ascending doc_id (DuckDB SUM() OVER is
+    # HUGEINT → cast BIGINT to match Spark), then integer div/mod by the
+    # sequence budget.
+    "pipeline_pack_sequences": f"""
+WITH {_TOKENS_CTE},
+t AS (SELECT CAST(doc_id AS BIGINT) AS did,
+             CAST(len(toks) AS INTEGER) AS n_tok
+      FROM docs),
+c AS (SELECT did, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+                 ORDER BY did
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM t)
+SELECT CAST(did AS VARCHAR) AS doc_id,
+       n_tok AS n_tokens,
+       cb // {_SEQ_BUDGET} AS seq_id,
+       cb % {_SEQ_BUDGET} AS seq_offset,
+       CAST(CASE WHEN n_tok = 0 THEN 0
+            ELSE (cb + n_tok - 1) // {_SEQ_BUDGET} - cb // {_SEQ_BUDGET} + 1
+            END AS BIGINT) AS n_seq_spans
+FROM c
+""",
     # Golden oracle: rows precomputed with the reference's Python tokenizer
     # (DuckDB's RE2 `\w` is ASCII-only and cannot express `(?U)` itself).
     "text_tokenize_unicode": f"""

@@ -6,9 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from big_data_assignment_2_spark.operators.similarity import (brute_force_topk,
-                                                              ivf_build,
-                                                              ivf_topk)
+from big_data_assignment_2_spark.operators.similarity import (
+    brute_force_topk, ivf_build, ivf_topk, ivf_topk_deterministic)
 from big_data_assignment_2_spark.sources.io import load_table
 
 
@@ -47,3 +46,26 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     # approx results are a subset of valid ids with correct ranking order
     for r in approx:
         assert r["rank"] >= 1
+
+
+def test_ivf_deterministic_results_are_probed_subset(spark, embeddings):
+    """Every returned neighbor really lives in one of the query's nprobe
+    lists, ranks are contiguous from 1, and two runs agree exactly (the
+    property the SQL oracle of sim_ivf_topk relies on)."""
+    q = embeddings.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    r1 = ivf_topk_deterministic(embeddings, q, k=10, n_centroids=8,
+                                iters=2, nprobe=2).collect()
+    r2 = ivf_topk_deterministic(embeddings, q, k=10, n_centroids=8,
+                                iters=2, nprobe=2).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    by_q = {}
+    for r in sorted(r1, key=key):
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rows in by_q.values():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != r["query_id"] for r in rows)

@@ -77,6 +77,8 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
+        # broadcast 1-row corpus-size relation (IDF needs N, as BM25 does)
+        "sim_tfidf_topk",
     }
     offenders = {}
     for name, fn in contract.queries().items():
@@ -85,3 +87,20 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
                 and name not in INTENTIONAL:
             offenders[name] = True
     assert not offenders, f"unexpected product joins in: {sorted(offenders)}"
+
+
+def test_global_cumsum_no_single_partition_window(spark):
+    """The full-data window must be partitioned by the physical partition
+    id; only the per-partition-totals relation (one row per partition) may
+    use an unpartitioned window."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.relational import global_cumsum
+
+    df = spark.range(10_000).withColumn("v", (F.col("id") % 7).cast("int"))
+    plan = plan_of(global_cumsum(df, [F.col("id")], "v", partitions=8))
+    assert "Window" in plan
+    # every full-data window spec carries the __pid partition key
+    import re
+    specs = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
+    assert any("__pid" in (s or "") for s in specs), plan

@@ -93,3 +93,28 @@ def test_kmeans_assign_deterministic_and_nearest(spark, sf_dir):
     d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     want = {i: int(a) for i, a in zip(ids, d.argmin(axis=1))}
     assert a1 == want
+
+
+def test_tfidf_topk_planted_similarity(spark):
+    """Docs with shared rare terms rank above docs sharing only common
+    terms; self excluded; ranks contiguous."""
+    from big_data_assignment_2_spark.operators.similarity import \
+        tfidf_cosine_topk
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma epsilon"),   # 3 shared rare-ish terms with 0
+        (2, "alpha zeta eta theta"),       # 1 shared term with 0
+        (3, "iota kappa lambda mu"),       # no shared terms with 0
+        (4, "common common common words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_topk(docs, k=4, n_queries=1).collect()
+    mine = sorted((r for r in out if r["query_id"] == "0"),
+                  key=lambda r: r["rank"])
+    assert mine, "query 0 must have neighbors"
+    assert all(r["neighbor_id"] != "0" for r in mine)
+    assert [r["rank"] for r in mine] == list(range(1, len(mine) + 1))
+    assert mine[0]["neighbor_id"] == "1"
+    ids = [r["neighbor_id"] for r in mine]
+    assert "3" not in ids  # no shared term -> no candidate pair at all
