@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.io import load_table
 from ..streaming.windows import (dedup_keys, interval_join, session_agg,
-                                 sliding_agg, tumbling_agg)
+                                 sliding_agg, topk_types_per_window,
+                                 tumbling_agg)
 
 
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +38,12 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(load_table(spark, sf_dir, "events"))
 
 
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_types_per_window(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "stream_topk_per_day": q_topk_window,
     "stream_dedup_keys": q_dedup,
     "stream_interval_join_1h": q_interval_join,
     "stream_tumbling_1d": q_tumbling,
@@ -46,6 +52,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_topk_per_day": """
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS w, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n, rank FROM (
+  SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY w
+             ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+  FROM agg)
+WHERE rank <= 3
+""",
     "stream_dedup_keys": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id, event_type

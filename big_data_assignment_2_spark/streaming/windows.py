@@ -112,6 +112,31 @@ def interval_join(events: DataFrame, left_type: str = "click",
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("right_ts"))
 
 
+def topk_types_per_window(events: DataFrame, width: str = "1 day",
+                          k: int = 3) -> DataFrame:
+    """Trending-items shape: top-k event types per tumbling window by
+    count, rank ties broken alphabetically.
+
+    Batch: windowed agg → per-window row_number (the window-function input
+    is the already-aggregated (window × type) relation — tiny, no hot
+    partition).  Under readStream, a rank over an updating aggregate isn't
+    an incremental operator; the production pattern is ``foreachBatch``
+    ranking each micro-batch's aggregate snapshot — exercised in
+    tests/test_streaming.py — which yields exactly this batch result once
+    the stream drains (availableNow).
+    """
+    from pyspark.sql import Window
+
+    agg = (events.groupBy(F.window("ts", width).alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    win = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    return (agg.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n", "rank"))
+
+
 def stream_to_memory(stream_df: DataFrame, name: str,
                      output_mode: str = "complete") -> None:
     """Run a streaming query to completion over the available data

@@ -84,3 +84,38 @@ def test_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     run()   # same checkpoint: source exhausted, nothing re-emitted
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == load_table(spark, sf_dir, "events").count()
+
+
+def test_foreachbatch_topk_ranking_parity(spark, sf_dir):
+    """Ranked top-k over an updating streaming aggregate is not an
+    incremental operator; the production pattern ranks each micro-batch's
+    aggregate snapshot in foreachBatch.  With availableNow the final
+    snapshot equals the batch evaluation."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.streaming.windows import (
+        events_stream, topk_types_per_window)
+
+    want = _rows(topk_types_per_window(load_table(spark, sf_dir, "events")))
+
+    agg = (events_stream(spark, sf_dir, with_watermark="1 hour")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    assert agg.isStreaming
+    result = {}
+
+    def rank_snapshot(batch_df, batch_id: int):
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("w").orderBy(F.desc("n"),
+                                              F.asc("event_type"))
+        out = (batch_df.withColumn("rank", F.row_number().over(win))
+               .filter(F.col("rank") <= 3)
+               .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                       .alias("window_start"), "event_type", "n", "rank"))
+        result["rows"] = sorted(tuple(r) for r in out.collect())
+
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(rank_snapshot).trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert result["rows"] == want
