@@ -92,7 +92,29 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         _checksum("o_orderkey").alias("checksum"))
 
 
+def q_perdoc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 per-document artifact sink (`prepare_data.py:31-38`) round-trip:
+    documents → distributed `filename \\t text` dataset → text scan →
+    count + content checksum over (sanitized filename, text).  The oracle
+    recomputes the F7-sanitized filename from doc_id directly, so a green
+    row certifies the whole stage → re-read cycle including the filename
+    render.  (Tab-splitting is safe on the harness corpus: tokenized-word
+    text, no tabs — production would stage JSONL, `source_jsonl_roundtrip`.)
+    """
+    from ..operators.prepare import prepare_documents, write_doc_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_SCRATCH, "perdoc_documents")
+    write_doc_files(prepare_documents(docs), path)
+    parts = F.split(F.col("value"), "\t", 2)
+    rt = spark.read.text(path).select(parts.getItem(0).alias("fname"),
+                                      parts.getItem(1).alias("text"))
+    return rt.agg(F.count(F.lit(1)).alias("n_files"),
+                  _checksum("fname", "text").alias("checksum"))
+
+
 QUERIES = {
+    "source_perdoc_roundtrip": q_perdoc_sink_roundtrip,
     "source_jsonl_roundtrip": q_jsonl_roundtrip,
     "source_tsv_roundtrip": q_tsv_roundtrip,
     "source_partitioned_prune": q_partitioned_prune,
@@ -101,6 +123,13 @@ QUERIES = {
 ORACLES = {
     # Oracles aggregate the ORIGINAL parquet: equality certifies the
     # write→read cycle, not just the aggregation.
+    # F7 filename = sanitize(doc_id || '_') — digits and '_' pass the
+    # [a-zA-Z0-9_-] filter untouched.
+    "source_perdoc_roundtrip": f"""
+SELECT count(*) AS n_files,
+       {_checksum_sql("CAST(doc_id AS VARCHAR) || '_'", "text")} AS checksum
+FROM documents
+""",
     "source_jsonl_roundtrip": f"""
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        {_checksum_sql('doc_id', 'text')} AS checksum
