@@ -37,6 +37,7 @@ HEADLINE = [
 # comparable with BASELINE.md round over round (these queries postdate it).
 EXTRA = [
     "sim_cosine_top_pairs",  # LSH-bucket candidate pair join (no all-pairs)
+    "sim_tfidf_topk",        # sparse TF-IDF cosine via inverted-index join
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

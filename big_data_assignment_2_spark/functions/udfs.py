@@ -36,3 +36,34 @@ def shannon_entropy(texts: pd.Series) -> pd.Series:
         return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
 
     return texts.map(one)
+
+
+def minmax_scale_by_group(df, group_col: str, value_col: str,
+                          out_col: str = "scaled"):
+    """Grouped-map Arrow surface (``applyInPandas``): per-group min-max
+    normalization of ``value_col``, rounded 6 dp (constant groups → 0.0).
+
+    This exists to put the grouped-map plumbing itself under a hard
+    cross-engine correctness row — the shuffle-by-group + whole-group
+    pandas batch shape a Python-only per-group model (a scorer, a
+    calibrator) would use.  For THIS particular computation the native
+    form (group agg + broadcast join, as the SQL oracle is written) is
+    the 100-TB path: a grouped map materializes every group in one
+    executor's memory, so few-valued group keys make hot tasks.
+    """
+    import numpy as np
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf[value_col].min(), pdf[value_col].max()
+        if hi == lo:
+            pdf[out_col] = 0.0
+        else:
+            pdf[out_col] = np.round(
+                (pdf[value_col] - lo) / float(hi - lo), 6)
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(fn, schema)

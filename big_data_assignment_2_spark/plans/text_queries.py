@@ -289,6 +289,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs)
 
 
+def q_scale_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow path (applyInPandas) under a hard oracle row:
+    per-source min-max scaling of document length.  The oracle uses the
+    native agg+join form — which is also the recommended plan at scale
+    (see functions/udfs.py docstring)."""
+    from ..functions.udfs import minmax_scale_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "source", F.col("n_chars").cast("int").alias("n_chars"))
+    return minmax_scale_by_group(base, "source", "n_chars")
+
+
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy via the sanctioned Arrow
     ``pandas_udf`` path (functions/udfs.py) — the one place Python math is
@@ -304,6 +317,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pipeline_pack_sequences": q_pack_sequences,
+    "text_scale_by_source": q_scale_by_source,
     "text_entropy": q_entropy,
     "pipeline_split_train_eval": q_split_train_eval,
     "text_contamination": q_contamination,
@@ -376,6 +390,19 @@ SELECT CAST(did AS VARCHAR) AS doc_id,
             ELSE (cb + n_tok - 1) // {_SEQ_BUDGET} - cb // {_SEQ_BUDGET} + 1
             END AS BIGINT) AS n_seq_spans
 FROM c
+""",
+    "text_scale_by_source": """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(n_chars AS INTEGER) AS n_chars,
+         min(n_chars) OVER (PARTITION BY source) AS mn,
+         max(n_chars) OVER (PARTITION BY source) AS mx
+  FROM documents)
+SELECT doc_id, source, n_chars,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE round((n_chars - mn) / CAST(mx - mn AS DOUBLE), 6)
+       END AS scaled
+FROM b
 """,
     # Golden oracle: rows precomputed with the reference's Python tokenizer
     # (DuckDB's RE2 `\w` is ASCII-only and cannot express `(?U)` itself).

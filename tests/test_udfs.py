@@ -34,3 +34,23 @@ def test_entropy_on_corpus(spark, sf_dir):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     for r in out:
         assert r["e"] == py_entropy(texts[r["doc_id"]])
+
+
+def test_minmax_scale_by_group(spark):
+    from big_data_assignment_2_spark.functions.udfs import \
+        minmax_scale_by_group
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30),
+            ("b", 4, 7), ("b", 5, 7),          # constant group -> 0.0
+            ("c", 6, 42)]                      # singleton group -> 0.0
+    df = spark.createDataFrame(rows, "grp string, id int, v int")
+    got = {r["id"]: (r["grp"], r["scaled"])
+           for r in minmax_scale_by_group(df, "grp", "v").collect()}
+    assert got[1] == ("a", 0.0)
+    assert got[2] == ("a", 0.5)
+    assert got[3] == ("a", 1.0)
+    assert got[4][1] == 0.0 and got[5][1] == 0.0
+    assert got[6][1] == 0.0
+    # schema passthrough: all source columns + scaled
+    out = minmax_scale_by_group(df, "grp", "v")
+    assert out.columns == ["grp", "id", "v", "scaled"]
