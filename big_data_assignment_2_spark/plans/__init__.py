@@ -15,25 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict = {}
-    for mod in _family_modules():
-        out.update(mod.QUERIES)
-    return _prioritized(out)
+    return _prioritized(_interleaved([m.QUERIES for m in _family_modules()]))
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict = {}
-    for mod in _family_modules():
-        out.update(mod.ORACLES)
-    return _prioritized(out)
+    return _prioritized(_interleaved([m.ORACLES for m in _family_modules()]))
 
 
 def _family_modules():
-    # Registry order: the external correctness driver walks entries in dict
-    # order under a budget, so the LLM-pipeline families (dedup / similarity
-    # / text / streaming / multimodal) — the ones with no driver rows in
-    # round 1 — come first; the already-proven search/relational/window
-    # families close the list.
+    # Family list order: never-driver-verified families (round 1 gate cut)
+    # lead; the proven search/relational/window families close the list.
     mods = []
     for name in ("dedup_queries", "similarity_queries", "text_queries",
                  "streaming_queries", "multimodal_queries", "source_queries",
@@ -46,6 +37,27 @@ def _family_modules():
     return mods
 
 
+def _interleaved(dicts: list[dict]) -> dict:
+    """Round-robin across the family dicts (intra-family order preserved):
+    the external correctness driver walks queries() in dict order under a
+    budget, so ANY prefix cut covers every family roughly evenly instead
+    of silently dropping whole late families (the round-1 failure mode,
+    where everything after position 50 got no correctness row)."""
+    out: dict = {}
+    iters = [iter(d.items()) for d in dicts]
+    while iters:
+        alive = []
+        for it in iters:
+            try:
+                k, v = next(it)
+            except StopIteration:
+                continue
+            out[k] = v
+            alive.append(it)
+        iters = alive
+    return out
+
+
 # Promoted ahead of the proven-green tail so they are verified even under a
 # tight driver budget: round-1 rows fixed this round (first four) and
 # queries NEW this round that live in late-registry families.
@@ -56,7 +68,10 @@ _PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
              # never reached by the round-1 gate (sat past its 50-entry cut)
              "sql_string_funcs", "sql_case_buckets", "sql_percentile",
              # new in round 2, late-registry families
-             "rel_global_rank", "events_zscore_outliers")
+             "rel_global_rank", "events_zscore_outliers",
+             # flagship heavies: a hard row for these matters most
+             "search_bm25_topk", "dedup_minhash_near", "dedup_clusters",
+             "sim_cosine_near_dups")
 
 
 def _prioritized(entries: dict) -> dict:
