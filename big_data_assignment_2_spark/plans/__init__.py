@@ -28,7 +28,8 @@ def _family_modules():
     mods = []
     for name in ("dedup_queries", "similarity_queries", "text_queries",
                  "streaming_queries", "multimodal_queries", "source_queries",
-                 "skew_queries", "events_queries", "sql_queries",
+                 "skew_queries", "events_queries", "graph_queries",
+                 "sql_queries",
                  "search_queries", "relational_queries", "window_queries"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

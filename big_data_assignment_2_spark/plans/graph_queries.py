@@ -1,0 +1,78 @@
+"""Graph-analytics family: weighted PageRank over the nation→nation trade
+graph (supplier nation ships to customer nation, edge weight = lineitem
+count), 3 rounded iterations replayed exactly by an unrolled SQL oracle —
+the second iterative algorithm under hard cross-engine verification
+(alongside the Lloyd k-means in the similarity family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..sources.io import load_table
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who sits at the center of the trade network: PageRank over nation
+    trade edges.  Edge building is three broadcast-dimension equi-joins +
+    one hash-agg; the iteration is operators/graph.pagerank."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .groupBy(F.col("s_nationkey").alias("src"),
+                      F.col("c_nationkey").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    pr = pagerank(edges, nodes, iters=PR_ITERS, damping=PR_DAMPING)
+    return (pr.join(F.broadcast(nation),
+                    pr["node"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"), "pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    n_cte = "(SELECT count(*) FROM nation)"
+    ctes = [f"""e AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2)""",
+            "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src)",
+            "ep AS (SELECT e.src, e.dst, e.w / outw.ow AS p "
+            "FROM e JOIN outw USING (src))",
+            "nd AS (SELECT n_nationkey AS node FROM nation)",
+            f"r0 AS (SELECT node, round(1.0 / {n_cte}, 6) AS r FROM nd)"]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node,
+         round((1 - {PR_DAMPING}) / {n_cte}
+               + {PR_DAMPING} * coalesce(sum(ep.p * pr.r), 0), 6) AS r
+  FROM nd LEFT JOIN ep ON ep.dst = nd.node
+          LEFT JOIN r{i - 1} pr ON pr.node = ep.src
+  GROUP BY nd.node)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT n.n_name AS nation, r{PR_ITERS}.r AS pagerank
+FROM r{PR_ITERS} JOIN nation n ON n.n_nationkey = r{PR_ITERS}.node
+"""
+
+
+QUERIES = {
+    "graph_pagerank_trade": q_pagerank_trade,
+}
+
+ORACLES = {
+    "graph_pagerank_trade": _pagerank_oracle(),
+}
