@@ -62,8 +62,11 @@ def minmax_scale_by_group(df, group_col: str, value_col: str,
         if hi == lo:
             pdf[out_col] = 0.0
         else:
-            pdf[out_col] = np.round(
-                (pdf[value_col] - lo) / float(hi - lo), 6)
+            x = (pdf[value_col] - lo) / float(hi - lo)
+            # round half AWAY from zero (what Spark F.round and DuckDB
+            # round() do) — np.round is half-to-even, which diverges by
+            # 1 ulp on exact binary ties like 0.6953125
+            pdf[out_col] = np.floor(x * 1e6 + 0.5) / 1e6
         return pdf
 
     return df.groupBy(group_col).applyInPandas(fn, schema)

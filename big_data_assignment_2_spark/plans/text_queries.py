@@ -279,6 +279,42 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("n_tokens")))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the
+    perplexity-filter signal of CCNet-style pipelines (Wenzek et al. '19),
+    with the corpus itself as the LM: avg ln P(t2|t1) over the doc's
+    bigrams, P = corpus bigram count / prefix count (MLE; every doc bigram
+    has corpus count ≥ 1 by construction, so no smoothing is needed).
+
+    Shape at scale: one explode + two count aggs + two equi-joins keyed by
+    tokens — no windows over raw text, no all-pairs; count relations are
+    vocabulary-sized, far smaller than the token stream."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("t1"),
+                           F.element_at(toks, i + 1).alias("t2")))
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+    b = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     F.explode(bigrams).alias("bg"))
+         .select("doc_id", F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2")))
+    c2 = b.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = b.groupBy("t1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (b.join(c2, ["t1", "t2"]).join(c1, "t1")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+                   F.round(F.avg(F.log(F.col("n2") / F.col("n1"))), 6)
+                   .alias("avg_logprob")))
+    all_docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+    return (all_docs.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob")))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concatenate-and-chunk sequence packing: each document's
     (seq_id, seq_offset, n_seq_spans) in the fixed-budget token stream,
@@ -316,6 +352,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_lm_score": q_lm_score,
     "pipeline_pack_sequences": q_pack_sequences,
     "text_scale_by_source": q_scale_by_source,
     "text_entropy": q_entropy,
@@ -390,6 +427,27 @@ SELECT CAST(did AS VARCHAR) AS doc_id,
             ELSE (cb + n_tok - 1) // {_SEQ_BUDGET} - cb // {_SEQ_BUDGET} + 1
             END AS BIGINT) AS n_seq_spans
 FROM c
+""",
+    "text_lm_score": f"""
+WITH {_TOKENS_CTE},
+led AS (
+  SELECT doc_id, term AS t1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY position) AS t2
+  FROM tokens),
+b AS (SELECT doc_id, t1, t2 FROM led WHERE t2 IS NOT NULL),
+c2 AS (SELECT t1, t2, count(*) AS n2 FROM b GROUP BY 1, 2),
+c1 AS (SELECT t1, count(*) AS n1 FROM b GROUP BY 1),
+s AS (
+  SELECT b.doc_id, ln(CAST(n2 AS DOUBLE) / n1) AS lp
+  FROM b JOIN c2 USING (t1, t2) JOIN c1 USING (t1)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       coalesce(agg.avg_logprob, 0.0) AS avg_logprob
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
 """,
     "text_scale_by_source": """
 WITH b AS (
