@@ -106,3 +106,39 @@ def test_parquet_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_jsonl_malformed_rows_quarantined(spark, tmp_path):
+    """P5/P6-adjacent robustness: corrupt JSONL lines land in
+    _corrupt_record under PERMISSIVE (the 100-TB default: quarantine and
+    continue), and FAILFAST surfaces them as errors instead of silently
+    dropping data."""
+    import os
+
+    from pyspark.errors import PythonException
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import CapturedException
+
+    p = os.path.join(tmp_path, "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "good row"}\n')
+        f.write('{"doc_id": 2, "text": "also fine"}\n')
+        f.write('{"doc_id": 3, "text": "broken\n')          # truncated JSON
+        f.write('not json at all\n')
+
+    schema = ("doc_id BIGINT, text STRING, _corrupt_record STRING")
+    df = spark.read.schema(schema).json(p).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 2
+        assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    finally:
+        df.unpersist()
+
+    import pytest
+
+    with pytest.raises((CapturedException, PythonException, Exception)):
+        spark.read.schema("doc_id BIGINT, text STRING") \
+            .option("mode", "FAILFAST").json(p).collect()
