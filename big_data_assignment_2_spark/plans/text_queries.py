@@ -279,6 +279,32 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("n_tokens")))
 
 
+def q_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data prep: quality gate → exact-dedup
+    survivors → GPT-style sequence packing of the surviving corpus — the
+    whole pipeline a pretraining run needs, as ONE declared lineage (each
+    stage is the already-verified operator: quality_features, dedup_exact,
+    pack_sequences)."""
+    from ..operators.dedup import dedup_exact, tokenset_key
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    passing = (quality_features(docs)
+               .filter((F.col("n_tokens") >= 20)
+                       & (F.col("stopword_ratio") <= 0.3))
+               .select(F.col("doc_id").alias("doc_id_s")))
+    filtered = (docs.withColumn("doc_id_s", F.col("doc_id").cast("string"))
+                .join(passing, "doc_id_s")
+                .select("doc_id", "text"))
+    survivors = (dedup_exact(filtered, tokenset_key("text"))
+                 .select(F.col("doc_id").alias("doc_id_s")))
+    surviving = (filtered.withColumn("doc_id_s",
+                                     F.col("doc_id").cast("string"))
+                 .join(survivors, "doc_id_s")
+                 .select("doc_id", "text"))
+    return pack_sequences(surviving)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model fluency score per document — the
     perplexity-filter signal of CCNet-style pipelines (Wenzek et al. '19),
@@ -352,6 +378,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pipeline_prepare_training": q_prepare_training,
     "text_lm_score": q_lm_score,
     "pipeline_pack_sequences": q_pack_sequences,
     "text_scale_by_source": q_scale_by_source,
@@ -403,6 +430,25 @@ sdocs AS (
 """
 
 from ..operators.packing import SEQ_BUDGET as _SEQ_BUDGET  # noqa: E402
+
+# Shared corpus-cleaning CTE chain (quality gate → tokenset-dedup
+# survivors), used by pipeline_clean_corpus and pipeline_prepare_training.
+_CLEAN_CTES = f"""{_TOKENS_CTE},
+quality AS (
+  SELECT d.doc_id,
+         CAST(len(d.toks) AS INTEGER) AS n_tokens,
+         round(CASE WHEN len(d.toks) > 0
+               THEN CAST(len(list_filter(d.toks, t -> t IN ({_STOP_LIST})))
+                         AS DOUBLE) / len(d.toks)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS k
+  FROM docs d),
+passing AS (
+  SELECT * FROM quality WHERE n_tokens >= 20 AND stopword_ratio <= 0.3),
+survivors AS (
+  SELECT CAST(min(CAST(doc_id AS BIGINT)) AS VARCHAR) AS doc_id,
+         count(*) AS n_copies
+  FROM passing GROUP BY k)"""
 
 ORACLES = {
     # Exclusive running sum over ascending doc_id (DuckDB SUM() OVER is
@@ -568,24 +614,32 @@ SELECT doc_id, CAST(h % {N_SHARDS} AS INTEGER) AS shard,
 FROM h
 """,
     "pipeline_clean_corpus": f"""
-WITH {_TOKENS_CTE},
-quality AS (
-  SELECT d.doc_id,
-         CAST(len(d.toks) AS INTEGER) AS n_tokens,
-         round(CASE WHEN len(d.toks) > 0
-               THEN CAST(len(list_filter(d.toks, t -> t IN ({_STOP_LIST})))
-                         AS DOUBLE) / len(d.toks)
-               ELSE 0.0 END, 6) AS stopword_ratio,
-         md5(array_to_string(list_sort(list_distinct(d.toks)), ' ')) AS k
-  FROM docs d),
-passing AS (
-  SELECT * FROM quality WHERE n_tokens >= 20 AND stopword_ratio <= 0.3),
-survivors AS (
-  SELECT CAST(min(CAST(doc_id AS BIGINT)) AS VARCHAR) AS doc_id,
-         count(*) AS n_copies
-  FROM passing GROUP BY k)
+WITH {_CLEAN_CTES}
 SELECT s.doc_id, s.n_copies, p.n_tokens, p.stopword_ratio
 FROM survivors s JOIN passing p USING (doc_id)
+""",
+    # clean → pack: survivors (ascending numeric id) laid out in the
+    # packed token stream; window SUM is HUGEINT → cast BIGINT.
+    "pipeline_prepare_training": f"""
+WITH {_CLEAN_CTES},
+t AS (
+  SELECT CAST(s.doc_id AS BIGINT) AS did, p.n_tokens AS n_tok
+  FROM survivors s JOIN passing p USING (doc_id)),
+c AS (
+  SELECT did, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+             ORDER BY did
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+  FROM t)
+SELECT CAST(did AS VARCHAR) AS doc_id,
+       n_tok AS n_tokens,
+       cb // {_SEQ_BUDGET} AS seq_id,
+       cb % {_SEQ_BUDGET} AS seq_offset,
+       CAST(CASE WHEN n_tok = 0 THEN 0
+            ELSE (cb + n_tok - 1) // {_SEQ_BUDGET} - cb // {_SEQ_BUDGET} + 1
+            END AS BIGINT) AS n_seq_spans
+FROM c
 """,
     "text_langid_eval": f"""
 WITH {_TOKENS_CTE},
