@@ -234,6 +234,36 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name"))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: base orders merged
+    with a delta of updates (keys ≡ 0 mod 97 → status 'U', price × 1.1)
+    and inserts (keys ≡ 0 mod 251 re-keyed +10M, status 'N') via ONE full
+    outer join on the key — matched rows take delta values, unmatched
+    keep base, delta-only rows insert.  Money arithmetic stays in exact
+    DECIMAL end-to-end (double products round differently per engine);
+    summarized per final status.  At scale this is the Delta/Iceberg
+    MERGE plan shape: a key-partitioned full join + coalesce projection."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    upd = (o.filter(F.col("k") % 97 == 0)
+           .select("k", F.lit("U").alias("ds"),
+                   (F.col("p") * F.lit(1.1).cast("decimal(2,1)")).alias("dp")))
+    ins = (o.filter(F.col("k") % 251 == 0)
+           .select((F.col("k") + 10_000_000).alias("k"),
+                   F.lit("N").alias("ds"),
+                   F.col("p").cast("decimal(21,3)").alias("dp")))
+    delta = upd.unionByName(ins)
+    merged = (o.join(delta, "k", "full")
+              .select(F.coalesce("ds", "s").alias("status"),
+                      F.coalesce(F.col("dp"),
+                                 F.col("p").cast("decimal(21,3)")).alias("p")))
+    return (merged.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("p").cast("double").alias("sum_price")))
+
+
 def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two derived per-customer relations (urgent vs
     finished order counts) — each side has keys the other lacks, so left-
@@ -608,6 +638,7 @@ QUERIES = {
     "rel_region_revenue": q_region_revenue,
     "rel_nation_volume": q_nation_volume,
     "rel_returned_top_customers": q_returned_top_customers,
+    "rel_merge_upsert": q_merge_upsert,
     "rel_join_full": q_join_full,
     "rel_approx_quantiles": q_approx_quantiles,
     "rel_explode_outer": q_explode_outer,
@@ -723,6 +754,24 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_mktsegment
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "rel_merge_upsert": """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders),
+delta AS (
+  SELECT k, 'U' AS ds, CAST(p * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3)) AS dp
+  FROM base WHERE k % 97 = 0
+  UNION ALL
+  SELECT k + 10000000 AS k, 'N' AS ds, CAST(p AS DECIMAL(21,3)) AS dp
+  FROM base WHERE k % 251 = 0),
+merged AS (
+  SELECT coalesce(d.ds, b.s) AS status,
+         coalesce(d.dp, CAST(b.p AS DECIMAL(21,3))) AS p
+  FROM base b FULL JOIN delta d ON b.k = d.k)
+SELECT status, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_price
+FROM merged GROUP BY status
 """,
     "rel_join_full": """
 WITH u AS (SELECT o_custkey AS custkey, count(*) AS n_urgent

@@ -71,6 +71,24 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval (every query term must appear) — the
+    classic unranked retrieval mode beside BM25.  Distinct (doc, term)
+    pairs filtered to the query terms, one hash-agg per doc, kept when
+    all terms hit; same broadcast-friendly shape as the BM25 probe."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_query
+
+    terms = tokenize_query(FLAGSHIP_QUERY)
+    toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
+    pairs = (toks.filter(F.col("term").isin(terms))
+             .select("doc_id", "term").distinct())
+    return (pairs.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_terms"))
+            .filter(F.col("n_terms") == len(terms)))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 end-to-end: BM25 top-10 for the flagship query."""
     docs = load_table(spark, sf_dir, "documents")
@@ -121,6 +139,7 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "search_boolean_and": q_boolean_and,
     "search_index_merge": q_index_merge,
     "search_bm25_batch": q_bm25_batch,
     "search_phrase_match": q_phrase_match,
@@ -185,6 +204,13 @@ WHERE rank <= 5
 """
 
 ORACLES = {
+    "search_boolean_and": f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM tokens WHERE term IN ('vector', 'query', 'stream', 'fast', 'join')
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 5
+""",
     # full-corpus df — identical to search_doc_freq: merge must ≡ rebuild
     "search_index_merge": f"""
 WITH {_TOKENS_CTE}
