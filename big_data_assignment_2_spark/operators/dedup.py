@@ -255,36 +255,92 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+LOCAL_CC_MAX_EDGES = 2_000_000  # ~32 MB of (long, long) — bounded driver load
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
-    """Connected components by iterative min-label propagation with
-    pointer jumping — turns near-dup PAIRS into dedup CLUSTERS (keep min
-    doc per cluster, drop the rest), the last step of a production dedup
-    pipeline.
+                         max_iter: int = 20,
+                         local_max_edges: int = LOCAL_CC_MAX_EDGES) -> DataFrame:
+    """Connected components — turns near-dup PAIRS into dedup CLUSTERS
+    (keep min doc per cluster, drop the rest), the last step of a
+    production dedup pipeline.
 
     ``edges``: (a, b) undirected; ``nodes``: (id).  Returns
     (id, component) with component = min node id reachable.
 
-    Iterative DataFrame algorithm (the one family Catalyst can't express
-    in a single plan); scale design:
-    - **Isolated nodes never enter the loop.**  At corpus scale the vast
-      majority of documents have no near-dup edge; only nodes appearing in
-      ``edges`` are labeled iteratively, everything else joins the result
-      as its own singleton component in one final union.
-    - **Each round = one hop + one pointer jump.**  The hop takes the min
-      label over neighbors; the jump re-labels through the current label
-      (``component ← component[component]``), giving O(log diameter)
-      convergence (pointer-jumping/path-halving, as in large/small-star
-      CC) instead of O(diameter) hops — chains collapse exponentially.
-    - ``localCheckpoint`` truncates lineage each round so round N doesn't
-      replay rounds 1..N-1; the convergence count rides on the (tiny)
-      checkpointed label tables.
+    Hybrid execution, the shape production CC implementations use
+    (GraphFrames' connectedComponents ends with a local phase once the
+    shrunken graph fits the driver):
+
+    - **Small graph (edge count ≤ local_max_edges)**: collect the edge
+      list and run union-find on the driver — a BOUNDED collect
+      (threshold-gated, like the k-means sample in similarity.py), ~100 ms
+      where the iterative loop pays seconds of per-round job overhead.
+      Near-dup edge sets are tiny relative to the corpus (most documents
+      have no near-dup), so this is the common case even at large SF.
+    - **Large graph**: iterative min-label propagation with pointer
+      jumping (the one family Catalyst can't express in a single plan):
+      - Isolated nodes never enter the loop — only nodes appearing in
+        ``edges`` are labeled iteratively; everything else joins the
+        result as its own singleton component in one final union.
+      - Each round = one hop + one pointer jump.  The hop takes the min
+        label over neighbors; the jump re-labels through the current
+        label (``component ← component[component]``), giving
+        O(log diameter) convergence (pointer-jumping/path-halving, as in
+        large/small-star CC) instead of O(diameter) hops.
+      - ``localCheckpoint`` truncates lineage each round; the convergence
+        count rides on a ``__changed`` flag computed inside the same
+        checkpointed plan, so each round is exactly two driver actions.
     """
     from pyspark import StorageLevel
 
     both = edges.select(F.col("a").alias("x"), F.col("b").alias("y")) \
         .unionByName(edges.select(F.col("b").alias("x"), F.col("a").alias("y"))) \
         .persist(StorageLevel.MEMORY_AND_DISK)  # re-joined every round
+    n_edges = both.count() // 2
+    if n_edges <= local_max_edges:
+        labels = _local_union_find(both, edges.sparkSession)
+    else:
+        labels = _iterative_min_label(both, max_iter)
+    singletons = (nodes.join(labels, nodes.id == labels.id, "left_anti")
+                  .select(nodes.id, nodes.id.alias("component")))
+    return labels.unionByName(singletons)
+
+
+def _local_union_find(both: DataFrame, spark) -> DataFrame:
+    """Driver-side union-find (path compression + union by min id) over a
+    bounded edge list; returns the (id, component) DataFrame.  Transfer is
+    Arrow-batched both ways (toPandas / createDataFrame-on-pandas)."""
+    import pandas as pd
+
+    pdf = both.select("x", "y").toPandas()
+    parent: dict = {}
+
+    def find(v):
+        root = v
+        while parent[root] != root:
+            root = parent[root]
+        while parent[v] != root:  # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    for a, b in zip(pdf["x"].to_numpy(), pdf["y"].to_numpy()):
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id so the root IS the component label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = pd.DataFrame({"id": list(parent)})
+    out["component"] = [find(v) for v in out["id"]]
+    return spark.createDataFrame(out)
+
+
+def _iterative_min_label(both: DataFrame, max_iter: int) -> DataFrame:
     touched = both.select(F.col("x").alias("id")).distinct()
     labels = touched.select("id", F.col("id").alias("component")) \
         .localCheckpoint(eager=True)
@@ -296,6 +352,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         hopped = (labels.join(neighbor_min,
                               labels.id == neighbor_min.x, "left")
                   .select(labels.id,
+                          F.col("component").alias("__old"),
                           F.least("component",
                                   F.coalesce("nc", "component"))
                           .alias("component")))
@@ -305,18 +362,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                                F.col("component").alias("__pcomp"))
         new_labels = (hopped.join(parent,
                                   hopped.component == F.col("__pid"))
-                      .select("id", F.col("__pcomp").alias("component")))
+                      .select("id", F.col("__pcomp").alias("component"),
+                              (F.col("__pcomp") != F.col("__old"))
+                              .alias("__changed")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
-    singletons = (nodes.join(labels, nodes.id == labels.id, "left_anti")
-                  .select(nodes.id, nodes.id.alias("component")))
-    return labels.unionByName(singletons)
+    return labels
 
 
 def near_dup_clusters(docs: DataFrame, threshold: float = 0.9,

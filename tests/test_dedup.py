@@ -100,9 +100,29 @@ def test_connected_components(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
                                   "id long")
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    # Both execution paths of the hybrid must agree: driver union-find
+    # (small-graph default) and the distributed min-label loop (forced by
+    # a zero local threshold).
+    for local_max in (2_000_000, 0):
+        comp = {r["id"]: r["component"]
+                for r in connected_components(
+                    edges, nodes, local_max_edges=local_max).collect()}
+        assert comp == expected, f"local_max_edges={local_max}"
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """O(log diameter) pointer jumping must close a 33-node chain within
+    max_iter=20 on the distributed path."""
+    from big_data_assignment_2_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(32)],
+                                  "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(33)], "id long")
     comp = {r["id"]: r["component"]
-            for r in connected_components(edges, nodes).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+            for r in connected_components(edges, nodes,
+                                          local_max_edges=0).collect()}
+    assert comp == {i: 0 for i in range(33)}
 
 
 def test_near_dup_clusters_survivors(spark):
