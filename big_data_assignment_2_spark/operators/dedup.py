@@ -121,7 +121,12 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
        for pathological multi-MB sets the pre-round-2 formulation (join
        pairs→(doc,term)→count) trades row width for shuffle rows.
     """
-    sizes = tokensets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # One agg produces both the size (for the narrow prune joins) and the
+    # sorted array (for the verify joins) — the sizes projection reads the
+    # same shuffle output, so the whole function costs one agg, not two.
+    arrays = tokensets.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("__toks"))
+    sizes = arrays.select("doc_id", F.size("__toks").alias("sz"))
     pruned = (pairs
               .join(sizes.select(F.col("doc_id").alias("doc_a"),
                                  F.col("sz").alias("sz_a")), "doc_a")
@@ -129,8 +134,6 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
                                  F.col("sz").alias("sz_b")), "doc_b")
               .filter(F.least("sz_a", "sz_b")
                       >= F.lit(threshold) * F.greatest("sz_a", "sz_b")))
-    arrays = tokensets.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("__toks"))
     return (pruned
             .join(arrays.select(F.col("doc_id").alias("doc_a"),
                                 F.col("__toks").alias("__ta")), "doc_a")

@@ -605,6 +605,39 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.col("exact_customers") <= 0.05).alias("within_tol")))
 
 
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL (Spark 3.5+ ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-group sketches built in ONE pass over the data
+    are unioned into the corpus-wide cardinality without revisiting the
+    rows — the pre-aggregate-per-shard pattern that makes distinct
+    counting embarrassingly parallel at 100 TB (a ~KB sketch per shard
+    moves through the final merge, not the distinct values themselves;
+    `approx_count_distinct` gives the estimate but not a reusable,
+    mergeable sketch column).
+
+    Oracle-checkable like rel_approx_distinct: emits the exact count plus
+    a boolean asserting each HLL estimate (per group AND the sketch-union
+    total) is within 5%; the oracle emits exact counts and literal TRUE.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = (o.groupBy("o_orderstatus")
+           .agg(F.expr("hll_sketch_agg(o_custkey)").alias("__sk"),
+                F.countDistinct("o_custkey").alias("exact_customers")))
+    per_out = per.select(
+        "o_orderstatus", "exact_customers",
+        (F.abs(F.expr("hll_sketch_estimate(__sk)")
+               - F.col("exact_customers"))
+         / F.col("exact_customers") <= 0.05).alias("within_tol"))
+    # The union row re-reads only the 3 per-group sketch rows, not orders.
+    total = (o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+             .crossJoin(per.agg(F.expr(
+                 "hll_sketch_estimate(hll_union_agg(__sk))").alias("__est")))
+             .select(F.lit("ALL").alias("o_orderstatus"), "exact_customers",
+                     (F.abs(F.col("__est") - F.col("exact_customers"))
+                      / F.col("exact_customers") <= 0.05).alias("within_tol")))
+    return per_out.unionByName(total)
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-order enumeration of every order by price via
     :func:`operators.relational.global_rank` — the scale-safe replacement
@@ -625,6 +658,7 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_hll_sketch_union": q_hll_sketch_union,
     "rel_global_rank": q_global_rank,
     "rel_approx_distinct": q_approx_distinct,
     "rel_pivot": q_pivot,
@@ -663,6 +697,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Sketch estimates are engine-specific; the booleans certify each Spark
+    # HLL estimate (per group and the sketch-union total) against exact
+    # counts computed on both engines.
+    "rel_hll_sketch_union": """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_tol
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+""",
     # The oracle is the textbook single-window definition the distributed
     # operator must reproduce rank-for-rank.
     "rel_global_rank": """

@@ -377,7 +377,61 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                        shannon_entropy("text").alias("entropy"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (heavy hitters) over the corpus token
+    stream via ``approx_top_k`` (Spark 4 sketch aggregate) — the
+    vocabulary-report operator that at 100 TB replaces an exact full
+    group-by with a fixed-size mergeable sketch per partition (no shuffle
+    of the long-tail terms at all).
+
+    Hard oracle row is possible because the sketch is EXACT whenever the
+    live item count fits the tracking budget (maxItemsTracked=65536 ≫ the
+    harness vocabulary): the oracle is the exact per-term count.  At web
+    scale the same plan degrades gracefully to approximate counts."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    return (toks.select(F.expr("approx_top_k(term, 100, 65536)").alias("tk"))
+            .select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("term"),
+                    F.col("e.count").cast("bigint").alias("n_occurrences")))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level benchmark decontamination: drop every training doc
+    whose bag-of-words (token-set) key matches a held-out doc (doc_id <
+    EVAL_MAX_ID), reported per source — the registry-vs-corpus anti-join
+    every training pipeline runs (complementing ``text_contamination``,
+    which scores partial shingle overlap).
+
+    One pass over the training side: left join against the (distinct,
+    tiny) eval-key side + conditional aggregation.  The eval side
+    broadcasts here; at 100 TB with a large eval registry the same plan
+    becomes a shuffle join where the session's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) prunes the
+    training side before the exchange — the idiomatic-Spark form of
+    "build a bloom filter of the eval set and filter the corpus"."""
+    from ..operators.dedup import tokenset_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("source", tokenset_key("text").alias("__k"),
+                        F.col("doc_id").cast("bigint").alias("__nid"))
+    ev = (keyed.filter(F.col("__nid") < EVAL_MAX_ID)
+          .select("__k").distinct().withColumn("__hit", F.lit(1)))
+    tr = keyed.filter(F.col("__nid") >= EVAL_MAX_ID)
+    return (tr.join(ev, "__k", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_train"),
+                 F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_clean"),
+                 F.sum(F.coalesce("__hit", F.lit(0)))
+                 .cast("bigint").alias("n_dropped")))
+
+
 QUERIES = {
+    "text_heavy_hitters": q_heavy_hitters,
+    "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
     "text_lm_score": q_lm_score,
     "pipeline_pack_sequences": q_pack_sequences,
