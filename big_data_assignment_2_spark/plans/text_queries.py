@@ -505,6 +505,34 @@ survivors AS (
   FROM passing GROUP BY k)"""
 
 ORACLES = {
+    # approx_top_k is EXACT while live items <= maxItemsTracked (65536 >>
+    # the corpus vocabulary), so the oracle is the exact per-term count.
+    "text_heavy_hitters": f"""
+WITH {_TOKENS_CTE}
+SELECT term, count(*) AS n_occurrences
+FROM tokens GROUP BY term
+ORDER BY n_occurrences DESC LIMIT 100
+""",
+    # Same token-set key as dedup_tokenset's oracle; eval side distinct
+    # before the LEFT JOIN so training rows never multiply.
+    "pipeline_decontaminate": f"""
+WITH {_TOKENS_CTE},
+keyed AS (
+  SELECT d.source, CAST(d.doc_id AS BIGINT) AS nid,
+         md5(array_to_string(list_sort(list_distinct(t.toks)), ' ')) AS k
+  FROM documents d
+  JOIN docs t ON CAST(d.doc_id AS VARCHAR) = t.doc_id),
+ev AS (SELECT DISTINCT k FROM keyed WHERE nid < {EVAL_MAX_ID}),
+tr AS (SELECT * FROM keyed WHERE nid >= {EVAL_MAX_ID})
+SELECT tr.source,
+       count(*) AS n_train,
+       CAST(sum(CASE WHEN ev.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(sum(CASE WHEN ev.k IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped
+FROM tr LEFT JOIN ev ON tr.k = ev.k
+GROUP BY tr.source
+""",
     # Exclusive running sum over ascending doc_id (DuckDB SUM() OVER is
     # HUGEINT → cast BIGINT to match Spark), then integer div/mod by the
     # sequence budget.
