@@ -70,14 +70,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
-    for name in COLD_ALSO:
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        extra_timings[f"{name}_cold"] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    # HEADLINE first, cold-heavies LAST: round 3 showed the 10s+ cold dedup
+    # runs (exploded token state, GC debt) executing before the headline
+    # loop can inflate an unchanged query's min-of-3 several-fold.  Timing
+    # order now matches the conditions BASELINE.md was recorded under.
     for name in HEADLINE + EXTRA:
         fn = qs[name]
+        materialize(fn(spark, sf_dir))   # untimed warmup: codegen + JIT
+        spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
@@ -87,6 +87,12 @@ def main() -> None:
         # the estimator least contaminated by co-tenant machine load.
         (timings if name in HEADLINE else extra_timings)[name] = \
             round(min(runs), 3)
+    for name in COLD_ALSO:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        extra_timings[f"{name}_cold"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     # Serving path: probe a persisted term-bucketed index (build+persist is
     # untimed setup — the amortized query latency is the number that

@@ -59,23 +59,39 @@ def _interleaved(dicts: list[dict]) -> dict:
     return out
 
 
-# Promoted ahead of the proven-green tail so they are verified even under a
-# tight driver budget: round-1 rows fixed this round (first four) and
-# queries NEW this round that live in late-registry families.
-_PROMOTED = ("search_postings", "rel_scalar_json", "rel_scalar_map",
-             "rel_approx_distinct", "rel_join_full", "rel_approx_quantiles",
-             "rel_explode_outer", "search_index_merge", "win_distribution",
-             "rel_profile_orders",
-             # never reached by the round-1 gate (sat past its 50-entry cut)
-             "sql_string_funcs", "sql_case_buckets", "sql_percentile",
-             # new in round 2, late-registry families
-             "rel_global_rank", "events_zscore_outliers",
-             # flagship heavies: a hard row for these matters most
-             "search_bm25_topk", "dedup_minhash_near", "dedup_clusters",
-             "sim_cosine_near_dups")
+# Flagship heavies: keep a hard driver row for these fresh every round even
+# when the rotation is busy clearing the never-verified backlog.
+_FLAGSHIPS = ("search_bm25_topk", "dedup_minhash_near", "dedup_clusters",
+              "sim_cosine_near_dups", "rel_pricing_summary")
+
+
+def _verified_names() -> set:
+    """Union of queries with a fully-green row in any committed
+    CORRECTNESS_r*.json (rows+schema+hash).  The external driver checks the
+    FIRST 50 registry entries each round, so ordering never-verified queries
+    first rotates hard verification across the whole registry over rounds
+    instead of re-checking the same prefix forever."""
+    import json
+    from pathlib import Path
+
+    seen: set = set()
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and r.get("rows_match") \
+                    and r.get("schema_match") and r.get("hash_match"):
+                seen.add(name)
+    return seen
 
 
 def _prioritized(entries: dict) -> dict:
-    head = {k: entries[k] for k in _PROMOTED if k in entries}
+    verified = _verified_names()
+    never = {k: v for k, v in entries.items() if k not in verified}
+    head = dict(never)
+    head.update({k: entries[k] for k in _FLAGSHIPS if k in entries})
     head.update(entries)
     return head

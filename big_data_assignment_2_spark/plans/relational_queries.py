@@ -629,9 +629,16 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                - F.col("exact_customers"))
          / F.col("exact_customers") <= 0.05).alias("within_tol"))
     # The union row re-reads only the 3 per-group sketch rows, not orders.
+    # Pairing two 1-row aggregates is the broadcast 1-row-relation idiom
+    # (operators/search.py:63); Catalyst constant-folds any literal join key
+    # away, so the physical plan is necessarily a broadcast nested-loop over
+    # exactly 1x1 rows — benign by construction and allowlisted as
+    # INTENTIONAL in tests/test_plan_shapes.py.
+    union_est = F.broadcast(
+        per.agg(F.expr("hll_sketch_estimate(hll_union_agg(__sk))")
+                .alias("__est")))
     total = (o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
-             .crossJoin(per.agg(F.expr(
-                 "hll_sketch_estimate(hll_union_agg(__sk))").alias("__est")))
+             .crossJoin(union_est)
              .select(F.lit("ALL").alias("o_orderstatus"), "exact_customers",
                      (F.abs(F.col("__est") - F.col("exact_customers"))
                       / F.col("exact_customers") <= 0.05).alias("within_tol")))

@@ -31,8 +31,14 @@ def events_stream(spark: SparkSession, sf_dir: str,
     # The directory also contains the other tables; restrict via pathGlobFilter.
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet may surface ts as TIMESTAMP_NTZ; withWatermark requires
+        # TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).  The
+        # stored instants are session-TZ-free, so the cast is value-exact.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
     return stream

@@ -79,6 +79,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         "sim_ann_bruteforce", "sim_ann_lsh",
         # broadcast 1-row corpus-size relation (IDF needs N, as BM25 does)
         "sim_tfidf_topk",
+        # exact-total (1 row) x sketch-union estimate (1 row): a literal
+        # join key would be constant-folded away, so this 1x1 pairing can
+        # only plan as a broadcast nested-loop — benign by construction
+        "rel_hll_sketch_union",
     }
     offenders = {}
     for name, fn in contract.queries().items():
