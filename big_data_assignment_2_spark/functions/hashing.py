@@ -60,6 +60,23 @@ def minhash_sig_aggs(hash_col: str = "h") -> list[Column]:
     ]
 
 
+def minhash_sig_array_cols(h_col: str = "__h") -> list[Column]:
+    """In-row MinHash signature from a pre-hashed token array column
+    (``transform(toks, minhash_term_hash)``): per slot,
+    ``array_min`` over the affine family — map-side, no explode, no
+    shuffle.  Result-identical to :func:`minhash_sig_aggs` over the
+    exploded tokenset (min over the same multiset).  Keep the base-hash
+    array as its own projection so codegen evaluates the md5s once, not
+    once per slot."""
+    return [
+        F.array_min(F.transform(
+            F.col(h_col),
+            lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)))
+        .alias(f"sig{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
 def minhash_sql_exprs(hash_expr: str = "h") -> list[str]:
     """DuckDB twins of :func:`minhash_sig_aggs`."""
     return [

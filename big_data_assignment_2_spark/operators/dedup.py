@@ -73,6 +73,21 @@ def minhash_signatures(tokensets: DataFrame) -> DataFrame:
     return h.groupBy("doc_id").agg(*minhash_sig_aggs("h"))
 
 
+def minhash_signatures_from_arrays(arrays: DataFrame,
+                                   toks_col: str = "__toks") -> DataFrame:
+    """Signature-identical to :func:`minhash_signatures`, but computed
+    IN-ROW from a per-doc distinct-token array — ``array_min`` over the
+    hash family replaces the explode + 16-min-agg shuffle entirely
+    (map-side only).  Empty token arrays are dropped to match the exploded
+    formulation, where a token-less doc contributes no rows."""
+    from ..functions.hashing import minhash_sig_array_cols
+
+    h = (arrays.filter(F.size(toks_col) > 0)
+         .select("doc_id",
+                 F.transform(F.col(toks_col), minhash_term_hash).alias("__h")))
+    return h.select("doc_id", *minhash_sig_array_cols("__h"))
+
+
 def lsh_band_keys(signatures: DataFrame) -> DataFrame:
     """Explode each signature into NUM_BANDS (band_id, band_key) rows."""
     bands = F.array(*[
@@ -126,6 +141,14 @@ def jaccard_verify(pairs: DataFrame, tokensets: DataFrame,
     # same shuffle output, so the whole function costs one agg, not two.
     arrays = tokensets.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("term")).alias("__toks"))
+    return jaccard_verify_arrays(pairs, arrays, threshold)
+
+
+def jaccard_verify_arrays(pairs: DataFrame, arrays: DataFrame,
+                          threshold: float) -> DataFrame:
+    """:func:`jaccard_verify` body over an ALREADY-built per-doc sorted
+    distinct token-array relation ``(doc_id, __toks)`` — callers that hold
+    the arrays (the rep pipeline) skip the collect_list shuffle."""
     sizes = arrays.select("doc_id", F.size("__toks").alias("sz"))
     pruned = (pairs
               .join(sizes.select(F.col("doc_id").alias("doc_a"),
@@ -162,28 +185,40 @@ def _minhash_rep_structure(docs: DataFrame, threshold: float,
       (band self-join, intersection verify) run once per distinct token
       set.  On self-similar corpora this cuts the quadratic stages by the
       dup factor squared.
-    - **Persisted reused stages**: tokensets / reps / verified pairs each
-      feed multiple branches; without materialization Spark re-executes the
-      explode+agg lineage per branch.  MEMORY_AND_DISK so 100×-scale
-      inputs spill instead of OOMing (a production pipeline would write
-      signatures/candidates to a table between stages).
+    - **Tokenize once**: the per-doc sorted distinct token ARRAY is the
+      single materialized relation; the group key (md5 of the joined
+      array), the MinHash signatures (in-row ``array_min`` — no explode
+      shuffle), and the Jaccard verify arrays (no collect_list shuffle)
+      all derive from it map-side.  The pre-round-4 formulation tokenized
+      the corpus twice and paid two extra wide aggs.
+    - **Persisted reused stages**: token arrays / rep arrays / verified
+      pairs each feed multiple branches; without materialization Spark
+      re-executes the tokenize lineage per branch.  MEMORY_AND_DISK so
+      100×-scale inputs spill instead of OOMing (a production pipeline
+      would write signatures/candidates to a table between stages).
     """
     from pyspark import StorageLevel
 
     num_id = F.col(id_col).cast("bigint")
-    keyed = docs.select(num_id.alias("__nid"),
-                        tokenset_key(text_col).alias("__gkey")) \
+    # (__nid, __toks): sorted distinct tokens — sole tokenize of the corpus.
+    toksets = docs.select(
+        num_id.alias("__nid"),
+        F.sort_array(F.array_distinct(tokenize(text_col))).alias("__toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # md5(joined sorted tokens) == tokenset_key(text) by construction.
+    keyed = toksets.select(
+        "__nid", F.md5(F.array_join("__toks", " ")).alias("__gkey"))
     groups = keyed.groupBy("__gkey").agg(
         F.min("__nid").alias("__rep"), F.count("*").alias("__n"))
 
-    rep_docs = docs.join(
+    rep_arrays = toksets.join(
         groups.select(F.col("__rep").alias("__join_id")),
-        num_id == F.col("__join_id"), "left_semi")
-    ts = doc_tokensets(rep_docs, text_col, id_col) \
+        F.col("__nid") == F.col("__join_id"), "left_semi") \
+        .select(F.col("__nid").cast("string").alias("doc_id"), "__toks") \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(ts)))
-    rep_pairs = jaccard_verify(cand, ts, threshold) \
+    cand = lsh_candidate_pairs(lsh_band_keys(
+        minhash_signatures_from_arrays(rep_arrays)))
+    rep_pairs = jaccard_verify_arrays(cand, rep_arrays, threshold) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     return keyed, groups, rep_pairs
 

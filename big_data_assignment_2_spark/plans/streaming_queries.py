@@ -13,17 +13,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.io import load_table
-from ..streaming.windows import (dedup_keys, interval_join, session_agg,
-                                 sliding_agg, topk_types_per_window,
-                                 tumbling_agg)
+from ..streaming.windows import (dedup_keys, events_stream, interval_join,
+                                 run_stream_to_df, session_agg, sliding_agg,
+                                 topk_types_per_window, tumbling_agg)
 
 
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_agg(load_table(spark, sf_dir, "events"))
+    """Executed through the REAL streaming runtime: readStream file source
+    → watermarked tumbling agg → availableNow micro-batches → memory sink.
+    The oracle row therefore certifies streaming execution, not a batch
+    evaluation of the same plan (tumbling_agg is identical code either
+    way — tests/test_streaming.py proves the parity for every shape)."""
+    return run_stream_to_df(spark, tumbling_agg(events_stream(spark, sf_dir)))
 
 
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_agg(load_table(spark, sf_dir, "events"))
+    """Streaming-executed like :func:`q_tumbling` (sliding windows)."""
+    return run_stream_to_df(spark, sliding_agg(events_stream(spark, sf_dir)))
 
 
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:

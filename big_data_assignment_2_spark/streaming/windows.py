@@ -152,3 +152,20 @@ def stream_to_memory(stream_df: DataFrame, name: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+_MEMSINK_SEQ = __import__("itertools").count()
+
+
+def run_stream_to_df(spark: SparkSession, stream_df: DataFrame,
+                     output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan through the REAL streaming runtime
+    (micro-batch engine, availableNow trigger — drains all available input
+    then stops) and return the sink table as a batch DataFrame.  This is
+    how declared ``stream_*`` queries certify the streaming path under the
+    external oracle gate rather than batch-evaluating the same plan; each
+    call gets a fresh sink name so repeated runs in one session (bench
+    REPEATS, the driver's row/hash double-run) never collide."""
+    name = f"__stream_sink_{next(_MEMSINK_SEQ)}"
+    stream_to_memory(stream_df, name, output_mode)
+    return spark.table(name)

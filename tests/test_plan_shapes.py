@@ -64,6 +64,20 @@ def test_window_query_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1        # one shuffle on user_id
 
 
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """source_partitioned_prune's storage claim, asserted on the plan: the
+    status predicate must land in PartitionFilters (directory-level skip —
+    the Cassandra-partition-key analogue), not as a post-scan filter."""
+    from big_data_assignment_2_spark.plans.source_queries import (
+        q_partitioned_prune)
+
+    plan = plan_of(q_partitioned_prune(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "o_orderstatus" in pf and "= F" in pf, plan
+
+
 def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
     """Sweep every declared query's physical plan: product joins
     (CartesianProduct / BroadcastNestedLoopJoin) are allowed only where a
