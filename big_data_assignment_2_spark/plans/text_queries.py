@@ -429,7 +429,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_dropped")))
 
 
+# GPT-2-style pre-tokenizer, restricted to syntax Java regex and RE2 share
+# (no lookaround): letter runs, digit runs, punctuation runs — each with an
+# optional leading space, BPE's "space-prefixed word" convention.  On the
+# ASCII harness corpus this is the exact piece count a byte-level BPE's
+# pre-tokenization produces before merges.
+_BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief names: whitespace tokens and
+    BPE-ish pre-tokenizer pieces (`_BPE_PRETOKEN_RE`) — the
+    cost-estimation operator every training pipeline runs before packing
+    (piece counts size the token budget; ws counts size the vocabulary
+    stats).  Pure native expressions: ``regexp_extract_all`` + ``size``,
+    map-side only, no shuffle, no Python."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0))
+    nonspace = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(tokenize("text")).alias("n_ws_tokens"),
+        F.size(nonspace).alias("n_bpe_pieces"))
+
+
 QUERIES = {
+    "text_token_count_bpe": q_token_count_bpe,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
@@ -505,6 +532,18 @@ survivors AS (
   FROM passing GROUP BY k)"""
 
 ORACLES = {
+    # Identical regexes run in both engines (RE2/Java-shared syntax).
+    "text_token_count_bpe": r"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(list_filter(
+           string_split_regex(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+           t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(list_filter(
+           regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'),
+           p -> regexp_matches(p, '\S'))) AS INTEGER) AS n_bpe_pieces
+FROM documents
+""",
     # approx_top_k is EXACT while live items <= maxItemsTracked (65536 >>
     # the corpus vocabulary), so the oracle is the exact per-term count.
     "text_heavy_hitters": f"""
