@@ -105,6 +105,11 @@ def main() -> None:
     from big_data_assignment_2_spark.plans.search_queries import FLAGSHIP_QUERY
     from big_data_assignment_2_spark.sources.io import load_table
 
+    with tempfile.TemporaryDirectory() as warmdir:
+        # Untimed warmup build: parquet-write + codegen paths compile once,
+        # so the single timed build below isn't billed JIT/IO-warmup noise.
+        write_index(build_index(load_table(spark, sf_dir, "documents")),
+                    warmdir)
     with tempfile.TemporaryDirectory() as ixdir:
         t0 = time.perf_counter()
         write_index(build_index(load_table(spark, sf_dir, "documents")), ixdir)

@@ -166,7 +166,27 @@ def q_sample_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total bigint, cap_ok boolean, sample_bounded boolean")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (`operators/prepare.py` ``sampleBy`` — the
+    training-data-mix downsampler) with a DETERMINISTIC fraction map
+    ({en: 1.0, others: 0.0}): keep-all and drop-all strata make the
+    Bernoulli draw exact, so the engine-specific rand stream cancels out
+    and the row hard-certifies the sampleBy routing itself (per-stratum
+    fraction application, no row duplication/loss).  Map-side filter —
+    no shuffle before the final count."""
+    from ..operators.prepare import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0, "es": 0.0, "fr": 0.0, "zh": 0.0},
+        seed=0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _checksum("doc_id", "text").alias("checksum"))
+
+
 QUERIES = {
+    "source_stratified_sample": q_stratified_sample,
     "source_perdoc_roundtrip": q_perdoc_sink_roundtrip,
     "source_jsonl_roundtrip": q_jsonl_roundtrip,
     "source_tsv_roundtrip": q_tsv_roundtrip,
@@ -205,6 +225,11 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
     "source_sample_count": """
 SELECT count(*) AS n_total, TRUE AS cap_ok, TRUE AS sample_bounded
 FROM documents
+""",
+    "source_stratified_sample": f"""
+SELECT lang, count(*) AS n_docs,
+       {_checksum_sql('doc_id', 'text')} AS checksum
+FROM documents WHERE lang = 'en' GROUP BY lang
 """,
 }
 
