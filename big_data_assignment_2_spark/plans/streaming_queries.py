@@ -36,6 +36,28 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"))
 
 
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM-stateful path hard-certified: per-user running totals
+    via ``applyInPandasWithState`` (Python state in the Spark state store,
+    Arrow-marshalled per group) executed through the micro-batch engine,
+    then reduced to each user's final update (max n_events — the count is
+    monotone per user).  Under availableNow the drained stream's final
+    state equals the batch aggregate, so the DuckDB oracle is exact; a
+    green row certifies the whole Python-state machinery produces
+    oracle-identical numbers."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_totals
+
+    ev = events_stream(spark, sf_dir, with_watermark=None)
+    out = run_stream_to_df(spark, running_user_totals(ev),
+                           output_mode="update")
+    return (out.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.round("s.total_value", 6).alias("total_value")))
+
+
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keys(load_table(spark, sf_dir, "events"))
 
@@ -49,6 +71,7 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_stateful_totals": q_stateful_totals,
     "stream_topk_per_day": q_topk_window,
     "stream_dedup_keys": q_dedup,
     "stream_interval_join_1h": q_interval_join,
@@ -58,6 +81,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Final drained state == batch aggregate; 6-dp rounding absorbs
+    # pandas-vs-DuckDB summation-order differences.
+    "stream_stateful_totals": """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+""",
     "stream_topk_per_day": """
 WITH agg AS (
   SELECT date_trunc('day', ts) AS w, event_type, count(*) AS n
