@@ -27,13 +27,25 @@ from ..functions.hashing import md5_hash64
 
 def write_index(index: dict[str, DataFrame], base_path: str,
                 term_buckets: int = 16) -> None:
-    """Persist the three index tables; postings term-bucket-partitioned."""
-    partition_postings_by_term_bucket(
-        index["term_document"], f"{base_path}/term_document", term_buckets)
-    index["document_frequency"].write.mode("overwrite") \
-        .parquet(f"{base_path}/document_frequency")
-    index["documents_info"].write.mode("overwrite") \
-        .parquet(f"{base_path}/documents_info")
+    """Persist the three index tables; postings term-bucket-partitioned.
+
+    The postings relation is cached across the writes: document_frequency
+    is derived FROM postings (operators/index.doc_freq), so without the
+    cache its write re-runs the whole tokenize+explode+agg lineage a
+    second time — at 100 TB that's a full extra corpus pass per index
+    build."""
+    from pyspark import StorageLevel
+
+    td = index["term_document"].persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        partition_postings_by_term_bucket(
+            td, f"{base_path}/term_document", term_buckets)
+        index["document_frequency"].write.mode("overwrite") \
+            .parquet(f"{base_path}/document_frequency")
+        index["documents_info"].write.mode("overwrite") \
+            .parquet(f"{base_path}/documents_info")
+    finally:
+        td.unpersist()
 
 
 def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
