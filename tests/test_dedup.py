@@ -138,3 +138,31 @@ def test_near_dup_clusters_survivors(spark):
     assert rows["3"] == ("1", False)
     assert rows["4"] == ("1", False)
     assert rows["5"] == ("5", True)
+
+
+def test_inrow_minhash_signatures_match_exploded(spark, sf_dir):
+    """The round-4 in-row signature path (array_min over per-row hash
+    arrays) must be value-identical to the exploded 16-min-agg formulation
+    on the real corpus, including dropping token-less docs."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.functions.text import tokenize
+    from big_data_assignment_2_spark.operators.dedup import (
+        doc_tokensets, minhash_signatures, minhash_signatures_from_arrays)
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # one token-less doc exercises the empty-array drop parity
+    docs = docs.unionByName(
+        spark.createDataFrame([(999999, "", "en", "syn", 0)], docs.schema))
+    exploded = minhash_signatures(doc_tokensets(docs))
+    arrays = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.sort_array(F.array_distinct(tokenize("text"))).alias("__toks"))
+    inrow = minhash_signatures_from_arrays(arrays)
+    a = {r["doc_id"]: tuple(r[f"sig{i}"] for i in range(16))
+         for r in exploded.collect()}
+    b = {r["doc_id"]: tuple(r[f"sig{i}"] for i in range(16))
+         for r in inrow.collect()}
+    assert a == b
+    assert "999999" not in b
