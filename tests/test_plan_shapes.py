@@ -64,6 +64,24 @@ def test_window_query_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1        # one shuffle on user_id
 
 
+def test_inrow_minhash_signatures_no_exchange(spark, sf_dir):
+    """The round-4 in-row signature path must stay map-side: scan →
+    project, zero Exchange operators (the exploded formulation pays a
+    hash-agg shuffle; the rewrite's whole point is not to)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.functions.text import tokenize
+    from big_data_assignment_2_spark.operators.dedup import (
+        minhash_signatures_from_arrays)
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.sort_array(F.array_distinct(tokenize("text"))).alias("__toks"))
+    plan = plan_of(minhash_signatures_from_arrays(arrays))
+    assert "Exchange" not in plan, plan
+
+
 def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     """source_partitioned_prune's storage claim, asserted on the plan: the
     status predicate must land in PartitionFilters (directory-level skip —
