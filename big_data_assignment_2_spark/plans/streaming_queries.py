@@ -70,8 +70,70 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_types_per_window(load_table(spark, sf_dir, "events"))
 
 
+# --- runtime-certified twins -----------------------------------------------
+# The four remaining streaming shapes executed through the micro-batch
+# engine (the batch-evaluated queries above stay as the bench-stable
+# forms; these *_live rows certify the runtime path with the SAME oracle).
+
+def q_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via the streaming runtime: built-in session merge
+    in the state store, complete mode, availableNow."""
+    return run_stream_to_df(spark, session_agg(events_stream(spark, sf_dir)))
+
+
+def q_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (watermarked dropDuplicates state) in append mode."""
+    return run_stream_to_df(spark, dedup_keys(events_stream(spark, sf_dir)),
+                            output_mode="append")
+
+
+def q_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (state bounded by
+    watermark + horizon on both sides), append mode."""
+    return run_stream_to_df(
+        spark, interval_join(events_stream(spark, sf_dir)),
+        output_mode="append")
+
+
+def q_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production pattern for rank-over-updating-aggregate: foreachBatch
+    ranks each complete-mode aggregate snapshot and overwrites a parquet
+    sink; once availableNow drains, the last snapshot IS the batch answer.
+    (A rank is not an incremental streaming operator — this is the
+    documented workaround, here certified by the oracle gate.)"""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from ..streaming.windows import _MEMSINK_SEQ
+
+    ev = events_stream(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").alias("n")))
+    outdir = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                          f"topk_fb_{next(_MEMSINK_SEQ)}")
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        win = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+        (batch_df.withColumn("rank", F.row_number().over(win))
+         .filter(F.col("rank") <= 3)
+         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"), "event_type", "n", "rank")
+         .write.mode("overwrite").parquet(outdir))
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(emit)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(outdir)
+
+
 QUERIES = {
     "stream_stateful_totals": q_stateful_totals,
+    "stream_session_30m_live": q_session_live,
+    "stream_dedup_keys_live": q_dedup_live,
+    "stream_interval_join_1h_live": q_interval_join_live,
+    "stream_topk_foreachbatch": q_topk_foreachbatch,
     "stream_topk_per_day": q_topk_window,
     "stream_dedup_keys": q_dedup,
     "stream_interval_join_1h": q_interval_join,
@@ -148,3 +210,10 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
 FROM sessions GROUP BY user_id, session_id
 """,
 }
+
+# Runtime-certified twins share the batch twins' oracles verbatim: same
+# semantics, different execution engine path.
+ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]
+ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]
+ORACLES["stream_interval_join_1h_live"] = ORACLES["stream_interval_join_1h"]
+ORACLES["stream_topk_foreachbatch"] = ORACLES["stream_topk_per_day"]
