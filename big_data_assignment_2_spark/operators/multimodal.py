@@ -3,11 +3,14 @@ reference; required by the north-star brief).
 
 Media are opaque ``binary`` columns + typed metadata.  The Spark-side
 plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
-partition sizing — is real and tested; the actual codec step is STUBBED
-(`decode_image`) because no image/audio libraries exist in this container:
-it raises ``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic fake decode (dimensions derived from the payload
-hash) so the pipeline shape can be exercised end-to-end.
+partition sizing — is real and tested.  The codec layer is REAL for
+formats the standard library can parse — BMP images and WAV audio
+(:func:`decode_payload`, byte-level struct/RIFF parsing, certified
+cross-engine by the ``mm_decode_real`` oracle row) — and honestly
+stubbed for library-bound formats (JPEG/PNG/MP4 raise
+``NotImplementedError``; no image/video libraries exist in this
+container).  ``decode_image(fake=True)`` keeps the deterministic fake
+for exercising pipeline shape with arbitrary payload bytes.
 
 Scale notes: media blobs make rows wide — the loader repartitions by byte
 budget, not row count (``target_partition_bytes``), so Arrow batches stay
@@ -101,6 +104,127 @@ def decode_media(media: DataFrame, batch_size: int = 256,
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     media.sparkSession.conf.set(conf_key, str(batch_size))
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# --- real codecs (round 4) -------------------------------------------------
+# BMP and WAV are fully decodable with the standard library (struct/wave) —
+# no PIL/ffmpeg needed — so the codec step is REAL for these formats; the
+# fake path above remains for exercising pipeline shape with arbitrary
+# bytes, and genuinely library-bound formats (JPEG/PNG/MP4) still raise.
+
+def bmp_bytes(width: int, height: int, seed: bytes) -> bytes:
+    """A valid 24-bit bottom-up BMP: 54-byte header + padded pixel rows
+    (pixel content = repeated seed bytes; only the geometry matters)."""
+    import struct
+
+    row = ((3 * width + 3) // 4) * 4
+    size = 54 + row * height
+    header = (struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            row * height, 2835, 2835, 0, 0))
+    seed = seed or b"\x7f"
+    px = (seed * (row * height // len(seed) + 1))[: row * height]
+    return header + px
+
+
+def wav_bytes(n_samples: int, sample_rate: int) -> bytes:
+    """A valid mono 16-bit PCM WAV (44-byte RIFF header + silence)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_samples)
+    return buf.getvalue()
+
+
+def decode_payload(payload: bytes) -> dict:
+    """REAL codec dispatch on magic bytes.  BMP → (width, height); WAV →
+    (n_channels, sample_rate, n_samples).  Anything else raises — decoding
+    JPEG/PNG/MP4 requires libraries absent from this environment."""
+    import io
+    import struct
+    import wave
+
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        return {"width": int(width), "height": abs(int(height)),
+                "n_channels": None, "sample_rate": None, "n_samples": None}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return {"width": None, "height": None,
+                    "n_channels": w.getnchannels(),
+                    "sample_rate": w.getframerate(),
+                    "n_samples": w.getnframes()}
+    raise NotImplementedError(
+        f"no stdlib codec for magic {payload[:4]!r}; JPEG/PNG/MP4 need "
+        "image/video libraries not present in this environment")
+
+
+def generate_media_real(docs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Synthesize a media table with REAL payload bytes: even doc_ids get a
+    BMP whose geometry, odd doc_ids a WAV whose sample count/rate, are
+    deterministic functions of (doc_id, n_chars) — so an external oracle
+    can recompute the expected decode output without parsing bytes."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"media_id": [], "media_type": [], "payload": []}
+            for did, text, n_chars in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["n_chars"]):
+                did = int(did)
+                rows["media_id"].append(str(did))
+                if did % 2 == 0:
+                    rows["media_type"].append("image")
+                    rows["payload"].append(bmp_bytes(
+                        8 + did % 32, 8 + did % 17, text.encode()[:16]))
+                else:
+                    rows["media_type"].append("audio")
+                    rows["payload"].append(wav_bytes(
+                        100 + int(n_chars), 8000 * (1 + did % 2)))
+            yield pd.DataFrame(rows)
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        gen, MEDIA_SCHEMA)
+
+
+REAL_DECODED_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+])
+
+
+def decode_media_real(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched REAL decode: stdlib BMP/WAV parsers inside
+    ``mapInPandas``; only typed metadata returns to the JVM."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [decode_payload(bytes(p)) for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"],
+                   "media_type": pdf["media_type"],
+                   "n_bytes": [len(p) for p in pdf["payload"]]}
+            for k in ("width", "height", "n_channels", "sample_rate",
+                      "n_samples"):
+                out[k] = pd.array([m[k] for m in metas], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(decode_batches, REAL_DECODED_SCHEMA)
 
 
 def repartition_by_bytes(media: DataFrame, target_partition_bytes: int = 128 << 20,

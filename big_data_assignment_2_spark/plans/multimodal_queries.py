@@ -72,7 +72,23 @@ def q_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_embed(media_from_documents(docs))
 
 
+def q_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec path end-to-end: synthesize valid BMP/WAV payload
+    BYTES (geometry/sample counts are deterministic functions of
+    (doc_id, n_chars)), parse them back with the stdlib codecs inside
+    Arrow-batched ``mapInPandas``, and emit the typed metadata.  The
+    oracle recomputes the expected values arithmetically — a green row
+    proves the parser extracted exactly what the generator encoded into
+    the binary, certifying real byte-level decode (not a fake) through
+    the full Spark plumbing."""
+    from ..operators.multimodal import decode_media_real, generate_media_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_real(generate_media_real(docs))
+
+
 QUERIES = {
+    "mm_decode_real": q_decode_real,
     "mm_media_metadata": q_media_metadata,
     "mm_media_decode": q_media_decode,
     "mm_frame_sample": q_frame_sample,
@@ -82,6 +98,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The generator encodes geometry/sample counts as pure functions of
+    # (doc_id, n_chars); the oracle recomputes them arithmetically, so
+    # equality certifies the stdlib BMP/WAV parsers read the actual bytes.
+    # BMP: 54-byte header + 4-byte-aligned 24-bit rows. WAV: 44-byte RIFF
+    # header + 2 bytes/sample (mono 16-bit PCM).
+    "mm_decode_real": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((3 * (8 + doc_id % 32) + 3) // 4 * 4) * (8 + doc_id % 17)
+            ELSE 44 + 2 * (100 + n_chars) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 32 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 17 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 END AS INTEGER) AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars END AS INTEGER) AS n_samples
+FROM documents
+""",
     "mm_media_metadata": f"""
 WITH {_MEDIA_CTE}
 SELECT media_id, media_type, octet_length(payload) AS n_bytes,

@@ -47,3 +47,46 @@ def test_frame_sample_only_video(spark, media):
 def test_repartition_by_bytes(media):
     out = repartition_by_bytes(media, target_partition_bytes=10_000)
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_real_codecs_roundtrip():
+    """decode_payload must read back exactly what the builders encode,
+    byte-level, and refuse formats it cannot truly parse."""
+    import pytest
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        bmp_bytes, decode_payload, wav_bytes)
+
+    img = decode_payload(bmp_bytes(33, 21, b"seed"))
+    assert (img["width"], img["height"]) == (33, 21)
+    aud = decode_payload(wav_bytes(1234, 16000))
+    assert (aud["n_channels"], aud["sample_rate"], aud["n_samples"]) \
+        == (1, 16000, 1234)
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_media_real_on_spark(spark, sf_dir):
+    """Generated payloads decode distributedly; every row's parsed fields
+    match the generator's arithmetic."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        decode_media_real, generate_media_real)
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    out = decode_media_real(generate_media_real(docs))
+    rows = out.collect()
+    assert len(rows) == 60
+    for r in rows:
+        did = int(r["media_id"])
+        if did % 2 == 0:
+            assert r["media_type"] == "image"
+            assert r["width"] == 8 + did % 32
+            assert r["height"] == 8 + did % 17
+            assert r["n_channels"] is None
+        else:
+            assert r["media_type"] == "audio"
+            assert r["n_channels"] == 1 and r["sample_rate"] == 16000
+            assert r["width"] is None
