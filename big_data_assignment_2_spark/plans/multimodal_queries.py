@@ -87,8 +87,19 @@ def q_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_real(generate_media_real(docs))
 
 
+def q_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize arithmetic over REALLY-decoded BMP
+    geometry (decode_media_real), not the fake codec — the
+    decode→preprocess composition a vision pipeline runs."""
+    from ..operators.multimodal import decode_media_real, generate_media_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(decode_media_real(generate_media_real(docs)))
+
+
 QUERIES = {
     "mm_decode_real": q_decode_real,
+    "mm_resize_real": q_resize_real,
     "mm_media_metadata": q_media_metadata,
     "mm_media_decode": q_media_decode,
     "mm_frame_sample": q_frame_sample,
@@ -115,6 +126,22 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars END AS INTEGER) AS n_samples
 FROM documents
+""",
+    "mm_resize_real": """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         8 + doc_id % 32 AS w, 8 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+scaled AS (
+  SELECT media_id, w, h,
+         greatest(1, floor(w * (224.0 / greatest(w, h)) + 0.5)) AS nw,
+         greatest(1, floor(h * (224.0 / greatest(w, h)) + 0.5)) AS nh
+  FROM dims)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
+       CAST(floor((224 - nw) / 2) AS INTEGER) AS pad_left,
+       CAST(floor((224 - nh) / 2) AS INTEGER) AS pad_top
+FROM scaled
 """,
     "mm_media_metadata": f"""
 WITH {_MEDIA_CTE}
