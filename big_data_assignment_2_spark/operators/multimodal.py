@@ -127,8 +127,10 @@ def bmp_bytes(width: int, height: int, seed: bytes) -> bytes:
     return header + px
 
 
-def wav_bytes(n_samples: int, sample_rate: int) -> bytes:
-    """A valid mono 16-bit PCM WAV (44-byte RIFF header + silence)."""
+def wav_bytes(n_samples: int, sample_rate: int,
+              frames: bytes | None = None) -> bytes:
+    """A valid mono 16-bit PCM WAV (44-byte RIFF header); ``frames``
+    defaults to silence."""
     import io
     import wave
 
@@ -137,8 +139,18 @@ def wav_bytes(n_samples: int, sample_rate: int) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"\x00\x00" * n_samples)
+        w.writeframes(frames if frames is not None
+                      else b"\x00\x00" * n_samples)
     return buf.getvalue()
+
+
+def synth_waveform(doc_id: int, n_samples: int) -> "object":
+    """Deterministic int16 test waveform, s_i = ((7·id + 13·i) mod 201) −
+    100 — reproducible arithmetically by an external oracle."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    return ((doc_id * 7 + 13 * i) % 201 - 100).astype("<i2")
 
 
 def decode_payload(payload: bytes) -> dict:
@@ -183,9 +195,11 @@ def generate_media_real(docs: DataFrame, batch_size: int = 256) -> DataFrame:
                     rows["payload"].append(bmp_bytes(
                         8 + did % 32, 8 + did % 17, text.encode()[:16]))
                 else:
+                    n = 100 + int(n_chars)
                     rows["media_type"].append("audio")
                     rows["payload"].append(wav_bytes(
-                        100 + int(n_chars), 8000 * (1 + did % 2)))
+                        n, 8000 * (1 + did % 2),
+                        synth_waveform(did, n).tobytes()))
             yield pd.DataFrame(rows)
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -225,6 +239,48 @@ def decode_media_real(media: DataFrame, batch_size: int = 256) -> DataFrame:
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     media.sparkSession.conf.set(conf_key, str(batch_size))
     return media.mapInPandas(decode_batches, REAL_DECODED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sum_sq", LongType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL DSP on real bytes: parse each WAV's PCM frames with the stdlib
+    codec, compute energy features with vectorized numpy (sum of squares,
+    RMS) — the transcription-pipeline feature-extraction shape, with
+    actual signal math instead of a model stub.  Integer sum_sq is exact;
+    RMS is rounded 6 dp for cross-engine hashing."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sum_sq": [], "rms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                ss = int((s * s).sum())
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["sum_sq"].append(ss)
+                out["rms"].append(round(math.sqrt(ss / len(s)), 6)
+                                  if len(s) else 0.0)
+            yield pd.DataFrame(out)
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return (media.filter(F.col("media_type") == "audio")
+            .mapInPandas(feat, AUDIO_FEATURES_SCHEMA))
 
 
 def repartition_by_bytes(media: DataFrame, target_partition_bytes: int = 128 << 20,

@@ -97,9 +97,23 @@ def q_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(decode_media_real(generate_media_real(docs)))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL signal math on real PCM: the generated WAVs carry a
+    deterministic int16 waveform (s_i = (7·id + 13·i) mod 201 − 100);
+    numpy computes per-file energy (exact integer sum of squares + RMS)
+    inside mapInPandas, and the oracle regenerates the same samples with
+    generate_series and aggregates them in SQL — byte-parse AND
+    arithmetic both certified."""
+    from ..operators.multimodal import audio_features, generate_media_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(generate_media_real(docs))
+
+
 QUERIES = {
     "mm_decode_real": q_decode_real,
     "mm_resize_real": q_resize_real,
+    "mm_audio_features": q_audio_features,
     "mm_media_metadata": q_media_metadata,
     "mm_media_decode": q_media_decode,
     "mm_frame_sample": q_frame_sample,
@@ -126,6 +140,21 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars END AS INTEGER) AS n_samples
 FROM documents
+""",
+    # Regenerate the int16 waveform in SQL and aggregate: sum_sq is exact
+    # integer arithmetic in both engines; RMS rounded 6 dp.
+    "mm_audio_features": """
+WITH aud AS (
+  SELECT doc_id, 100 + n_chars AS n
+  FROM documents WHERE doc_id % 2 = 1),
+samples AS (
+  SELECT doc_id, n, ((doc_id * 7 + 13 * i) % 201) - 100 AS s
+  FROM aud, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(i))
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       round(sqrt(sum(s * s) * 1.0 / n), 6) AS rms
+FROM samples GROUP BY doc_id, n
 """,
     "mm_resize_real": """
 WITH dims AS (
