@@ -110,9 +110,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(generate_media_real(docs))
 
 
+def q_resize_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pixel resize EXECUTED (numpy nearest-neighbor over real BMP
+    pixels, re-encoded, re-decoded): output geometry must equal the
+    resize-plan arithmetic — certifies the op, not just the plan."""
+    from ..operators.multimodal import generate_media_real, resize_media_exec
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media_exec(generate_media_real(docs))
+
+
 QUERIES = {
     "mm_decode_real": q_decode_real,
     "mm_resize_real": q_resize_real,
+    "mm_resize_exec": q_resize_exec,
     "mm_audio_features": q_audio_features,
     "mm_media_metadata": q_media_metadata,
     "mm_media_decode": q_media_decode,
@@ -140,6 +151,18 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + n_chars END AS INTEGER) AS n_samples
 FROM documents
+""",
+    "mm_resize_exec": """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         8 + doc_id % 32 AS w, 8 + doc_id % 17 AS h
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT media_id,
+       CAST(greatest(1, floor(w * (224.0 / greatest(w, h)) + 0.5))
+            AS INTEGER) AS out_width,
+       CAST(greatest(1, floor(h * (224.0 / greatest(w, h)) + 0.5))
+            AS INTEGER) AS out_height
+FROM dims
 """,
     # Regenerate the int16 waveform in SQL and aggregate: sum_sq is exact
     # integer arithmetic in both engines; RMS rounded 6 dp.

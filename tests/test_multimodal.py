@@ -90,3 +90,27 @@ def test_decode_media_real_on_spark(spark, sf_dir):
             assert r["media_type"] == "audio"
             assert r["n_channels"] == 1 and r["sample_rate"] == 16000
             assert r["width"] is None
+
+
+def test_resize_bmp_pixels():
+    """Nearest-neighbor must replicate actual pixel values, not just fix
+    the header: a half-red half-blue 2x2 upsampled 2x keeps the quadrant
+    colors in the right places."""
+    import numpy as np
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        bmp_bytes, decode_payload, resize_bmp)
+
+    # hand-build a 2x2 BMP: rows are (B,G,R) triplets, 4-byte-padded
+    red, blue = b"\x00\x00\xff", b"\xff\x00\x00"
+    row0 = red + blue + b"\x00\x00"    # pad to 8 bytes
+    row1 = blue + red + b"\x00\x00"
+    payload = bmp_bytes(2, 2, b"x")[:54] + row0 + row1
+    out = resize_bmp(payload, target=4)
+    meta = decode_payload(out)
+    assert (meta["width"], meta["height"]) == (4, 4)
+    orow = ((3 * 4 + 3) // 4) * 4
+    px = (np.frombuffer(out, np.uint8, count=orow * 4, offset=54)
+          .reshape(4, orow)[:, :12].reshape(4, 4, 3))
+    assert bytes(px[0, 0]) == red and bytes(px[0, 3]) == blue
+    assert bytes(px[3, 0]) == blue and bytes(px[3, 3]) == red
