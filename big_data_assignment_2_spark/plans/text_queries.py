@@ -455,7 +455,31 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(nonspace).alias("n_bpe_pieces"))
 
 
+_SHUFFLE_SALT = "shuffle-epoch-1"
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every doc gets a unique
+    position in a pseudo-random total order (md5 of id + epoch salt) —
+    the pre-training permutation step, reproducible across reruns and
+    engines.  Uses :func:`operators.relational.global_rank` (range
+    shuffle + broadcast offsets), NOT a PARTITION-BY-less window, so the
+    permutation of a 100 TB corpus never funnels through one task; a new
+    salt is a new epoch's shuffle."""
+    from ..operators.relational import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(_SHUFFLE_SALT))).alias("__k"))
+    ranked = global_rank(keyed, [F.col("__k"), F.col("doc_id")],
+                         rank_col="position")
+    return ranked.select("doc_id", "position")
+
+
 QUERIES = {
+    "pipeline_global_shuffle": q_global_shuffle,
     "text_token_count_bpe": q_token_count_bpe,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
@@ -532,6 +556,15 @@ survivors AS (
   FROM passing GROUP BY k)"""
 
 ORACLES = {
+    # The naive total-order window IS the oracle (tiny at sf0.01); the
+    # engine side uses the distributed two-shuffle global_rank.
+    "pipeline_global_shuffle": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}'),
+                    CAST(doc_id AS VARCHAR)) AS BIGINT) AS position
+FROM documents
+""",
     # Identical regexes run in both engines (RE2/Java-shared syntax).
     "text_token_count_bpe": r"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
