@@ -38,6 +38,9 @@ HEADLINE = [
 EXTRA = [
     "sim_cosine_top_pairs",  # LSH-bucket candidate pair join (no all-pairs)
     "sim_tfidf_topk",        # sparse TF-IDF cosine via inverted-index join
+    "stream_tumbling_1d",    # REAL micro-batch streaming execution
+    "mm_decode_real",        # stdlib BMP/WAV codec via Arrow mapInPandas
+    "pipeline_global_shuffle",  # distributed total-order permutation
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

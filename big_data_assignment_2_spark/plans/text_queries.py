@@ -455,6 +455,32 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(nonspace).alias("n_bpe_pieces"))
 
 
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-aware upsampling: expand each source by its integer epoch
+    count (the mixture-execution step after mixture-weight planning —
+    low-resource languages repeat, capped at 3 epochs here).  A generator
+    expression (`explode(sequence(...))`), so the expansion is map-side
+    and linear in OUTPUT size — no joins, no shuffle before the final
+    count; each copy carries (doc_id, epoch) for downstream shuffling."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # epochs = clamp(ceil(max_source_count / count), 1..3); the window runs
+    # over the per-SOURCE relation (a handful of rows by definition — same
+    # driver-sized-relation pattern as global_rank's offsets).
+    plan = (per.withColumn("__mx",
+                           F.max("n_docs").over(Window.partitionBy(F.lit(1))))
+            .select("lang",
+                    F.least(F.lit(3), F.greatest(F.lit(1), F.ceil(
+                        F.col("__mx") / F.col("n_docs")))).cast("int")
+                    .alias("epochs")))
+    return (docs.join(F.broadcast(plan), "lang")
+            .select("lang", F.col("doc_id").cast("string").alias("doc_id"),
+                    F.explode(F.sequence(F.lit(1), F.col("epochs")))
+                    .alias("epoch")))
+
+
 _SHUFFLE_SALT = "shuffle-epoch-1"
 
 
@@ -479,6 +505,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pipeline_upsample": q_upsample,
     "pipeline_global_shuffle": q_global_shuffle,
     "text_token_count_bpe": q_token_count_bpe,
     "text_heavy_hitters": q_heavy_hitters,
@@ -556,6 +583,19 @@ survivors AS (
   FROM passing GROUP BY k)"""
 
 ORACLES = {
+    "pipeline_upsample": """
+WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+plan AS (
+  SELECT lang,
+         CAST(least(3, greatest(1,
+             ceil((max(n) OVER ()) * 1.0 / n))) AS INTEGER) AS epochs
+  FROM per)
+SELECT lang, doc_id, CAST(e AS INTEGER) AS epoch
+FROM (
+  SELECT d.lang, CAST(d.doc_id AS VARCHAR) AS doc_id,
+         unnest(generate_series(1, p.epochs)) AS e
+  FROM documents d JOIN plan p USING (lang))
+""",
     # The naive total-order window IS the oracle (tiny at sf0.01); the
     # engine side uses the distributed two-shuffle global_rank.
     "pipeline_global_shuffle": f"""
