@@ -111,3 +111,37 @@ def test_cosine_matches_numpy(spark):
         mine = [(r["neighbor_id"], r["cos_sim"]) for r in got
                 if r["query_id"] == qid]
         assert [(j, round(c, 6)) for j, c in expect] == mine
+
+
+def test_resize_bmp_properties_random():
+    """Randomized geometry sweep (seeded, no Spark needed): for any input
+    BMP, the resized output must (a) decode as a valid BMP, (b) have its
+    longer side exactly `target` (floor(max*scale+0.5) == target when
+    scale = target/max), (c) preserve aspect within the +-0.5 rounding
+    bound, and (d) keep every output pixel drawn from the input palette
+    (nearest neighbor never invents values)."""
+    import numpy as np
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        bmp_bytes, decode_payload, resize_bmp)
+
+    rng = random.Random(7)
+    for _ in range(25):
+        w, h = rng.randint(1, 90), rng.randint(1, 90)
+        target = rng.choice([16, 64, 224])
+        seed = bytes(rng.randrange(256) for _ in range(rng.randint(1, 9)))
+        src = bmp_bytes(w, h, seed)
+        out = resize_bmp(src, target=target)
+        meta = decode_payload(out)
+        nw, nh = meta["width"], meta["height"]
+        assert max(nw, nh) == target
+        scale = target / max(w, h)
+        assert nw == max(1, int(math.floor(w * scale + 0.5)))
+        assert nh == max(1, int(math.floor(h * scale + 0.5)))
+        srow, orow = ((3 * w + 3) // 4) * 4, ((3 * nw + 3) // 4) * 4
+        spx = (np.frombuffer(src, np.uint8, count=srow * h, offset=54)
+               .reshape(h, srow)[:, :3 * w].reshape(-1, 3))
+        opx = (np.frombuffer(out, np.uint8, count=orow * nh, offset=54)
+               .reshape(nh, orow)[:, :3 * nw].reshape(-1, 3))
+        palette = {bytes(p) for p in spx}
+        assert all(bytes(p) in palette for p in opx)
