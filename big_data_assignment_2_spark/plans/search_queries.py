@@ -89,6 +89,26 @@ def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_terms") == len(terms)))
 
 
+def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive boolean retrieval with NOT-exclusion: docs matching ANY
+    query term but NONE of the excluded terms, scored by matched-term
+    breadth — completes the unranked retrieval modes (AND / OR / NOT)
+    beside BM25.  The exclusion is a left-anti join on doc_id against the
+    excluded-term postings — the scale-safe NOT (never a full-corpus
+    NOT-IN subquery)."""
+    from pyspark.sql import functions as F
+
+    include = ["vector", "query", "stream"]
+    exclude = ["slow"]
+    toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
+    hits = (toks.filter(F.col("term").isin(include))
+            .select("doc_id", "term").distinct())
+    banned = toks.filter(F.col("term").isin(exclude)).select("doc_id")
+    return (hits.join(banned, "doc_id", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_terms")))
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 end-to-end: BM25 top-10 for the flagship query."""
     docs = load_table(spark, sf_dir, "documents")
@@ -140,6 +160,7 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "search_boolean_and": q_boolean_and,
+    "search_boolean_or_not": q_boolean_or,
     "search_index_merge": q_index_merge,
     "search_bm25_batch": q_bm25_batch,
     "search_phrase_match": q_phrase_match,
@@ -210,6 +231,14 @@ SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
 FROM tokens WHERE term IN ('vector', 'query', 'stream', 'fast', 'join')
 GROUP BY doc_id
 HAVING count(DISTINCT term) = 5
+""",
+    "search_boolean_or_not": f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM tokens
+WHERE term IN ('vector', 'query', 'stream')
+  AND doc_id NOT IN (SELECT doc_id FROM tokens WHERE term = 'slow')
+GROUP BY doc_id
 """,
     # full-corpus df — identical to search_doc_freq: merge must ≡ rebuild
     "search_index_merge": f"""
