@@ -316,7 +316,12 @@ def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     codec, compute energy features with vectorized numpy (sum of squares,
     RMS) — the transcription-pipeline feature-extraction shape, with
     actual signal math instead of a model stub.  Integer sum_sq is exact;
-    RMS is rounded 6 dp for cross-engine hashing."""
+    RMS is floor-truncated to 6 dp for cross-engine hashing: both engines
+    compute the identical IEEE double (exact ints → division → correctly
+    rounded sqrt), but Python's round() is half-even while DuckDB's is
+    half-away, so a value landing exactly on a 6-dp half boundary would
+    diverge under round(); floor(x·1e6)/1e6 is the same function in both
+    (round-4 ADVICE)."""
     import io
     import math
     import wave
@@ -335,8 +340,9 @@ def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 out["media_id"].append(mid)
                 out["n_samples"].append(len(s))
                 out["sum_sq"].append(ss)
-                out["rms"].append(round(math.sqrt(ss / len(s)), 6)
-                                  if len(s) else 0.0)
+                out["rms"].append(
+                    math.floor(math.sqrt(ss / len(s)) * 1e6) / 1e6
+                    if len(s) else 0.0)
             yield pd.DataFrame(out)
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"

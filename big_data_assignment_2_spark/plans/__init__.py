@@ -89,9 +89,13 @@ def _verified_names() -> set:
 
 
 def _prioritized(entries: dict) -> dict:
+    """Registry order = flagships, then never-verified, then everything
+    else.  Flagships lead (not follow) the never-verified block so they
+    stay inside the driver's 50-entry window even when the never-verified
+    backlog alone would fill it (round-4 ADVICE: appending them after the
+    block silently dropped them past the cut once the backlog grew)."""
     verified = _verified_names()
-    never = {k: v for k, v in entries.items() if k not in verified}
-    head = dict(never)
-    head.update({k: entries[k] for k in _FLAGSHIPS if k in entries})
+    head = {k: entries[k] for k in _FLAGSHIPS if k in entries}
+    head.update({k: v for k, v in entries.items() if k not in verified})
     head.update(entries)
     return head

@@ -165,7 +165,9 @@ SELECT media_id,
 FROM dims
 """,
     # Regenerate the int16 waveform in SQL and aggregate: sum_sq is exact
-    # integer arithmetic in both engines; RMS rounded 6 dp.
+    # integer arithmetic in both engines; RMS floor-truncated to 6 dp
+    # (floor, not round: Python half-even vs DuckDB half-away could flip
+    # an exact 6-dp half boundary — round-4 ADVICE).
     "mm_audio_features": """
 WITH aud AS (
   SELECT doc_id, 100 + n_chars AS n
@@ -176,7 +178,7 @@ samples AS (
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(n AS INTEGER) AS n_samples,
        CAST(sum(s * s) AS BIGINT) AS sum_sq,
-       round(sqrt(sum(s * s) * 1.0 / n), 6) AS rms
+       floor(sqrt(sum(s * s) * 1.0 / n) * 1e6) / 1e6 AS rms
 FROM samples GROUP BY doc_id, n
 """,
     "mm_resize_real": """

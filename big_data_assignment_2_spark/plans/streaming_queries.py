@@ -52,10 +52,17 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir, with_watermark=None)
     out = run_stream_to_df(spark, running_user_totals(ev),
                            output_mode="update")
+    # Hash-compared column is an exact integer: event values are 2-dp
+    # money, so cents sum exactly in an int64; a rounded float sum is
+    # order-dependent at the ULP level and can flip a 6-dp rounding
+    # boundary between pandas and DuckDB (round-4 ADVICE).  The float
+    # accumulation error over ~1e4 2-dp values is ~1e-10 — far below the
+    # half-cent the final round() must resolve, so the cents are exact.
     return (out.groupBy("user_id")
             .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
             .select("user_id", F.col("s.n_events").alias("n_events"),
-                    F.round("s.total_value", 6).alias("total_value")))
+                    F.round(F.col("s.total_value") * 100).cast("bigint")
+                    .alias("total_cents")))
 
 
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +150,11 @@ QUERIES = {
 }
 
 ORACLES = {
-    # Final drained state == batch aggregate; 6-dp rounding absorbs
-    # pandas-vs-DuckDB summation-order differences.
+    # Final drained state == batch aggregate; the compared total is exact
+    # integer cents (values are 2-dp money), immune to summation order.
     "stream_stateful_totals": """
 SELECT user_id, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id
 """,
     "stream_topk_per_day": """

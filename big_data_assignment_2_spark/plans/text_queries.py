@@ -433,8 +433,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no lookaround): letter runs, digit runs, punctuation runs — each with an
 # optional leading space, BPE's "space-prefixed word" convention.  On the
 # ASCII harness corpus this is the exact piece count a byte-level BPE's
-# pre-tokenization produces before merges.
-_BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+# pre-tokenization produces before merges.  Whitespace is the EXPLICIT
+# class [ \t\n\f\r], never \s: Java's \s includes vertical tab (\x0B)
+# while RE2's does not, so \s-based classes silently desync the two
+# engines on any document containing \x0B (round-4 ADVICE); with the
+# explicit class, \x0B lands in the punctuation branch in both.
+_BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r]+|[ \t\n\f\r]+"
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +452,8 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pieces = F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0))
-    nonspace = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    # Explicit class for the same Java-vs-RE2 \s divergence as above.
+    nonspace = F.filter(pieces, lambda p: p.rlike(r"[^ \t\n\f\r]"))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.size(tokenize("text")).alias("n_ws_tokens"),
@@ -613,8 +618,10 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
            t -> t <> '')) AS INTEGER) AS n_ws_tokens,
        CAST(len(list_filter(
-           regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'),
-           p -> regexp_matches(p, '\S'))) AS INTEGER) AS n_bpe_pieces
+           regexp_extract_all(
+               text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r]+|[ \t\n\f\r]+'),
+           p -> regexp_matches(p, '[^ \t\n\f\r]'))) AS INTEGER)
+           AS n_bpe_pieces
 FROM documents
 """,
     # approx_top_k is EXACT while live items <= maxItemsTracked (65536 >>

@@ -27,6 +27,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """File-source stream of the events table (one-file directory; for a
     live pipeline this would be Kafka — the transformations are identical).
     Converts the nanos-as-long ts exactly like the batch loader."""
+    # UTC for oracle parity (see sources.io.load_table): window bucketing
+    # and date_format follow the session zone; DuckDB's oracles are
+    # zone-free.  Runtime-settable, so driver-owned bare sessions work.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The directory also contains the other tables; restrict via pathGlobFilter.
     stream = (spark.readStream.schema(raw_schema)
