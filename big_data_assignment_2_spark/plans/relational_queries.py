@@ -664,7 +664,41 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank"))
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact-fact join claim (module docstring) DEMONSTRATED from
+    storage: lineitem and orders are persisted as bucketed tables on the
+    join key (same bucket count), then joined — the bucketed scans are
+    already hash-distributed on orderkey, so the sort-merge join plans
+    with ZERO Exchange operators on either side
+    (tests/test_plan_shapes.py::test_bucketed_join_no_exchange asserts
+    it).  At 100 TB this is the difference between re-shuffling both
+    fact tables on every join and paying the layout cost once at write
+    time.  Oracle = the same join computed the plain (unbucketed) way."""
+    import os
+    import tempfile
+
+    from ..operators.persist import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io", "bucketed_join")
+    write_bucketed(li, "bj_lineitem", "l_orderkey", n_buckets=8,
+                   sort_col="l_orderkey", path=os.path.join(base, "lineitem"))
+    write_bucketed(o, "bj_orders", "o_orderkey", n_buckets=8,
+                   sort_col="o_orderkey", path=os.path.join(base, "orders"))
+    lb, ob = spark.table("bj_lineitem"), spark.table("bj_orders")
+    joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    disc_price = (F.col("l_extendedprice").cast("decimal(12,2)")
+                  * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(disc_price).cast("double").alias("revenue")))
+
+
 QUERIES = {
+    "rel_bucketed_join": q_bucketed_join,
     "rel_hll_sketch_union": q_hll_sketch_union,
     "rel_global_rank": q_global_rank,
     "rel_approx_distinct": q_approx_distinct,
@@ -704,6 +738,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The bucketed-layout join must equal the plain join bit-for-bit.
+    "rel_bucketed_join": """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
     # Sketch estimates are engine-specific; the booleans certify each Spark
     # HLL estimate (per group and the sketch-union total) against exact
     # counts computed on both engines.

@@ -52,12 +52,76 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("qty").alias("sum_qty")))
 
 
+def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the skew story: when the join IS sort-merge, AQE
+    skew splitting handles a hot key at runtime with no code change — no
+    salting needed (operators/skew.py covers the shapes AQE can't:
+    broadcast/shuffled-hash joins and aggregations).
+
+    A hot key is planted (80% of documents map to key 0) and joined
+    against a per-key dimension, executed EAGERLY under
+    skew-split-friendly AQE confs (aggressive thresholds so runtime
+    splitting engages at small scale; broadcast disabled so the join
+    actually sort-merges) which are restored afterwards so the session is
+    untouched for later queries.  The oracle is the plain SQL join:
+    a green row proves AQE's partition surgery is result-invisible.
+    tests/test_skew.py::test_aqe_splits_planted_skew asserts the split
+    itself happened (``skew=true`` on the SMJ in the final adaptive plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    left = docs.select(
+        F.when(nid % 10 < 8, F.lit(0)).otherwise(nid).alias("k"),
+        nid.alias("id"))
+    dim = (left.select("k").distinct()
+           .select("k", (F.col("k") % 7).alias("label")))
+    out = (left.join(dim, "k")
+           .groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("id").alias("sum_id")))
+
+    skew_confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        # Eager: the plan must be chosen while the confs are active;
+        # localCheckpoint materializes it now, so restoring confs after
+        # cannot re-plan it.
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
 QUERIES = {
+    "skew_aqe_join": q_aqe_skew_join,
     "skew_two_phase_agg": q_two_phase_agg,
     "skew_salted_join": q_salted_join,
 }
 
 ORACLES = {
+    # Plain SQL twin of the AQE-skew-split join: AQE partition surgery
+    # must be result-invisible.
+    "skew_aqe_join": """
+WITH left_side AS (
+  SELECT CASE WHEN CAST(doc_id AS BIGINT) % 10 < 8 THEN 0
+              ELSE CAST(doc_id AS BIGINT) END AS k,
+         CAST(doc_id AS BIGINT) AS id
+  FROM documents),
+dim AS (SELECT DISTINCT k, k % 7 AS label FROM left_side)
+SELECT d.label, count(*) AS n_rows,
+       CAST(sum(l.id) AS BIGINT) AS sum_id
+FROM left_side l JOIN dim d ON l.k = d.k
+GROUP BY d.label
+""",
     # DuckDB sum(BIGINT) yields HUGEINT; cast back so the typed hash
     # compare matches Spark's BIGINT sums.
     "skew_two_phase_agg": """

@@ -140,3 +140,33 @@ def test_global_cumsum_no_single_partition_window(spark):
     import re
     specs = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
     assert any("__pid" in (s or "") for s in specs), plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """The claim rel_bucketed_join makes for 100 TB: two fact tables
+    bucketed on the join key at the same bucket count join with ZERO
+    Exchange operators — the layout cost paid at write time replaces the
+    per-join shuffle of both sides.  Broadcast is disabled so the plan is
+    the sort-merge join a real fact-fact pair would take."""
+    from big_data_assignment_2_spark.operators.persist import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    write_bucketed(li, "t_bj_lineitem", "l_orderkey", n_buckets=4,
+                   sort_col="l_orderkey", path=str(tmp_path / "li"))
+    write_bucketed(o, "t_bj_orders", "o_orderkey", n_buckets=4,
+                   sort_col="o_orderkey", path=str(tmp_path / "o"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lb, ob = spark.table("t_bj_lineitem"), spark.table("t_bj_orders")
+        joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # both scans actually use the bucket layout
+        assert plan.count("SelectedBucketsCount: 4 out of 4") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

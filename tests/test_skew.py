@@ -115,3 +115,41 @@ def test_two_phase_agg_exact(skewed):
     b = {r["k"]: (round(r["sv"], 6), r["n"], r["mn"], r["mx"])
          for r in salted.collect()}
     assert a == b
+
+
+def test_aqe_splits_planted_skew(spark):
+    """skew_aqe_join's companion assert: AQE really splits the planted hot
+    partition at runtime.  A 400k-row left side with 80% of rows on one
+    key exceeds the (lowered) skew threshold; after execution the final
+    adaptive plan must carry the skew=true marker on the sort-merge join,
+    and the result must be the plain join's."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 400_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id"))
+            .alias("k"), "id")
+        dim = (left.select("k").distinct()
+               .select("k", (F.col("k") % 7).alias("label")))
+        out = (left.join(dim, "k").groupBy("label")
+               .agg(F.count(F.lit(1)).alias("n_rows")))
+        rows = {r["label"]: r["n_rows"] for r in out.collect()}
+        # every left row matches exactly one dim row
+        assert sum(rows.values()) == n
+        assert rows[0] >= int(0.8 * n)   # the hot key lands on label 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
