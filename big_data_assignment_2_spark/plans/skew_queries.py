@@ -59,43 +59,70 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast/shuffled-hash joins and aggregations).
 
     A hot key is planted (80% of documents map to key 0) and joined
-    against a per-key dimension, executed EAGERLY under
-    skew-split-friendly AQE confs (aggressive thresholds so runtime
-    splitting engages at small scale; broadcast disabled so the join
-    actually sort-merges) which are restored afterwards so the session is
-    untouched for later queries.  The oracle is the plain SQL join:
-    a green row proves AQE's partition surgery is result-invisible.
-    tests/test_skew.py::test_aqe_splits_planted_skew asserts the split
-    itself happened (``skew=true`` on the SMJ in the final adaptive plan).
+    against a per-key dimension under skew-split-friendly AQE confs
+    (restored afterwards so the session is untouched).  Three details
+    make ``OptimizeSkewedJoin`` genuinely fire rather than silently
+    decline, each learned the hard way:
+
+    * the dimension is materialized (eager ``localCheckpoint``) BEFORE
+      the join — derived lazily from the fact side it plans as
+      ``Sort ← HashAggregate ← ShuffleStage`` and the rule never matches
+      (replicating a split partition into an agg would be unsound);
+      checkpointed, both SMJ children are bare shuffle stages;
+    * every fact row carries an md5 payload (verified via ``max`` in the
+      output so column pruning cannot drop it) — without it the
+      constant-key/sequential-id hot partition lz4-compresses to under
+      any sane ``skewedPartitionThresholdInBytes``;
+    * the fact side is repartitioned to 8 map tasks — the split is by
+      map-index ranges, so a single-mapper shuffle can never be split.
+
+    The oracle is the plain SQL join (AQE's partition surgery must be
+    result-invisible), and the query RAISES if the final adaptive plan
+    lacks the ``skew=true`` marker — so a green driver row certifies
+    both result parity and that the split actually happened.
+    tests/test_skew.py::test_aqe_splits_planted_skew asserts the same on
+    a larger planted-skew range.
     """
     docs = load_table(spark, sf_dir, "documents")
     nid = F.col("doc_id").cast("bigint")
-    left = docs.select(
+    left = (docs.select(
         F.when(nid % 10 < 8, F.lit(0)).otherwise(nid).alias("k"),
-        nid.alias("id"))
-    dim = (left.select("k").distinct()
-           .select("k", (F.col("k") % 7).alias("label")))
-    out = (left.join(dim, "k")
-           .groupBy("label")
-           .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("id").alias("sum_id")))
+        nid.alias("id"),
+        F.md5(F.encode(nid.cast("string"), "utf-8")).alias("payload"))
+        .repartition(8))
 
     skew_confs = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
     }
     saved = {k: spark.conf.get(k, None) for k in skew_confs}
     try:
         for k, v in skew_confs.items():
             spark.conf.set(k, v)
+        dim = (left.select("k").distinct()
+               .select("k", (F.col("k") % 7).alias("label"))
+               .localCheckpoint(eager=True))
+        out = (left.join(dim, "k")
+               .groupBy("label")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("id").alias("sum_id"),
+                    F.max("payload").alias("max_payload")))
         # Eager: the plan must be chosen while the confs are active;
         # localCheckpoint materializes it now, so restoring confs after
         # cannot re-plan it.
-        return out.localCheckpoint(eager=True)
+        result = out.localCheckpoint(eager=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "AQE skew split did not fire on the planted hot key — "
+                "the demonstration claim would be vacuous:\n" + plan)
+        return result
     finally:
         for k, v in saved.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
@@ -114,11 +141,13 @@ ORACLES = {
 WITH left_side AS (
   SELECT CASE WHEN CAST(doc_id AS BIGINT) % 10 < 8 THEN 0
               ELSE CAST(doc_id AS BIGINT) END AS k,
-         CAST(doc_id AS BIGINT) AS id
+         CAST(doc_id AS BIGINT) AS id,
+         md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)) AS payload
   FROM documents),
 dim AS (SELECT DISTINCT k, k % 7 AS label FROM left_side)
 SELECT d.label, count(*) AS n_rows,
-       CAST(sum(l.id) AS BIGINT) AS sum_id
+       CAST(sum(l.id) AS BIGINT) AS sum_id,
+       max(l.payload) AS max_payload
 FROM left_side l JOIN dim d ON l.k = d.k
 GROUP BY d.label
 """,

@@ -119,10 +119,16 @@ def test_two_phase_agg_exact(skewed):
 
 def test_aqe_splits_planted_skew(spark):
     """skew_aqe_join's companion assert: AQE really splits the planted hot
-    partition at runtime.  A 400k-row left side with 80% of rows on one
-    key exceeds the (lowered) skew threshold; after execution the final
-    adaptive plan must carry the skew=true marker on the sort-merge join,
-    and the result must be the plain join's."""
+    partition at runtime.  Three preconditions, all load-bearing (see
+    q_aqe_skew_join's docstring): the dim is CHECKPOINTED so both SMJ
+    children are bare shuffle stages (an agg child makes the split
+    unsound and the rule never matches), the fact rows carry an
+    incompressible md5 payload kept alive through the join by max() (a
+    constant-key/sequential-id partition lz4-compresses below any
+    threshold), and the fact side has 8 map tasks (the split is by
+    map-index ranges).  After execution the final adaptive plan must
+    carry the skew=true marker, and the result must be the plain
+    join's."""
     confs = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -137,13 +143,17 @@ def test_aqe_splits_planted_skew(spark):
         for k, v in confs.items():
             spark.conf.set(k, v)
         n = 400_000
-        left = spark.range(n).select(
+        left = spark.range(0, n, 1, 8).select(
             F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id"))
-            .alias("k"), "id")
+            .alias("k"), "id",
+            F.md5(F.encode(F.col("id").cast("string"), "utf-8"))
+            .alias("payload"))
         dim = (left.select("k").distinct()
-               .select("k", (F.col("k") % 7).alias("label")))
+               .select("k", (F.col("k") % 7).alias("label"))
+               .localCheckpoint(eager=True))
         out = (left.join(dim, "k").groupBy("label")
-               .agg(F.count(F.lit(1)).alias("n_rows")))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.max("payload").alias("max_payload")))
         rows = {r["label"]: r["n_rows"] for r in out.collect()}
         # every left row matches exactly one dim row
         assert sum(rows.values()) == n
