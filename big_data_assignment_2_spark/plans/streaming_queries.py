@@ -65,6 +65,47 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("total_cents")))
 
 
+def q_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 arbitrary-state successor API
+    (``transformWithStateInPandas`` + StatefulProcessor, typed named
+    state on a handle) certified by the same exact-cents oracle as the
+    ``applyInPandasWithState`` variant.
+
+    Engine selection is environment-honest: the native path's Python
+    worker speaks a protobuf state-server protocol, and this container
+    has no ``google.protobuf`` — when it is importable the REAL engine
+    runs (readStream → transformWithStateInPandas → availableNow drain,
+    as tests/test_stateful_v2.py does); otherwise the SAME
+    RunningTotalsProcessor object is driven through its full lifecycle
+    (init → 3 micro-batch handleInputRows with ValueState persisted
+    between calls → close) per key via applyInPandas — certifying the
+    processor-side contract while the engine path stays import-gated,
+    exactly like the PIL-bound JPEG codec stubs."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful_v2 import (protobuf_available,
+                                         rocksdb_state_conf,
+                                         run_processor_batch,
+                                         running_user_totals_v2)
+
+    if protobuf_available():
+        rocksdb_state_conf(spark)
+        ev = events_stream(spark, sf_dir, with_watermark=None)
+        out = run_stream_to_df(spark, running_user_totals_v2(ev),
+                               output_mode="update")
+        out = (out.groupBy("user_id")
+               .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+               .select("user_id", F.col("s.n_events").alias("n_events"),
+                       F.col("s.total_value").alias("total_value")))
+    else:
+        out = run_processor_batch(load_table(spark, sf_dir, "events"))
+    # Exact integer cents, immune to float summation order (see
+    # q_stateful_totals).
+    return out.select("user_id", "n_events",
+                      F.round(F.col("total_value") * 100).cast("bigint")
+                      .alias("total_cents"))
+
+
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keys(load_table(spark, sf_dir, "events"))
 
@@ -137,6 +178,7 @@ def q_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_stateful_totals": q_stateful_totals,
+    "stream_stateful_totals_v2": q_stateful_totals_v2,
     "stream_session_30m_live": q_session_live,
     "stream_dedup_keys_live": q_dedup_live,
     "stream_interval_join_1h_live": q_interval_join_live,
@@ -153,6 +195,13 @@ ORACLES = {
     # Final drained state == batch aggregate; the compared total is exact
     # integer cents (values are 2-dp money), immune to summation order.
     "stream_stateful_totals": """
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+""",
+    # v2 (transformWithStateInPandas / StatefulProcessor) shares the v1
+    # exact-cents oracle: same semantics, successor state API.
+    "stream_stateful_totals_v2": """
 SELECT user_id, count(*) AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id

@@ -72,3 +72,79 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+def protobuf_available() -> bool:
+    """The transformWithStateInPandas Python worker speaks a protobuf
+    state-server protocol; without google.protobuf the engine path cannot
+    execute (ImportError inside the worker)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# --- contract-faithful batch harness ---------------------------------------
+# When the engine path is environment-blocked (no google.protobuf), the
+# SAME StatefulProcessor object can still be certified: drive
+# init → N× handleInputRows (with ValueState persisted between calls)
+# → close per key through applyInPandas, splitting each key's rows into
+# deterministic micro-batch chunks so state genuinely evolves across
+# calls.  This exercises the processor-side contract — typed named state,
+# incremental accumulation, final-update semantics — not Spark's state
+# store; tests/test_stateful_v2.py runs the real engine when protobuf is
+# present.
+
+class _BatchValueState:
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+    def clear(self) -> None:
+        self._v = None
+
+
+class _BatchHandle:
+    """Duck-typed StatefulProcessorHandle: ValueState only (what
+    RunningTotalsProcessor uses)."""
+
+    def __init__(self) -> None:
+        self._states: dict = {}
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return self._states.setdefault(name, _BatchValueState())
+
+
+def run_processor_batch(events: DataFrame, n_microbatches: int = 3,
+                        processor_cls=RunningTotalsProcessor) -> DataFrame:
+    """Drive ``processor_cls`` through the StatefulProcessor lifecycle per
+    user over ``n_microbatches`` deterministic chunks; return each key's
+    FINAL update (what an availableNow drain of the update-mode stream
+    yields per key)."""
+
+    def drive(key, pdf):
+        proc = processor_cls()
+        proc.init(_BatchHandle())
+        chunks = [pdf.iloc[i::n_microbatches] for i in range(n_microbatches)]
+        last = None
+        for chunk in chunks:
+            if len(chunk) == 0:
+                continue
+            for out in proc.handleInputRows(key, iter([chunk]), None):
+                last = out
+        proc.close()
+        return last
+
+    return (events.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(drive, OUTPUT_SCHEMA))

@@ -44,3 +44,38 @@ def test_stateful_v2_converges_to_batch(spark, sf_dir):
     for u, (n, t) in want.items():
         assert got[u][0] == n
         assert abs(got[u][1] - t) < 1e-4
+
+
+def test_processor_batch_harness_converges(spark, sf_dir):
+    """The protobuf-free certification path: the SAME RunningTotalsProcessor
+    driven through init -> 3x handleInputRows (ValueState persisted between
+    calls) -> close per key must land on the batch aggregate exactly."""
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        run_processor_batch)
+
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in run_processor_batch(
+               load_table(spark, sf_dir, "events")).collect()}
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("t"))
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u, (n, t) in want.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - t) < 1e-4
+
+
+def test_processor_batch_state_evolves_across_chunks(spark):
+    """With n_microbatches=3 the processor's ValueState must actually carry
+    counts between handleInputRows calls (a fresh-state bug would still
+    pass the final-total check if each chunk were summed independently and
+    yielded only once)."""
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        run_processor_batch)
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(9)], "user_id long, value double")
+    out = run_processor_batch(df, n_microbatches=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 9          # 3 chunks of 3, accumulated
+    assert abs(out[0]["total_value"] - 36.0) < 1e-9
