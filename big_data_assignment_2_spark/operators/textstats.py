@@ -45,6 +45,75 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
 
 
+# Fixed merges table (rank order) for the vocabulary-driven BPE encoder.
+# Chosen to exercise the algorithm's edge semantics on this corpus:
+# cascading merges (t+h → th, th+e → the; a+t → at, d+at → dat,
+# dat+a → data), rank-order blocking (u+e never fires inside "query"
+# because e+r at rank 6 consumes the e first), and left-to-right
+# non-overlapping repeat handling.  Sequential application in rank order
+# is equivalent to the greedy lowest-rank-pair loop (GPT-2 encode):
+# a pair learned at rank r can only be made of tokens that existed
+# before rank r, so later merges never enable earlier ones — the
+# standard subword-nmt equivalence.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "t"), ("d", "at"), ("dat", "a"),
+    ("e", "r"), ("o", "r"), ("s", "t"), ("r", "o"), ("a", "n"),
+    ("i", "n"), ("in", "e"), ("u", "e"), ("k", "e"), ("h", "a"),
+    ("s", "m"),
+)
+
+
+def _merge_pair(toks: Column, x: str, y: str) -> Column:
+    """One BPE merge rule applied to a token array: fold left, replacing
+    every left-to-right non-overlapping adjacent (x, y) with x+y."""
+    z = x + y
+    return F.aggregate(
+        toks, F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x)) & (t == F.lit(y)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(z)))
+        ).otherwise(F.concat(acc, F.array(t))))
+
+
+def bpe_encode_word(word: Column) -> Column:
+    """Encode one word: char array folded through BPE_MERGES in rank
+    order.  Native higher-order functions end to end — no Python on the
+    data path."""
+    toks = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    for x, y in BPE_MERGES:
+        toks = _merge_pair(toks, x, y)
+    return toks
+
+
+def bpe_encode(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary-driven BPE over the corpus, dictionary-encoded for
+    scale: the merge fold runs once per DISTINCT word (the vocabulary —
+    orders of magnitude smaller than the corpus at 100 TB), then a
+    broadcast join maps encodings back to every occurrence and per-doc
+    piece sequences reassemble in word order.  Returns
+    (doc_id, n_pieces, pieces) where pieces is the space-joined piece
+    sequence of the whole document."""
+    words = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "word"))
+    encoded = bpe_encode_word(F.col("word"))
+    vocab = (words.select("word").distinct()
+             .select("word",
+                     F.array_join(encoded, " ").alias("__pieces_str"),
+                     F.size(encoded).alias("__n_pieces")))
+    return (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("__n_pieces").alias("n_pieces"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("pos", "__pieces_str"))),
+                         lambda s: s["__pieces_str"]), " ").alias("pieces")))
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality signals: lengths, word-shape ratios, stopword ratio.
     All ratios rounded to 6 dp for engine parity."""

@@ -39,6 +39,19 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("source").alias("n_sources")))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-driven BPE encode (round-4 brief task #6): the fixed
+    BPE_MERGES table folded over each DISTINCT word's char array in rank
+    order (native higher-order functions), broadcast-joined back to word
+    occurrences, per-doc piece sequence reassembled in order.  The
+    DuckDB twin re-implements the same fold with list_reduce, so the
+    oracle row certifies the merge semantics themselves (cascades,
+    rank-order blocking, left-to-right non-overlap) — not just counts."""
+    from ..operators.textstats import bpe_encode
+
+    return bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 whitespace normalization (the reference's only Python UDF,
     `prepare_data.py:23-27`) as a native expression."""
@@ -513,6 +526,7 @@ QUERIES = {
     "pipeline_upsample": q_upsample,
     "pipeline_global_shuffle": q_global_shuffle,
     "text_token_count_bpe": q_token_count_bpe,
+    "text_bpe_encode": q_bpe_encode,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
@@ -920,3 +934,44 @@ FROM (SELECT source, unnest(toks) AS term FROM docs)
 GROUP BY term
 """,
 }
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of operators.textstats.bpe_encode: the same merge fold
+    per distinct word, built by nesting one list_reduce per BPE_MERGES
+    rule (rank order).  Elements are wrapped as single-item lists so the
+    reduce accumulator can be a list; a[len(a)] is the 1-based last
+    element and a[1:len(a)-1] drops it."""
+    from ..operators.textstats import BPE_MERGES
+
+    expr = "string_split(word, '')"
+    for x, y in BPE_MERGES:
+        expr = (
+            "list_reduce(list_transform(" + expr + ", t -> [t]), "
+            "(a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = '" + x + "' "
+            "AND b[1] = '" + y + "' THEN list_append(a[1:len(a)-1], '"
+            + x + y + "') ELSE list_concat(a, b) END)")
+    return r"""
+WITH dt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(
+             string_split_regex(
+                 regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+             t -> t <> '') AS toks
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM dt),
+w2 AS (SELECT doc_id, pos, toks[pos] AS word FROM words),
+vocab AS (SELECT DISTINCT word FROM w2),
+encoded AS (SELECT word, """ + expr + r""" AS pieces FROM vocab)
+SELECT w.doc_id,
+       CAST(sum(len(e.pieces)) AS BIGINT) AS n_pieces,
+       string_agg(array_to_string(e.pieces, ' '), ' ' ORDER BY w.pos)
+           AS pieces
+FROM w2 w JOIN encoded e USING (word)
+GROUP BY w.doc_id
+"""
+
+
+ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
