@@ -65,18 +65,24 @@ _FLAGSHIPS = ("search_bm25_topk", "dedup_minhash_near", "dedup_clusters",
               "sim_cosine_near_dups", "rel_pricing_summary")
 
 
-def _verified_names() -> set:
-    """Union of queries with a fully-green row in any committed
-    CORRECTNESS_r*.json (rows+schema+hash).  The external driver checks the
-    FIRST 50 registry entries each round, so ordering never-verified queries
-    first rotates hard verification across the whole registry over rounds
-    instead of re-checking the same prefix forever."""
+def _last_green_round() -> dict:
+    """Per-query LAST round with a fully-green row (rows+schema+hash) in
+    any committed CORRECTNESS_r*.json; absent key = never verified.  The
+    external driver checks the FIRST 50 registry entries each round, so
+    ordering never-verified first and then stalest-first rotates hard
+    verification across the whole registry over rounds instead of
+    re-checking the same prefix forever (round-5 VERDICT task #7: once
+    every query has a green row somewhere, recency is the fair rotation
+    key — the r1-only cohort gets re-certified before last round's)."""
     import json
+    import re
     from pathlib import Path
 
-    seen: set = set()
+    last: dict = {}
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -84,18 +90,20 @@ def _verified_names() -> set:
         for name, r in rows.items():
             if isinstance(r, dict) and r.get("rows_match") \
                     and r.get("schema_match") and r.get("hash_match"):
-                seen.add(name)
-    return seen
+                last[name] = max(rnd, last.get(name, 0))
+    return last
 
 
 def _prioritized(entries: dict) -> dict:
-    """Registry order = flagships, then never-verified, then everything
-    else.  Flagships lead (not follow) the never-verified block so they
-    stay inside the driver's 50-entry window even when the never-verified
-    backlog alone would fill it (round-4 ADVICE: appending them after the
-    block silently dropped them past the cut once the backlog grew)."""
-    verified = _verified_names()
+    """Registry order = flagships, then never-verified, then stalest
+    first (ascending last-green round; ties keep the interleaved family
+    order).  Flagships lead (not follow) the never-verified block so
+    they stay inside the driver's 50-entry window even when the backlog
+    alone would fill it (round-4 ADVICE)."""
+    last = _last_green_round()
     head = {k: entries[k] for k in _FLAGSHIPS if k in entries}
-    head.update({k: v for k, v in entries.items() if k not in verified})
-    head.update(entries)
+    head.update({k: v for k, v in entries.items() if k not in last})
+    pos = {k: i for i, k in enumerate(entries)}
+    for k in sorted(entries, key=lambda k: (last.get(k, 0), pos[k])):
+        head.setdefault(k, entries[k])
     return head
