@@ -337,6 +337,15 @@ def audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     frames = w.readframes(w.getnframes())
                 s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
                 ss = int((s * s).sum())
+                # The floor(sqrt(ss/n)*1e6)/1e6 parity argument below
+                # requires ss exact in a double: DuckDB converts ss to
+                # double BEFORE dividing, which double-rounds once
+                # ss >= 2^53 while Python's int/int stays exact
+                # (round-5 ADVICE: enforce the precondition, don't
+                # assume it).
+                assert ss < 2 ** 53, (
+                    f"sum_sq {ss} exceeds 2^53; cross-engine rms parity "
+                    "precondition broken")
                 out["media_id"].append(mid)
                 out["n_samples"].append(len(s))
                 out["sum_sq"].append(ss)

@@ -676,6 +676,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time.  Oracle = the same join computed the plain (unbucketed) way."""
     import os
     import tempfile
+    import uuid
 
     from ..operators.persist import write_bucketed
 
@@ -683,12 +684,18 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_io", "bucketed_join")
-    write_bucketed(li, "bj_lineitem", "l_orderkey", n_buckets=8,
+    # Per-run unique path + table names: a fixed location would let a
+    # second invocation mode-overwrite the files backing a previously
+    # returned, not-yet-collected lazy DataFrame (round-5 ADVICE).
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        f"bucketed_join_{run}")
+    write_bucketed(li, f"bj_lineitem_{run}", "l_orderkey", n_buckets=8,
                    sort_col="l_orderkey", path=os.path.join(base, "lineitem"))
-    write_bucketed(o, "bj_orders", "o_orderkey", n_buckets=8,
+    write_bucketed(o, f"bj_orders_{run}", "o_orderkey", n_buckets=8,
                    sort_col="o_orderkey", path=os.path.join(base, "orders"))
-    lb, ob = spark.table("bj_lineitem"), spark.table("bj_orders")
+    lb, ob = (spark.table(f"bj_lineitem_{run}"),
+              spark.table(f"bj_orders_{run}"))
     joined = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
     disc_price = (F.col("l_extendedprice").cast("decimal(12,2)")
                   * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))

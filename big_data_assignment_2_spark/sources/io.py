@@ -32,15 +32,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it reads nanos into its native micro timestamps, so both
     engines see identical values.
     """
+    # Self-sufficient: the driver may hand us a session built without
+    # session.py's confs; both flags are runtime-settable.  UTC is
+    # required for oracle parity — event-time window bucketing and
+    # date_format render in the session zone, while the DuckDB
+    # date_trunc oracles are zone-free (round-4 ADVICE: a non-UTC host
+    # would shift day-window boundaries).  Set on EVERY load path, not
+    # just events, so timestamp rendering is not order-dependent on
+    # which table a bare session happens to touch first (round-5
+    # ADVICE).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Self-sufficient: the driver may hand us a session built without
-        # session.py's confs; both flags are runtime-settable.  UTC is
-        # required for oracle parity — event-time window bucketing and
-        # date_format render in the session zone, while the DuckDB
-        # date_trunc oracles are zone-free (round-4 ADVICE: a non-UTC
-        # host would shift day-window boundaries).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -39,9 +39,13 @@ def _update(key, pdfs: Iterator, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # Raw float in state and output: a per-batch round() would accumulate
+    # a rounding residue proportional to batch count, undermining the
+    # exact-cents oracle argument (round-5 ADVICE); consumers that need
+    # stable rendering round once at the edge.
+    state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_value": [round(total, 6)]})
+                        "total_value": [total]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

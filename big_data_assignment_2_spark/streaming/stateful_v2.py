@@ -56,9 +56,11 @@ class RunningTotalsProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        self._totals.update((n, round(total, 6)))
+        # Raw float in state/output — same rationale as stateful._update:
+        # per-batch rounding accumulates a residue with batch count.
+        self._totals.update((n, total))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "total_value": [round(total, 6)]})
+                            "total_value": [total]})
 
     def close(self) -> None:
         pass
