@@ -10,8 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (NUM_PLANES, PLANE_MOD, brute_force_topk,
-                                    cosine_near_dups, cosine_top_pairs,
-                                    kmeans_assign, lsh_topk, probe_masks)
+                                    cosine_near_dups, cosine_near_dups_banded,
+                                    cosine_top_pairs, kmeans_assign, lsh_topk,
+                                    probe_masks)
 from ..sources.io import load_table
 
 TOP_K = 10
@@ -50,6 +51,21 @@ PROBE_HAMMING = 2  # candidate pairs = buckets within 2 bit flips
 def q_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return cosine_top_pairs(em, top_n=TOP_PAIRS, probe_hamming=PROBE_HAMMING)
+
+
+# Banded sign-LSH: 3 bands x 4 planes.  Width 4 is sized to THIS corpus
+# (near-orthogonal embeddings, dup threshold 0.4 -> per-plane agreement
+# ~0.63, so per-band recall 0.63^4 ~ 0.16, OR of 3 bands ~ 0.41 of the
+# weak 0.4-cosine pairs); a production 0.95-cosine near-dup run grows r
+# with log2(corpus) instead (see banded_lsh_candidate_pairs docstring).
+BAND_R = 4
+BAND_B = 3
+
+
+def q_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dups_banded(em, threshold=COSINE_DUP_THRESHOLD,
+                                   rows_per_band=BAND_R, bands=BAND_B)
 
 
 COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
@@ -138,6 +154,7 @@ QUERIES = {
     "sim_ann_lsh": q_ann_lsh,
     "sim_lsh_buckets": q_lsh_buckets,
     "sim_cosine_top_pairs": q_cosine_top_pairs,
+    "sim_cosine_banded": q_cosine_banded,
 }
 
 # Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.
@@ -148,6 +165,19 @@ list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
 """
 
 _VECS = "vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+def _bucket_expr(num_planes: int, plane_offset: int = 0, var: str = "v") -> str:
+    """Sign-LSH bucket expression over ``var`` for one band: local plane p
+    contributes bit ``1 << p``, its hyperplane drawn at GLOBAL index
+    ``plane_offset + p`` — mirroring ``lsh_bucket`` exactly."""
+    return " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(0, 64),
+        d -> {var}[d + 1] * ((((({plane_offset + p}) * 3 + d * 7 + 11)
+                              * 2654435761) % {PLANE_MOD})
+                         / CAST({PLANE_MOD} AS DOUBLE) - 0.5))) >= 0
+        THEN {1 << p} ELSE 0 END)"""
+        for p in range(num_planes))
 
 _BUCKET_EXPR = " + ".join(
     f"""(CASE WHEN list_sum(list_transform(range(0, 64),
@@ -347,5 +377,27 @@ WITH {_VECS}, {_CAND_CTES}
 SELECT vec_a, vec_b, cos_sim FROM cand
 ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
 LIMIT {TOP_PAIRS}
+""",
+    # Banded sign-LSH: buckets on the RAW vector (sign-LSH is
+    # scale-invariant; banded_lsh_candidate_pairs does the same), scoring
+    # on the normalized one; per-band bucket equi-join, then a DISTINCT
+    # over the deterministic scored row.
+    "sim_cosine_banded": "WITH " + _VECS + f""",
+bn AS (SELECT vec_id, v,
+              list_transform(v, x -> x / sqrt(list_sum(
+                  list_transform(v, y -> y * y)))) AS vn
+       FROM vecs),
+pb AS ({" UNION ALL ".join(
+    f'''SELECT vec_id, vn, {j} AS band,
+               {_bucket_expr(BAND_R, j * BAND_R, "v")} AS bucket FROM bn'''
+    for j in range(BAND_B))}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> a.vn[i] * b.vn[i])), 6) AS cos_sim
+  FROM pb a JOIN pb b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM cand
+WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """,
 }
