@@ -37,6 +37,8 @@ HEADLINE = [
 # comparable with BASELINE.md round over round (these queries postdate it).
 EXTRA = [
     "sim_cosine_top_pairs",  # LSH-bucket candidate pair join (no all-pairs)
+    "sim_cosine_banded",     # banded sign-LSH (width-tunable scale path)
+    "sim_cosine_top_pairs_scaled",  # width sized from corpus (100 TB form)
     "sim_tfidf_topk",        # sparse TF-IDF cosine via inverted-index join
     "stream_tumbling_1d",    # REAL micro-batch streaming execution
     "mm_decode_real",        # stdlib BMP/WAV codec via Arrow mapInPandas

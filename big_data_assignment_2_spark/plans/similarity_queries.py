@@ -68,6 +68,19 @@ def q_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    rows_per_band=BAND_R, bands=BAND_B)
 
 
+def q_cosine_top_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-adaptive banded top pairs — NO static oracle by design: the
+    band width is sized from the corpus row count (band_width_for), and a
+    fixed SQL string cannot re-shape its bucket expression per scale.
+    Rows-only driver check; the machinery is hard-certified by its
+    fixed-width twin ``sim_cosine_banded`` plus the subset/recall tests in
+    tests/test_banded_lsh.py."""
+    from ..operators.similarity import cosine_top_pairs_scaled
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return cosine_top_pairs_scaled(em, top_n=TOP_PAIRS)
+
+
 COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
                             # (max pairwise cosine ≈ 0.48); production
                             # near-dup would use ~0.95+
@@ -155,6 +168,7 @@ QUERIES = {
     "sim_lsh_buckets": q_lsh_buckets,
     "sim_cosine_top_pairs": q_cosine_top_pairs,
     "sim_cosine_banded": q_cosine_banded,
+    "sim_cosine_top_pairs_scaled": q_cosine_top_pairs_scaled,
 }
 
 # Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.

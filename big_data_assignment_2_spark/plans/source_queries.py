@@ -185,8 +185,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _checksum("doc_id", "text").alias("checksum"))
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → events: the second columnar format Spark ships
+    natively (a production lake mixes parquet and ORC feeds).  Exercises
+    timestamp/double/string ORC encode+decode; per-type counts, an exact
+    DECIMAL value sum, and a content checksum must survive byte-exactly.
+    Per-run unique path: a fixed location would let a second invocation
+    overwrite the files backing a previously returned lazy DataFrame."""
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(_SCRATCH, f"orc_events_{uuid.uuid4().hex[:8]}")
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    # Timestamps checksum as epoch MICROS (unix_micros / epoch_us) — an
+    # integer both engines render identically; string rendering of
+    # fractional seconds is not portable.
+    # ORC reads the column back as TIMESTAMP_NTZ; session TZ is UTC, so
+    # the cast to TIMESTAMP is identity.
+    return (back.withColumn("ts_us",
+                            F.unix_micros(F.col("ts").cast("timestamp")))
+            .groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value"),
+                _checksum("event_id", "ts_us", "user_id").alias("checksum")))
+
+
 QUERIES = {
     "source_stratified_sample": q_stratified_sample,
+    "source_orc_roundtrip": q_orc_roundtrip,
     "source_perdoc_roundtrip": q_perdoc_sink_roundtrip,
     "source_jsonl_roundtrip": q_jsonl_roundtrip,
     "source_tsv_roundtrip": q_tsv_roundtrip,
@@ -225,6 +253,12 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
     "source_sample_count": """
 SELECT count(*) AS n_total, TRUE AS cap_ok, TRUE AS sample_bounded
 FROM documents
+""",
+    "source_orc_roundtrip": f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       {_checksum_sql('event_id', 'epoch_us(ts)', 'user_id')} AS checksum
+FROM events GROUP BY event_type
 """,
     "source_stratified_sample": f"""
 SELECT lang, count(*) AS n_docs,

@@ -17,6 +17,16 @@ from big_data_assignment_2_spark.operators.similarity import (
 from big_data_assignment_2_spark.sources.io import load_table
 
 
+def test_band_width_grows_with_log_corpus():
+    from big_data_assignment_2_spark.operators.similarity import band_width_for
+    r1 = band_width_for(2_000)
+    r10 = band_width_for(20_000)
+    r1e9 = band_width_for(1_000_000_000)
+    # 10x corpus -> ~log2(10) ~ 3-4 more planes; monotone, bounded sanely.
+    assert 2 <= r1 < r10 < r1e9 <= 40
+    assert 3 <= r10 - r1 <= 4
+
+
 @pytest.fixture(scope="module")
 def planted(spark, sf_dir):
     """Embeddings plus, for each vector, a planted near-dup (one component

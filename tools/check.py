@@ -43,9 +43,14 @@ def main() -> int:
 
     spark = get_spark("check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
+    import os
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Driver testdata are single files; Spark-written tables (e.g. the
+        # make_sf1.py scale set) are directories of part files.
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
 
     qs, oracles = queries(), oracle_sql()
     failures = []
