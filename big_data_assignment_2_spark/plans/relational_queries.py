@@ -44,11 +44,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_price = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    # Exact DECIMAL sums go to double VIA STRING: a direct decimal->double
+    # conversion double-rounds once the unscaled value exceeds 2^53
+    # (sum_charge at scale 6 does at ~10x sf0.1 — found by the sf1 sweep,
+    # engines 1 ULP apart), and decimal round() tie rules differ across
+    # engines.  decimal->string is exact and string->double is correctly
+    # rounded in BOTH engines, so identical sums give identical doubles at
+    # any magnitude.  Per-group cost only (one cast per output row).
+    def _d2d(c):
+        return c.cast("string").cast("double")
+
     agg = f.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        _d2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        _d2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+        _d2d(F.sum(disc_price)).alias("sum_disc_price"),
+        _d2d(F.sum(charge)).alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
     return agg.select(
@@ -63,13 +73,13 @@ _Q1_SQL = """
 WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'),
 agg AS (
   SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                  * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                  * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
          count(*) AS count_order
   FROM f GROUP BY l_returnflag, l_linestatus)
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
