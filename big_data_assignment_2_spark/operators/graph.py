@@ -55,3 +55,50 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
                              + damping * F.coalesce("c", F.lit(0.0)),
                              6).alias("r")))
     return r.select("node", F.col("r").alias("pagerank"))
+
+
+def triangle_count(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected simple
+    graph induced by ``edges`` (src, dst); returns (node, n_triangles)
+    for every node in ``nodes``.
+
+    Scale shape (Schank/compact-forward): orient each undirected edge
+    from its lower-(degree, id) endpoint to the higher one, generate
+    wedges by self-joining oriented edges on their SOURCE, and close each
+    wedge against the undirected edge set.  The orientation bounds every
+    node's oriented out-degree by O(sqrt(|E|)), so the wedge join — the
+    only super-linear stage — produces O(|E|^1.5) rows worst-case instead
+    of the O(Σ deg²) a naive neighbor self-join yields (on skewed graphs,
+    the difference between feasible and not).  All equi-joins + hash
+    aggs; no driver-side graph state.  The result is orientation-
+    independent, so the SQL oracle replays the plain a<b<c triple join.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | \
+        ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = (und.join(da, "a").join(db, "b")
+                .select(F.when(lower_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when(lower_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("v")))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (o1.join(o2, "u")
+              .filter(F.col("o1.v") < F.col("o2.v"))
+              .select("u", F.col("o1.v").alias("x"), F.col("o2.v").alias("y")))
+    tris = wedges.join(
+        und, (F.least("x", "y") == F.col("a"))
+        & (F.greatest("x", "y") == F.col("b"))).select("u", "x", "y")
+    per_node = (tris.select(F.col("u").alias("node"))
+                .unionAll(tris.select(F.col("x").alias("node")))
+                .unionAll(tris.select(F.col("y").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n")))
+    return (nodes.join(per_node, "node", "left")
+            .select("node", F.coalesce("n", F.lit(0)).alias("n_triangles")))

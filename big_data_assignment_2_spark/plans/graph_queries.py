@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_count
 from ..sources.io import load_table
 
 PR_ITERS = 3
@@ -21,16 +21,7 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Who sits at the center of the trade network: PageRank over nation
     trade edges.  Edge building is three broadcast-dimension equi-joins +
     one hash-agg; the iteration is operators/graph.pagerank."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-             .join(o, li["l_orderkey"] == o["o_orderkey"])
-             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-             .groupBy(F.col("s_nationkey").alias("src"),
-                      F.col("c_nationkey").alias("dst"))
-             .agg(F.count(F.lit(1)).alias("w")))
+    edges = _trade_edges(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     pr = pagerank(edges, nodes, iters=PR_ITERS, damping=PR_DAMPING)
@@ -69,10 +60,64 @@ FROM r{PR_ITERS} JOIN nation n ON n.n_nationkey = r{PR_ITERS}.node
 """
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("s_nationkey").alias("src"),
+                     F.col("c_nationkey").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w")))
+
+
+def q_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per nation over the undirected trade graph
+    (clustering structure of the trade network).  Degree-ordered
+    orientation bounds the wedge join — see operators/graph.triangle_count;
+    the oracle replays the orientation-independent a<b<c triple join."""
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    tc = triangle_count(_trade_edges(spark, sf_dir), nodes)
+    return (tc.join(F.broadcast(nation), tc["node"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"), "n_triangles"))
+
+
+_TRIANGLES_SQL = """
+WITH e0 AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src != dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY node)
+SELECT n.n_name AS nation, coalesce(p.n, 0) AS n_triangles
+FROM nation n LEFT JOIN per_node p ON p.node = n.n_nationkey
+"""
+
+
 QUERIES = {
     "graph_pagerank_trade": q_pagerank_trade,
+    "graph_triangles_trade": q_triangles_trade,
 }
 
 ORACLES = {
     "graph_pagerank_trade": _pagerank_oracle(),
+    "graph_triangles_trade": _TRIANGLES_SQL,
 }

@@ -32,3 +32,43 @@ def test_pagerank_weight_sensitivity(spark):
     nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
     r = {x["node"]: x["pagerank"] for x in pagerank(edges, nodes, iters=2).collect()}
     assert r[1] > r[2] > 0
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 on {0,1,2,3} (every node in C(3,2)=3 triangles) + a pendant edge
+    4-5 (no triangles) + an isolated node 6; direction/duplicates/self-
+    loops in the input must not matter."""
+    from big_data_assignment_2_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4), (4, 4)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(edges, nodes).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+
+
+def test_triangle_count_matches_naive(spark):
+    """Degree-ordered orientation is result-invisible: counts equal the
+    naive a<b<c triple join on a pseudo-random graph."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.graph import triangle_count
+
+    n = 30
+    pairs = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if (a * 7 + b * 13) % 5 < 2]         # deterministic ~40% density
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_count(edges, nodes).collect()}
+    es = set(pairs)
+    naive = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for v in (a, b, c):
+                naive[v] += 1
+    assert got == naive
