@@ -128,8 +128,62 @@ def q_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
 
 
+def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the third adaptive-execution
+    lever after AQE skew split (`skew_aqe_join`) and salting
+    (`skew_salted_join`).  When a selective dimension feeds a shuffle
+    join, Spark injects a bloom_filter_agg scalar subquery on the dim and
+    a might_contain predicate on the fact side, pruning fact rows BEFORE
+    the shuffle — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~1/20th that survives the filter.
+
+    A selective orders slice (one priority, one date cut ≈ 5% of rows)
+    joins lineitem with broadcast disabled (forcing the shuffle join the
+    rule targets) and the application-side scan threshold lowered (the
+    10 GB default is tuned for clusters, not a 17 MB test table).  Confs
+    are restored afterwards.  The oracle is the plain SQL join — the
+    runtime filter must be result-invisible — and the query RAISES if
+    the executed plan lacks ``might_contain``, so a green driver row
+    certifies both result parity and that the filter was injected.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderpriority") == "1-URGENT")
+                 & (F.col("o_orderdate") < F.lit("1995-06-01")))
+         .select("o_orderkey", "o_orderpriority"))
+
+    bloom_confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in bloom_confs}
+    try:
+        for k, v in bloom_confs.items():
+            spark.conf.set(k, v)
+        out = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_items"),
+                    F.sum("qty").alias("sum_qty")))
+        # Eager checkpoint: plan while the confs are active.
+        result = out.localCheckpoint(eager=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "runtime Bloom filter was not injected — the "
+                "demonstration claim would be vacuous:\n" + plan)
+        return result
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
 QUERIES = {
     "skew_aqe_join": q_aqe_skew_join,
+    "skew_bloom_filter_join": q_bloom_runtime_filter,
     "skew_two_phase_agg": q_two_phase_agg,
     "skew_salted_join": q_salted_join,
 }
@@ -150,6 +204,16 @@ SELECT d.label, count(*) AS n_rows,
        max(l.payload) AS max_payload
 FROM left_side l JOIN dim d ON l.k = d.k
 GROUP BY d.label
+""",
+    # Plain SQL twin: the injected runtime filter must be result-invisible.
+    "skew_bloom_filter_join": """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate < TIMESTAMP '1995-06-01'
+GROUP BY o.o_orderpriority
 """,
     # DuckDB sum(BIGINT) yields HUGEINT; cast back so the typed hash
     # compare matches Spark's BIGINT sums.

@@ -163,3 +163,27 @@ def test_aqe_splits_planted_skew(spark):
     finally:
         for k, v in saved.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_bloom_runtime_filter_result_parity(spark, sf_dir):
+    """The injected runtime Bloom filter (asserted inside the query — it
+    RAISES if might_contain is absent) must be result-invisible vs the
+    plain join."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.plans.skew_queries import \
+        q_bloom_runtime_filter
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    got = {(r["o_orderpriority"], r["n_items"], r["sum_qty"])
+           for r in q_bloom_runtime_filter(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderpriority") == "1-URGENT")
+                 & (F.col("o_orderdate") < F.lit("1995-06-01"))))
+    plain = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("l_quantity").cast("bigint")).alias("s")))
+    want = {(r["o_orderpriority"], r["n"], r["s"]) for r in plain.collect()}
+    assert got == want and len(got) >= 1
