@@ -20,9 +20,12 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = contract.queries(), contract.oracle_sql()
     assert set(os_) <= set(qs)
     missing_oracle = set(qs) - set(os_)
-    # every declared query now has an oracle twin (rel_approx_distinct got
-    # its exact-count + tolerance-boolean form this round)
-    assert missing_oracle == set()
+    # Every declared query has an oracle twin except the explicit,
+    # documented rows-only set: sim_cosine_top_pairs_scaled sizes its LSH
+    # band width from the corpus row count, and a static SQL string cannot
+    # re-shape its bucket expression per scale (its fixed-width twin
+    # sim_cosine_banded carries the hard certification).
+    assert missing_oracle == {"sim_cosine_top_pairs_scaled"}
 
 
 def test_entry_smoke(spark):
