@@ -86,14 +86,21 @@ def q_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_SQL = """
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2),
-und AS (
+-- MATERIALIZED is load-bearing: DuckDB otherwise inlines und into each
+-- of the three triangle-join references, re-running the 4-table edge
+-- build three times, and join reordering then degenerates the src!=dst
+-- predicate into a customer x supplier NESTED-LOOP product (measured:
+-- >100 GB of temp spill at the 10x scale corpus).  Materialized, the
+-- tiny nation-level edge list is computed once and the triple join is
+-- milliseconds at any corpus scale.
+und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM e0 WHERE src != dst),
 tri AS (
