@@ -338,3 +338,25 @@ SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """,
 }
+
+
+# DuckDB inlines every CTE reference by default, so a CTE referenced more
+# than once re-runs its whole subtree — and the optimizer can then
+# degenerate the re-planned copies (the triangles oracle turned into a
+# nested-loop product this way; the band self-join here re-ran the full
+# tokenize+signature build per side).  Forcing MATERIALIZED on the known
+# CTE names is semantically neutral (verified row-identical at sf0.1:
+# 962,653 pairs) and ~20% faster on the heaviest oracle.
+_MATERIALIZED_CTES = (
+    "docs", "tokens", "ts", "h", "sig", "bands", "cand", "sizes", "inter",
+    "led", "hashes", "fp", "tf", "hh", "votes", "sh", "pre", "np")
+
+
+def _materialize(sql: str) -> str:
+    import re as _re
+    for n in _MATERIALIZED_CTES:
+        sql = _re.sub(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql)
+    return sql
+
+
+ORACLES = {k: _materialize(v) for k, v in ORACLES.items()}
