@@ -57,6 +57,44 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     return r.select("node", F.col("r").alias("pagerank"))
 
 
+def label_propagation(edges: DataFrame, nodes: DataFrame,
+                      iters: int = 3) -> DataFrame:
+    """Deterministic synchronous weighted label propagation (community
+    detection) over the undirected graph induced by ``edges``
+    (src, dst, w); returns (node, community) after ``iters`` rounds.
+
+    Each round every node adopts the label with the highest total
+    incident edge weight among its neighbors' PREVIOUS labels —
+    ties broken by smallest label, isolated nodes keep their own — so
+    the update is a pure function of the prior state and a SQL oracle
+    can replay every round exactly (same contract as ``pagerank`` and
+    the Lloyd k-means).  Per round: one equi-join of the persisted
+    bidirectional edge relation with the label relation, one
+    (node, label) hash-agg, one per-node top-1 window — all shuffled on
+    node id, no driver-side graph state.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    bidir = (edges.select(F.col("src").alias("x"), F.col("dst").alias("y"),
+                          "w")
+             .unionAll(edges.select(F.col("dst").alias("x"),
+                                    F.col("src").alias("y"), "w"))
+             .filter(F.col("x") != F.col("y"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    win = Window.partitionBy("x").orderBy(F.desc("wv"), F.asc("lab"))
+    for _ in range(iters):
+        votes = (bidir.join(labels, bidir["y"] == labels["node"])
+                 .groupBy("x", "lab").agg(F.sum("w").alias("wv")))
+        best = (votes.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select(F.col("x").alias("node"), F.col("lab").alias("nl")))
+        labels = (labels.join(best, "node", "left")
+                  .select("node", F.coalesce("nl", "lab").alias("lab")))
+    return labels.select("node", F.col("lab").alias("community"))
+
+
 def triangle_count(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over the undirected simple
     graph induced by ``edges`` (src, dst); returns (node, n_triangles)

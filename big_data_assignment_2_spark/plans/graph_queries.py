@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank, triangle_count
+from ..operators.graph import label_propagation, pagerank, triangle_count
 from ..sources.io import load_table
 
 PR_ITERS = 3
@@ -119,12 +119,63 @@ FROM nation n LEFT JOIN per_node p ON p.node = n.n_nationkey
 """
 
 
+LPA_ITERS = 3
+
+
+def q_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-network communities via deterministic weighted label
+    propagation (3 synchronous rounds; see operators/graph).  The oracle
+    unrolls every round, so a green row proves the full iteration."""
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    lp = label_propagation(_trade_edges(spark, sf_dir), nodes,
+                           iters=LPA_ITERS)
+    return (lp.join(F.broadcast(nation), lp["node"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"),
+                    F.col("community").cast("int").alias("community")))
+
+
+def _lpa_oracle() -> str:
+    ctes = ["""e0 AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2)""",
+            """bidir AS MATERIALIZED (
+  SELECT src AS x, dst AS y, w FROM e0 WHERE src != dst
+  UNION ALL SELECT dst, src, w FROM e0 WHERE src != dst)""",
+            "l0 AS MATERIALIZED (SELECT n_nationkey AS node, "
+            "n_nationkey AS lab FROM nation)"]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT b.x AS node, l.lab, sum(b.w) AS wv
+  FROM bidir b JOIN l{i - 1} l ON l.node = b.y
+  GROUP BY 1, 2)""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT p.node, coalesce(best.lab, p.lab) AS lab
+  FROM l{i - 1} p
+  LEFT JOIN (SELECT node, lab FROM (
+      SELECT node, lab, row_number() OVER (
+        PARTITION BY node ORDER BY wv DESC, lab ASC) AS rn
+      FROM v{i}) WHERE rn = 1) best ON best.node = p.node)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT n.n_name AS nation, CAST(l.lab AS INT) AS community
+FROM l{LPA_ITERS} l JOIN nation n ON n.n_nationkey = l.node
+"""
+
+
 QUERIES = {
     "graph_pagerank_trade": q_pagerank_trade,
     "graph_triangles_trade": q_triangles_trade,
+    "graph_communities_trade": q_communities_trade,
 }
 
 ORACLES = {
     "graph_pagerank_trade": _pagerank_oracle(),
     "graph_triangles_trade": _TRIANGLES_SQL,
+    "graph_communities_trade": _lpa_oracle(),
 }

@@ -72,3 +72,30 @@ def test_triangle_count_matches_naive(spark):
             for v in (a, b, c):
                 naive[v] += 1
     assert got == naive
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two heavy cliques {0,1,2} and {3,4,5} joined by one weak bridge:
+    after 3 rounds each clique converges to its min label and the bridge
+    does not merge them; isolated node 6 keeps its own label."""
+    from big_data_assignment_2_spark.operators.graph import label_propagation
+
+    heavy, weak = 100, 1
+    edges = []
+    for grp in ((0, 1, 2), (3, 4, 5)):
+        for a in grp:
+            for b in grp:
+                if a < b:
+                    edges.append((a, b, heavy))
+    edges.append((2, 3, weak))
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(e, nodes, iters=3).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == 3
+    assert got[6] == 6
+    # deterministic across runs
+    again = {r["node"]: r["community"]
+             for r in label_propagation(e, nodes, iters=3).collect()}
+    assert got == again
