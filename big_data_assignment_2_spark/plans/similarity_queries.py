@@ -61,6 +61,11 @@ def q_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BAND_R = 4
 BAND_B = 3
 
+# Width-adaptive (scaled) top-pairs knobs — must match the oracle, which
+# re-derives r from count(*) with the same integer inequality.
+SCALED_BANDS = 4
+SCALED_CPV = 100
+
 
 def q_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
@@ -69,21 +74,40 @@ def q_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_top_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Width-adaptive banded top pairs — NO static oracle by design: the
-    band width is sized from the corpus row count (band_width_for), and a
-    fixed SQL string cannot re-shape its bucket expression per scale.
-    Rows-only driver check; the machinery is hard-certified by its
-    fixed-width twin ``sim_cosine_banded`` plus the subset/recall tests in
-    tests/test_banded_lsh.py."""
+    """Width-adaptive banded top pairs: band width r = band_width_for(N)
+    is a pure (integer-exact) function of the corpus row count, so the
+    DuckDB oracle re-derives the SAME r from ``count(*)`` in SQL and
+    evaluates the plane sums for runtime r via nested
+    ``list_transform(range(...))`` lambdas — the full adaptive pipeline
+    (width choice included) is hash-certified at every scale, not just the
+    fixed-width twin."""
     from ..operators.similarity import cosine_top_pairs_scaled
 
     em = load_table(spark, sf_dir, "embeddings")
-    return cosine_top_pairs_scaled(em, top_n=TOP_PAIRS)
+    return cosine_top_pairs_scaled(em, top_n=TOP_PAIRS, bands=SCALED_BANDS,
+                                   candidates_per_vector=SCALED_CPV)
 
 
 COSINE_DUP_THRESHOLD = 0.4  # harness embeddings are near-orthogonal
                             # (max pairwise cosine ≈ 0.48); production
                             # near-dup would use ~0.95+
+
+
+def q_cosine_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CERTIFIED DEFAULT embedding near-dup surface: width-adaptive
+    banded sign-LSH candidates (r sized from the corpus row count via
+    band_width_for, so E[random candidates] stays ~linear in N), exact
+    cosine verification, threshold filter.  The fixed-width
+    ``sim_cosine_near_dups`` / ``sim_cosine_top_pairs`` rows remain
+    registered for round-over-round continuity only — their fixed bucket
+    space admits a fixed fraction of all N² pairs and is NOT the 100 TB
+    path."""
+    from ..operators.similarity import cosine_near_dups_scaled
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dups_scaled(em, COSINE_DUP_THRESHOLD,
+                                   bands=SCALED_BANDS,
+                                   candidates_per_vector=SCALED_CPV)
 
 
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +193,7 @@ QUERIES = {
     "sim_cosine_top_pairs": q_cosine_top_pairs,
     "sim_cosine_banded": q_cosine_banded,
     "sim_cosine_top_pairs_scaled": q_cosine_top_pairs_scaled,
+    "sim_cosine_near_dups_banded": q_cosine_near_dups_banded,
 }
 
 # Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.
@@ -296,6 +321,46 @@ WHERE rank <= {TOP_K}
 
 from .search_queries import _TOKENS_CTE  # noqa: E402
 
+# Width-ADAPTIVE banded-LSH candidate CTE chain, shared by the scaled
+# top-pairs and the default (banded) near-dup oracles.  The band width r is
+# re-derived from count(*) in SQL with the SAME integer inequality
+# band_width_for solves — smallest r >= 2 with 2^r * target >= N * bands —
+# no float log2 anywhere, so the two engines cannot disagree at a
+# power-of-two edge.  The per-(vector, band) bucket evaluates
+# lsh_bucket(v, r, plane_offset=band*r) for RUNTIME r via nested
+# range() lambdas: local plane p draws global hyperplane band*r + p and
+# contributes bit 1 << p, with the plane weight computed by the same
+# integer-mod-then-divide formula (bit-identical doubles).
+_SCALED_CTES = f"""{_VECS},
+n AS MATERIALIZED (SELECT count(*) AS n_rows FROM embeddings),
+rw AS MATERIALIZED (SELECT CAST(list_min(list_filter(range(2, 41),
+        r -> (CAST(1 AS BIGINT) << CAST(r AS INTEGER)) * {SCALED_CPV}
+             >= n_rows * {SCALED_BANDS})) AS BIGINT) AS r
+     FROM n),
+bn AS MATERIALIZED (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS vn
+  FROM vecs),
+pb AS MATERIALIZED (
+  SELECT vec_id, vn, band,
+         list_sum(list_transform(range(0, r), p ->
+           CASE WHEN list_sum(list_transform(range(0, 64), d ->
+             v[d + 1] * (((((band * r + p) * 3 + d * 7 + 11)
+                           * 2654435761) % {PLANE_MOD})
+                         / CAST({PLANE_MOD} AS DOUBLE) - 0.5))) >= 0
+           THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+           ELSE CAST(0 AS BIGINT) END)) AS bucket
+  FROM bn
+  CROSS JOIN rw
+  CROSS JOIN (SELECT unnest(range(0, {SCALED_BANDS})) AS band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> a.vn[i] * b.vn[i])), 6) AS cos_sim
+  FROM pb a JOIN pb b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id)"""
+
 ORACLES = {
     "sim_tfidf_topk": f"""
 WITH {_TOKENS_CTE},
@@ -411,6 +476,17 @@ cand AS (
                                        i -> a.vn[i] * b.vn[i])), 6) AS cos_sim
   FROM pb a JOIN pb b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM cand
+WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
+""",
+    "sim_cosine_top_pairs_scaled": f"""
+WITH {_SCALED_CTES}
+SELECT vec_a, vec_b, cos_sim FROM cand
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+LIMIT {TOP_PAIRS}
+""",
+    "sim_cosine_near_dups_banded": f"""
+WITH {_SCALED_CTES}
 SELECT vec_a, vec_b, cos_sim FROM cand
 WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """,

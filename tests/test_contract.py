@@ -11,7 +11,8 @@ import __spark_entry__ as contract
 
 # Queries whose semantics legitimately may return 0 rows at tiny scale.
 MAY_BE_EMPTY = {"rel_join_anti", "dedup_simhash_near", "dedup_winnow_overlap",
-                "sim_cosine_near_dups", "dedup_minhash_near",
+                "sim_cosine_near_dups", "sim_cosine_near_dups_banded",
+                "dedup_minhash_near",
                 "dedup_ngram_jaccard", "search_phrase_match",
                 "stream_interval_join_1h", "text_contamination"}
 
@@ -20,12 +21,12 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = contract.queries(), contract.oracle_sql()
     assert set(os_) <= set(qs)
     missing_oracle = set(qs) - set(os_)
-    # Every declared query has an oracle twin except the explicit,
-    # documented rows-only set: sim_cosine_top_pairs_scaled sizes its LSH
-    # band width from the corpus row count, and a static SQL string cannot
-    # re-shape its bucket expression per scale (its fixed-width twin
-    # sim_cosine_banded carries the hard certification).
-    assert missing_oracle == {"sim_cosine_top_pairs_scaled"}
+    # Every declared query has an oracle twin — including the
+    # width-adaptive sim_cosine_top_pairs_scaled, whose oracle re-derives
+    # the band width from count(*) with the same integer inequality as
+    # band_width_for and evaluates the plane sums for runtime r via nested
+    # range() lambdas.  The rows-only set is EMPTY; keep it that way.
+    assert missing_oracle == set()
 
 
 def test_entry_smoke(spark):
