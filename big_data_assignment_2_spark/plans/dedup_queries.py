@@ -347,16 +347,42 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # tokenize+signature build per side).  Forcing MATERIALIZED on the known
 # CTE names is semantically neutral (verified row-identical at sf0.1:
 # 962,653 pairs) and ~20% faster on the heaviest oracle.
-_MATERIALIZED_CTES = (
-    "docs", "tokens", "ts", "h", "sig", "bands", "cand", "sizes", "inter",
-    "led", "hashes", "fp", "tf", "hh", "votes", "sh", "pre", "np")
+#
+# The rewrite is scoped to an EXPLICIT per-query CTE list (round-6
+# ADVICE): a blanket module-wide substitution over 18 short names would
+# silently rewrite a future oracle that happens to use one of these
+# tokens in another context.  Each listed name must match exactly once in
+# its query's SQL — zero matches (a renamed CTE) or several (an
+# ambiguous token) raise at import, so drift is an error, not a silent
+# semantic change.
+_MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
+    "dedup_tokenset": ("docs", "tokens"),
+    "dedup_minhash_sig": ("docs", "tokens", "ts", "h", "sig"),
+    "dedup_minhash_near": ("docs", "tokens", "ts", "h", "sig", "bands",
+                           "cand", "sizes", "inter"),
+    "dedup_clusters": ("docs", "tokens", "ts", "h", "sig", "bands",
+                       "cand", "sizes", "inter"),
+    "dedup_edit_verify": ("docs", "tokens", "ts", "h", "sig", "bands",
+                          "cand", "sizes", "inter", "pre", "np"),
+    "dedup_ngram_jaccard": ("docs", "tokens", "sh", "sizes", "inter",
+                            "led"),
+    "dedup_simhash": ("docs", "tokens", "tf", "hh", "votes", "sig"),
+    "dedup_simhash_near": ("docs", "tokens", "tf", "hh", "votes", "sig",
+                           "bands", "cand"),
+    "dedup_winnow_fp": ("docs", "tokens", "hashes", "led", "fp"),
+    "dedup_winnow_overlap": ("docs", "tokens", "hashes", "led", "fp"),
+}
 
 
-def _materialize(sql: str) -> str:
+def _materialize(name: str, sql: str) -> str:
     import re as _re
-    for n in _MATERIALIZED_CTES:
-        sql = _re.sub(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql)
+    for n in _MATERIALIZED_CTES.get(name, ()):
+        sql, hits = _re.subn(rf"\b{n} AS \(", f"{n} AS MATERIALIZED (", sql)
+        if hits != 1:
+            raise ValueError(
+                f"{name}: CTE {n!r} matched {hits} times (expected 1) — "
+                f"update _MATERIALIZED_CTES to match the oracle SQL")
     return sql
 
 
-ORACLES = {k: _materialize(v) for k, v in ORACLES.items()}
+ORACLES = {k: _materialize(k, v) for k, v in ORACLES.items()}

@@ -696,10 +696,22 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority")
     # Per-run unique path + table names: a fixed location would let a
     # second invocation mode-overwrite the files backing a previously
-    # returned, not-yet-collected lazy DataFrame (round-5 ADVICE).
+    # returned, not-yet-collected lazy DataFrame (round-5 ADVICE).  The
+    # path embeds the PROCESS uid so stale dirs left by dead processes
+    # (bench sweeps, killed gates — this machine's documented orphan-temp
+    # hazard) are recognizably foreign and best-effort removed here; this
+    # process's own earlier dirs may still back live lazy DataFrames and
+    # are kept.
+    import glob
+    import shutil
+
+    from .source_queries import _PROCESS_UID
     run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
-                        f"bucketed_join_{run}")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    for stale in glob.glob(os.path.join(scratch, "bucketed_join_*")):
+        if f"bucketed_join_{_PROCESS_UID}_" not in stale:
+            shutil.rmtree(stale, ignore_errors=True)
+    base = os.path.join(scratch, f"bucketed_join_{_PROCESS_UID}_{run}")
     write_bucketed(li, f"bj_lineitem_{run}", "l_orderkey", n_buckets=8,
                    sort_col="l_orderkey", path=os.path.join(base, "lineitem"))
     write_bucketed(o, f"bj_orders_{run}", "o_orderkey", n_buckets=8,

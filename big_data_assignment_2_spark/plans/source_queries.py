@@ -32,6 +32,11 @@ from ..sources.io import (load_table, read_jsonl, read_tsv, write_jsonl,
 # Deterministic scratch root: overwrite-mode rewrites keep reruns clean.
 _SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
 
+# One scratch suffix per process (see q_orc_roundtrip's path discipline).
+import uuid as _uuid  # noqa: E402
+
+_PROCESS_UID = _uuid.uuid4().hex[:8]
+
 
 def _checksum(*cols) -> F.Column:
     """Order-insensitive 60-bit content checksum: xor of per-row md5 hashes
@@ -190,12 +195,21 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively (a production lake mixes parquet and ORC feeds).  Exercises
     timestamp/double/string ORC encode+decode; per-type counts, an exact
     DECIMAL value sum, and a content checksum must survive byte-exactly.
-    Per-run unique path: a fixed location would let a second invocation
-    overwrite the files backing a previously returned lazy DataFrame."""
-    import uuid
+    One path PER PROCESS (module-level uuid): unique enough that a second
+    process can't overwrite files backing this one's lazy DataFrames,
+    while repeated invocations in-process (bench min-of-3, gate sweeps)
+    reuse one directory instead of accumulating copies.  Stale siblings
+    from dead processes are best-effort removed first — they can only
+    back DataFrames of prior runs (this machine has a documented
+    orphan-temp hazard)."""
+    import glob
+    import shutil
 
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(_SCRATCH, f"orc_events_{uuid.uuid4().hex[:8]}")
+    path = os.path.join(_SCRATCH, f"orc_events_{_PROCESS_UID}")
+    for stale in glob.glob(os.path.join(_SCRATCH, "orc_events_*")):
+        if stale != path:
+            shutil.rmtree(stale, ignore_errors=True)
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     # Timestamps checksum as epoch MICROS (unix_micros / epoch_us) — an
@@ -207,8 +221,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.unix_micros(F.col("ts").cast("timestamp")))
             .groupBy("event_type").agg(
                 F.count(F.lit(1)).alias("n_events"),
+                # decimal → string → double: exact decimal render + one
+                # correctly-rounded parse in both engines; a direct
+                # decimal→double cast double-rounds differently per engine
+                # once the unscaled sum crosses 2^53 (see SCALE.md).
                 F.sum(F.col("value").cast("decimal(18,6)"))
-                 .cast("double").alias("sum_value"),
+                 .cast("string").cast("double").alias("sum_value"),
                 _checksum("event_id", "ts_us", "user_id").alias("checksum")))
 
 
@@ -256,7 +274,8 @@ FROM documents
 """,
     "source_orc_roundtrip": f"""
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           AS sum_value,
        {_checksum_sql('event_id', 'epoch_us(ts)', 'user_id')} AS checksum
 FROM events GROUP BY event_type
 """,
