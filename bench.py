@@ -49,6 +49,7 @@ EXTRA = [
     "sim_tfidf_topk",        # sparse TF-IDF cosine via inverted-index join
     "stream_tumbling_1d",    # REAL micro-batch streaming execution
     "mm_decode_real",        # stdlib BMP/WAV codec via Arrow mapInPandas
+    "mm_png_decode",         # stdlib PNG codec (zlib + 5-filter unfilter)
     "pipeline_global_shuffle",  # distributed total-order permutation
 ]
 

@@ -14,9 +14,14 @@ hash-agg on dst — both shuffle on node id, map-side combinable, no
 driver-side graph state.  Per-iteration ranks are ROUNDED to 6 dp, which
 makes the double-summation order irrelevant and lets a SQL oracle replay
 every iteration exactly (same determinism contract as the Lloyd k-means
-in ``operators/similarity.py``).  At real scale you would
-``localCheckpoint`` the rank relation every few iterations to truncate
-lineage — the same discipline ``dedup.connected_components`` applies.
+in ``operators/similarity.py``).  Both iterations apply the
+``localCheckpoint``-every-k-rounds lineage-truncation discipline of
+``dedup.connected_components`` (``checkpoint_every``, default 5): below
+the threshold — e.g. the gate's 3 unrolled iterations — the plan is the
+pure lazy unroll the SQL oracle replays; past it the state relation is
+materialized and the plan tree reset, so 20 iterations cost 20 stages,
+not a 20-deep analyzed tree (checkpointing is semantically transparent —
+it changes WHEN evaluation happens, never the rows).
 Dangling nodes (no out-edges) leak their mass rather than redistributing
 it — a documented, engine-portable simplification both sides replay.
 """
@@ -28,13 +33,17 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, checkpoint_every: int = 5) -> DataFrame:
     """Weighted PageRank over ``edges`` (src, dst, w) for every node in
     ``nodes`` (node); returns (node, pagerank) after ``iters`` rounded
     iterations from the uniform start 1/N.
 
     N reaches the driver as one scalar (the node count); everything else
-    is distributed join-agg.
+    is distributed join-agg.  Every ``checkpoint_every`` iterations the
+    rank relation is ``localCheckpoint``-ed (eager) to truncate lineage —
+    without it the analyzed plan grows one join-agg layer per round and
+    plan processing, not execution, becomes the bottleneck past ~10
+    rounds (see ``tests/test_graph.py::test_pagerank_checkpoint_depth``).
     """
     from pyspark import StorageLevel
 
@@ -45,7 +54,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     n = nodes.count()
     base = (1.0 - damping) / n
     r = nodes.select("node", F.round(F.lit(1.0 / n), 6).alias("r"))
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         contrib = (e.join(r, e["src"] == r["node"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("p") * F.col("r")).alias("c")))
@@ -54,11 +63,14 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
                      F.round(F.lit(base)
                              + damping * F.coalesce("c", F.lit(0.0)),
                              6).alias("r")))
+        if i % checkpoint_every == 0 and i < iters:
+            r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("r").alias("pagerank"))
 
 
 def label_propagation(edges: DataFrame, nodes: DataFrame,
-                      iters: int = 3) -> DataFrame:
+                      iters: int = 3, checkpoint_every: int = 5,
+                      early_stop: bool = True) -> DataFrame:
     """Deterministic synchronous weighted label propagation (community
     detection) over the undirected graph induced by ``edges``
     (src, dst, w); returns (node, community) after ``iters`` rounds.
@@ -72,6 +84,19 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
     bidirectional edge relation with the label relation, one
     (node, label) hash-agg, one per-node top-1 window — all shuffled on
     node id, no driver-side graph state.
+
+    Lineage hygiene mirrors :func:`pagerank`: every ``checkpoint_every``
+    rounds the label relation is eagerly ``localCheckpoint``-ed, and the
+    NEXT round is checkpointed too and compared against it; if no label
+    moved between the two CONSECUTIVE states the update (a pure function
+    of the prior state) has hit its fixed point and every remaining round
+    would be an identity, so they are skipped (``early_stop``).
+    Consecutive-state comparison matters: states k>1 rounds apart being
+    equal would only prove a period-k cycle, and stopping there could
+    change the answer.  The short-circuit can never change the result,
+    so the unrolled SQL oracle stays exact; below ``checkpoint_every``
+    rounds (the gate's 3) neither mechanism fires and the plan is the
+    pure lazy unroll.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -83,8 +108,9 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
              .filter(F.col("x") != F.col("y"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     labels = nodes.select("node", F.col("node").alias("lab"))
+    prev_ckpt = None
     win = Window.partitionBy("x").orderBy(F.desc("wv"), F.asc("lab"))
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         votes = (bidir.join(labels, bidir["y"] == labels["node"])
                  .groupBy("x", "lab").agg(F.sum("w").alias("wv")))
         best = (votes.withColumn("rn", F.row_number().over(win))
@@ -92,6 +118,19 @@ def label_propagation(edges: DataFrame, nodes: DataFrame,
                 .select(F.col("x").alias("node"), F.col("lab").alias("nl")))
         labels = (labels.join(best, "node", "left")
                   .select("node", F.coalesce("nl", "lab").alias("lab")))
+        at_ckpt = i % checkpoint_every == 0
+        after_ckpt = early_stop and prev_ckpt is not None \
+            and (checkpoint_every == 1 or i % checkpoint_every == 1)
+        if (at_ckpt or after_ckpt) and i < iters:
+            labels = labels.localCheckpoint(eager=True)
+            if after_ckpt:
+                moved = (labels.alias("cur")
+                         .join(prev_ckpt.alias("prv"), "node")
+                         .filter(F.col("cur.lab") != F.col("prv.lab"))
+                         .limit(1).count())
+                if moved == 0:
+                    break
+            prev_ckpt = labels if at_ckpt else None
     return labels.select("node", F.col("lab").alias("community"))
 
 

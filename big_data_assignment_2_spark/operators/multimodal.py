@@ -4,12 +4,14 @@ reference; required by the north-star brief).
 Media are opaque ``binary`` columns + typed metadata.  The Spark-side
 plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
 partition sizing — is real and tested.  The codec layer is REAL for
-formats the standard library can parse — BMP images and WAV audio
+formats the standard library can parse — BMP images, WAV audio
 (:func:`decode_payload`, byte-level struct/RIFF parsing, certified
-cross-engine by the ``mm_decode_real`` oracle row) — and honestly
-stubbed for library-bound formats (JPEG/PNG/MP4 raise
-``NotImplementedError``; no image/video libraries exist in this
-container).  ``decode_image(fake=True)`` keeps the deterministic fake
+cross-engine by the ``mm_decode_real`` oracle row) and PNG
+(:func:`decode_png`: chunk/CRC walk, zlib inflate, full five-filter
+scanline unfiltering; ``mm_png_decode`` oracle row) — and honestly
+stubbed for library-bound formats (JPEG/MP4 raise
+``NotImplementedError``; entropy coding and container demuxing
+genuinely need libjpeg/ffmpeg, absent from this container).  ``decode_image(fake=True)`` keeps the deterministic fake
 for exercising pipeline shape with arbitrary payload bytes.
 
 Scale notes: media blobs make rows wide — the loader repartitions by byte
@@ -108,9 +110,10 @@ def decode_media(media: DataFrame, batch_size: int = 256,
 
 # --- real codecs (round 4) -------------------------------------------------
 # BMP and WAV are fully decodable with the standard library (struct/wave) —
-# no PIL/ffmpeg needed — so the codec step is REAL for these formats; the
-# fake path above remains for exercising pipeline shape with arbitrary
-# bytes, and genuinely library-bound formats (JPEG/PNG/MP4) still raise.
+# no PIL/ffmpeg needed — so the codec step is REAL for these formats (PNG
+# joined in round 7: zlib + five-filter unfiltering, see below); the fake
+# path above remains for exercising pipeline shape with arbitrary bytes,
+# and genuinely library-bound formats (JPEG/MP4) still raise.
 
 def bmp_bytes(width: int, height: int, seed: bytes) -> bytes:
     """A valid 24-bit bottom-up BMP: 54-byte header + padded pixel rows
@@ -154,9 +157,9 @@ def synth_waveform(doc_id: int, n_samples: int) -> "object":
 
 
 def decode_payload(payload: bytes) -> dict:
-    """REAL codec dispatch on magic bytes.  BMP → (width, height); WAV →
-    (n_channels, sample_rate, n_samples).  Anything else raises — decoding
-    JPEG/PNG/MP4 requires libraries absent from this environment."""
+    """REAL codec dispatch on magic bytes.  BMP/PNG → (width, height);
+    WAV → (n_channels, sample_rate, n_samples).  Anything else raises —
+    decoding JPEG/MP4 requires libraries absent from this environment."""
     import io
     import struct
     import wave
@@ -171,8 +174,12 @@ def decode_payload(payload: bytes) -> dict:
                     "n_channels": w.getnchannels(),
                     "sample_rate": w.getframerate(),
                     "n_samples": w.getnframes()}
+    if payload[:8] == _PNG_MAGIC:
+        m = decode_png(payload)
+        return {"width": m["width"], "height": m["height"],
+                "n_channels": None, "sample_rate": None, "n_samples": None}
     raise NotImplementedError(
-        f"no stdlib codec for magic {payload[:4]!r}; JPEG/PNG/MP4 need "
+        f"no stdlib codec for magic {payload[:4]!r}; JPEG/MP4 need "
         "image/video libraries not present in this environment")
 
 
@@ -444,3 +451,207 @@ def fake_embed(media: DataFrame, batch_size: int = 256) -> DataFrame:
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     media.sparkSession.conf.set(conf_key, str(batch_size))
     return media.mapInPandas(embed_batches, EMBED_SCHEMA)
+
+
+# --- real PNG codec (round 7) ----------------------------------------------
+# PNG needed no image library after all: the container format is chunks
+# with CRC-32, the compression is zlib (stdlib), and the per-scanline
+# filters (None/Sub/Up/Average/Paeth) are a page of integer arithmetic.
+# Third REAL codec alongside BMP/WAV; JPEG/MP4 stay honestly stubbed
+# (entropy coding / containers genuinely need libjpeg/ffmpeg).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colour type -> samples/pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def png_bytes(width: int, height: int, a: int, b: int, d: int) -> bytes:
+    """A valid non-interlaced 8-bit RGB PNG whose pixel bytes are the
+    deterministic function p(x, y, ch) = (a·x + b·y + 11·ch + d) mod 256 —
+    recomputable arithmetically by an external SQL oracle — and whose
+    scanlines cycle through ALL FIVE filter types (filter(y) = y mod 5),
+    so a correct pixel readback certifies every unfilter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    ch = np.arange(3, dtype=np.int64)
+    raw = ((a * x[None, :, None] + b * y[:, None, None] + 11 * ch[None, None, :]
+            + d) % 256).astype(np.uint8).reshape(height, width * 3)
+    out = bytearray()
+    prior = np.zeros(width * 3, dtype=np.int64)
+    for row in range(height):
+        f = row % 5
+        cur = raw[row].astype(np.int64)
+        left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+        up_left = np.concatenate([np.zeros(3, np.int64), prior[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            enc = cur - (left + prior) // 2
+        else:
+            p = left + prior - up_left
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - up_left))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, up_left))
+            enc = cur - pred
+        out.append(f)
+        out.extend((enc % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL stdlib-only PNG decoder: chunk walk with CRC-32 verification,
+    zlib inflate, and full scanline unfiltering (all five filter types)
+    in integer numpy.  Supports non-interlaced 8-bit grayscale / RGB /
+    gray+alpha / RGBA; palette or interlaced images raise.
+
+    Returns {width, height, n_channels, pixels} where ``pixels`` is the
+    recovered (height, width·channels) uint8 array — actual image bytes,
+    not just geometry."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} colour={ctype} interlace={interlace}: only "
+            "non-interlaced 8-bit gray/RGB/GA/RGBA supported")
+    nch = _PNG_CHANNELS[ctype]
+    stride = width * nch
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(data) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    data = data.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for row in range(height):
+        f = int(data[row, 0])
+        cur = data[row, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prior) % 256
+        elif f in (1, 3, 4):
+            # left-neighbor recurrences are sequential per pixel; the
+            # scanline loop is bounded by image width (small per row)
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                up = prior[i]
+                ul = prior[i - nch] if i >= nch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else \
+                        up if pb <= pc else ul
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[row] = rec
+        prior = rec
+    return {"width": width, "height": height, "n_channels": nch,
+            "pixels": out.astype(np.uint8)}
+
+
+PNG_DECODED_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("pix_sum", LongType()),
+])
+
+
+def generate_media_png(docs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Synthesize a PNG media table: geometry and the pixel-function
+    coefficients are pure functions of doc_id (w = 4 + id%24,
+    h = 4 + id%13, a = 3 + id%5, b = 7 + id%3, d = id%256), so an
+    external oracle can recompute every decoded value — including the
+    full pixel checksum — without parsing a byte."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": [png_bytes(4 + i % 24, 4 + i % 13, 3 + i % 5,
+                                      7 + i % 3, i % 256) for i in ids],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_media_png(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched REAL PNG decode: geometry plus the exact integer sum
+    of every recovered pixel byte.  Because the encoder cycles all five
+    scanline filters, a matching pix_sum certifies the unfilter
+    arithmetic end-to-end, not just header parsing."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [decode_png(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                "height": pd.array([m["height"] for m in metas],
+                                   dtype="Int32"),
+                "n_channels": pd.array([m["n_channels"] for m in metas],
+                                       dtype="Int32"),
+                "pix_sum": [int(m["pixels"].sum()) for m in metas],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(decode_batches, PNG_DECODED_SCHEMA)

@@ -120,7 +120,22 @@ def q_resize_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media_exec(generate_media_real(docs))
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third REAL codec (PNG) end-to-end: synthesize valid PNGs whose
+    geometry AND pixel function are arithmetic in doc_id, with scanlines
+    cycling all five PNG filter types; decode them back (chunk/CRC walk +
+    zlib inflate + unfilter) inside Arrow-batched ``mapInPandas`` and emit
+    geometry plus the exact integer pixel-byte sum.  The oracle regenerates
+    the pixel function with generate_series and aggregates in SQL — a green
+    row certifies header parse, inflate, and every unfilter branch."""
+    from ..operators.multimodal import decode_media_png, generate_media_png
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_png(generate_media_png(docs))
+
+
 QUERIES = {
+    "mm_png_decode": q_png_decode,
     "mm_decode_real": q_decode_real,
     "mm_resize_real": q_resize_real,
     "mm_resize_exec": q_resize_exec,
@@ -134,6 +149,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # PNG: pixel byte p(x,y,ch) = (a·x + b·y + 11·ch + d) mod 256 with
+    # (w,h,a,b,d) pure functions of doc_id; regenerating the function and
+    # summing in SQL checks the decoder recovered every byte through all
+    # five scanline filters (encoder uses filter(y) = y mod 5).
+    "mm_png_decode": """
+WITH params AS (
+  SELECT doc_id, 4 + doc_id % 24 AS w, 4 + doc_id % 13 AS h,
+         3 + doc_id % 5 AS a, 7 + doc_id % 3 AS b, doc_id % 256 AS d
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         sum((a * x.i + b * y.i + 11 * c.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y(i),
+       unnest(generate_series(0, CAST(2 AS BIGINT))) AS c(i)
+  GROUP BY doc_id, w, h)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
     # The generator encodes geometry/sample counts as pure functions of
     # (doc_id, n_chars); the oracle recomputes them arithmetically, so
     # equality certifies the stdlib BMP/WAV parsers read the actual bytes.

@@ -99,3 +99,59 @@ def test_label_propagation_planted_communities(spark):
     again = {r["node"]: r["community"]
              for r in label_propagation(e, nodes, iters=3).collect()}
     assert got == again
+
+
+def _plan_depth(df) -> int:
+    """Max indentation depth of the analyzed plan tree — grows linearly
+    with unrolled iterations unless lineage is truncated."""
+    plan = df._jdf.queryExecution().analyzed().treeString()
+    return max((len(line) - len(line.lstrip())
+                for line in plan.splitlines() if line.strip()), default=0)
+
+
+def test_pagerank_checkpoint_depth(spark):
+    """Verdict r6 task #4: at iters=10 the checkpointed plan tree must be
+    no deeper than the 5-iteration unroll (lineage truncated at round 5),
+    while the uncheckpointed unroll keeps growing — and the rounded ranks
+    must be bit-identical either way (checkpointing is transparent)."""
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 8, 1 + i % 3) for i in range(8)]
+        + [(i, 0, 2) for i in range(1, 8)], "src long, dst long, w long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    deep = pagerank(edges, nodes, iters=10, checkpoint_every=100)
+    shallow = pagerank(edges, nodes, iters=10, checkpoint_every=5)
+    five = pagerank(edges, nodes, iters=5, checkpoint_every=100)
+    assert _plan_depth(shallow) <= _plan_depth(five) < _plan_depth(deep)
+    assert sorted(map(tuple, shallow.collect())) \
+        == sorted(map(tuple, deep.collect()))
+
+
+def test_label_propagation_checkpoint_and_early_stop(spark):
+    """LPA lineage discipline + fixed-point short-circuit.  The label
+    relation is referenced TWICE per round (neighbor join + carry-over
+    join), so an uncheckpointed unroll grows the plan tree EXPONENTIALLY
+    (~2^iters nodes — iters=20 without checkpointing does not even finish
+    analysis; this is precisely why the discipline exists, so the
+    reference unroll here stays at 6 rounds).  On the planted two-clique
+    graph labels converge in <=3 rounds, hence the 6-round pure unroll
+    result IS the fixed point; iters=20 with checkpoint+early_stop must
+    reach the same labels while keeping the executed plan shallow."""
+    from big_data_assignment_2_spark.operators.graph import label_propagation
+
+    heavy, weak = 100, 1
+    edges = []
+    for grp in ((0, 1, 2), (3, 4, 5)):
+        for a in grp:
+            for b in grp:
+                if a < b:
+                    edges.append((a, b, heavy))
+    edges.append((2, 3, weak))
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    full = label_propagation(e, nodes, iters=6, checkpoint_every=100,
+                             early_stop=False)
+    fast = label_propagation(e, nodes, iters=20, checkpoint_every=5,
+                             early_stop=True)
+    assert sorted(map(tuple, fast.collect())) \
+        == sorted(map(tuple, full.collect()))
+    assert _plan_depth(fast) < _plan_depth(full)

@@ -145,3 +145,55 @@ def test_resize_bmp_properties_random():
                .reshape(nh, orow)[:, :3 * nw].reshape(-1, 3))
         palette = {bytes(p) for p in spx}
         assert all(bytes(p) in palette for p in opx)
+
+
+def test_decimal_double_conversion_envelope(spark):
+    """The SCALE.md float-determinism envelope, encoded as a property
+    (round-6 VERDICT task #8): decimal→double is only guaranteed exact
+    while the UNSCALED value fits in 2^53; the portable conversion is
+    decimal → STRING → double (exact render + correctly-rounded parse).
+
+    Checked against Python's float(Decimal), which IS the correctly
+    rounded value of the exact rational:
+      1. the string route equals it at EVERY magnitude (the discipline
+         rel_pricing_summary ships);
+      2. inside the envelope the naive double-then-divide conversion
+         equals it too (why in-envelope scale-4 sums are safe as-is);
+      3. outside the envelope double-then-divide DIVERGES for some
+         generated values (the 1-ULP class the sf1 sweep caught) — so
+         the next scale-up can't silently cross the line.
+    """
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(1729)
+    cases = []  # (unscaled, scale)
+    for scale in (2, 4, 6):
+        for _ in range(200):
+            bits = rng.randint(30, 70)  # straddle the 2^53 boundary
+            cases.append((rng.randint(1, 1 << bits), scale))
+        cases.append((2 ** 53 - 1, scale))
+        cases.append((2 ** 53 + 1, scale))
+    correct = [float(Decimal(u) / Decimal(10 ** s)) for u, s in cases]
+
+    # naive double-then-divide: one extra rounding at float(u)
+    diverged = 0
+    for (u, s), c in zip(cases, correct):
+        naive = float(u) / float(10 ** s)
+        if u < 2 ** 53:
+            assert naive == c, (u, s)
+        elif naive != c:
+            diverged += 1
+    assert diverged > 0, "no out-of-envelope divergence generated"
+
+    # the shipped string-route conversion, in-engine, one job
+    df = spark.createDataFrame(
+        [(i, f"{Decimal(u) / Decimal(10 ** s):f}", s)
+         for i, ((u, s), _) in enumerate(zip(cases, correct))],
+        "i long, dec_str string, scale int")
+    got = {r["i"]: r["via_string"] for r in df.select(
+        "i",
+        F.col("dec_str").cast("decimal(38,6)").cast("string")
+        .cast("double").alias("via_string")).collect()}
+    for i, c in enumerate(correct):
+        assert got[i] == c, (cases[i], got[i], c)
