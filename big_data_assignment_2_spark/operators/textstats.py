@@ -171,3 +171,65 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         char_poly_hash(normalize_whitespace(text_col)).alias("fingerprint"),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Learn a BPE merge table FROM the corpus (Sennrich et al. ACL'16)
+    — tokenizer TRAINING, the counterpart to :func:`bpe_encode` which
+    applies a given table.  Returns one row per learned merge:
+    (merge_rank INT, lhs, rhs, merged, pair_count BIGINT), rank order.
+
+    Distributed shape (100 TB): the corpus is touched ONCE, for the word
+    frequency aggregate — after that every round runs over the DISTINCT
+    vocabulary weighted by frequency (dictionary encoding, orders of
+    magnitude smaller than the corpus).  Each round is:
+
+    1. adjacent-pair count — one vocab-sized agg (``zip_with`` of the
+       symbol array against its own tail, explode, sum(freq));
+    2. argmax merge — a bounded 1-row ``collect`` (same sanctioned shape
+       as the Lloyd centroid collect in similarity.py), tie-broken
+       deterministically by (count DESC, lhs ASC, rhs ASC);
+    3. fold the merge into the vocabulary symbol arrays as a PLAN-TIME
+       LITERAL via the same ``_merge_pair`` higher-order fold the
+       encoder uses — native, no Python on the data path.
+
+    Pair counts follow the classic formulation: every adjacent position
+    counts, including overlaps ("aaa" yields (a,a) twice); the merge
+    application is left-to-right non-overlapping, exactly like
+    :func:`bpe_encode`.  Each round's vocabulary relation is persisted —
+    rounds are actions (the argmax), so without it round k would replay
+    folds 1..k-1; the relations are vocabulary-sized, so the k persisted
+    stages are cheap even at corpus scale.
+    """
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    words = docs.select(F.explode(tokenize(text_col)).alias("word"))
+    cur = (words.groupBy("word").agg(F.count("*").alias("freq"))
+           .select("word", "freq",
+                   F.filter(F.split("word", ""),
+                            lambda c: c != F.lit("")).alias("toks"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pair = F.zip_with(
+            F.slice("toks", F.lit(1), F.size("toks") - 1),
+            F.slice("toks", F.lit(2), F.size("toks") - 1),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+        best = (cur.select("freq", F.explode(pair).alias("p"))
+                .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "x", "y")
+                .limit(1).collect())
+        if not best:
+            break
+        x, y, cnt = best[0]["x"], best[0]["y"], int(best[0]["cnt"])
+        merges.append((rank, x, y, x + y, cnt))
+        cur = (cur.select("word", "freq",
+                          _merge_pair(F.col("toks"), x, y).alias("toks"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT")

@@ -113,7 +113,18 @@ def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("edit_sim") >= EDIT_SIM_MIN))
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT thresholded Jaccard self-join via PPJoin-style prefix
+    filtering — the lossless (no false negatives) counterpart to the
+    probabilistic MinHash-LSH pipeline, candidates bounded by
+    rarest-token prefixes instead of band buckets."""
+    from ..operators.dedup import prefix_jaccard_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
 QUERIES = {
+    "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_edit_verify": q_edit_verify,
     "dedup_winnow_fp": q_winnow_fingerprints,
     "dedup_winnow_overlap": q_winnow_overlap,
@@ -324,6 +335,26 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {NGRAM_THRESHOLD}
 """,
+    # Deliberately prefix-FREE: the oracle is the plain thresholded
+    # Jaccard join over all token-sharing pairs, so a green row PROVES the
+    # Spark side's prefix filter is lossless (generates every qualifying
+    # pair), not merely self-consistent.
+    "dedup_prefix_jaccard": f"""
+WITH {_TOKENS_CTE},
+ts AS (SELECT DISTINCT doc_id, term FROM tokens),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM ts x JOIN ts y ON x.term = y.term
+  WHERE CAST(x.doc_id AS BIGINT) < CAST(y.doc_id AS BIGINT)
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+""",
     "dedup_simhash": f"WITH {_TOKENS_CTE}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
     "dedup_simhash_near": f"""
 WITH {_TOKENS_CTE}, {_SIMHASH_CTE},
@@ -366,6 +397,7 @@ _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
                           "cand", "sizes", "inter", "pre", "np"),
     "dedup_ngram_jaccard": ("docs", "tokens", "sh", "sizes", "inter",
                             "led"),
+    "dedup_prefix_jaccard": ("docs", "tokens", "ts", "sizes", "inter"),
     "dedup_simhash": ("docs", "tokens", "tf", "hh", "votes", "sig"),
     "dedup_simhash_near": ("docs", "tokens", "tf", "hh", "votes", "sig",
                            "bands", "cand"),

@@ -52,6 +52,24 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(load_table(spark, sf_dir, "documents"))
 
 
+BPE_TRAIN_MERGES = 8  # unrolled round count in the DuckDB oracle
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING over the corpus (Sennrich et al.
+    ACL'16): per-round adjacent-pair argmax over the frequency-weighted
+    DISTINCT vocabulary, deterministic (count DESC, lhs, rhs) tie-break.
+    The oracle unrolls the same 8 rounds in SQL — each round's merge is
+    re-derived by DuckDB and folded via a correlated list_reduce, so a
+    green row certifies the full training loop (pair counting incl.
+    overlaps, argmax tie-break, left-to-right non-overlapping merge
+    application), not just the final table shape."""
+    from ..operators.textstats import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"),
+                     n_merges=BPE_TRAIN_MERGES)
+
+
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 whitespace normalization (the reference's only Python UDF,
     `prepare_data.py:23-27`) as a native expression."""
@@ -527,6 +545,7 @@ QUERIES = {
     "pipeline_global_shuffle": q_global_shuffle,
     "text_token_count_bpe": q_token_count_bpe,
     "text_bpe_encode": q_bpe_encode,
+    "text_bpe_train": q_bpe_train,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
@@ -975,3 +994,47 @@ GROUP BY w.doc_id
 
 
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """DuckDB twin of operators.textstats.bpe_train, UNROLLED: round k's
+    CTEs are p{k} (adjacent-pair counts incl. overlaps), m{k} (argmax
+    merge, (cnt DESC, x, y) tie-break), t{k} (vocabulary re-folded
+    through m{k} via a CORRELATED list_reduce — the merge pair comes
+    from the cross-joined 1-row m{k}, not a literal).  Every CTE is
+    MATERIALIZED: t{k} is referenced by both p{k+1} and t{k+1}, and
+    DuckDB otherwise inlines multiply-referenced CTEs (the same
+    degeneration the dedup/graph oracles hit)."""
+    ctes = [r"""dt AS MATERIALIZED (
+  SELECT list_filter(
+             string_split_regex(
+                 regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+             t -> t <> '') AS toks
+  FROM documents)""",
+            """t0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq, string_split(word, '') AS toks
+  FROM (SELECT unnest(toks) AS word FROM dt) GROUP BY word)"""]
+    for k in range(1, n + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT toks[i] AS x, toks[i+1] AS y, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS i FROM t{k-1})
+  GROUP BY 1, 2)""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT x, y, cnt FROM p{k} ORDER BY cnt DESC, x, y LIMIT 1)""")
+        if k < n:
+            ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT word, freq,
+         list_reduce(list_transform(t.toks, s -> [s]),
+             (a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = m.x
+                            AND b[1] = m.y
+                       THEN list_append(a[1:len(a)-1], m.x || m.y)
+                       ELSE list_concat(a, b) END) AS toks
+  FROM t{k-1} t, m{k} m)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k - 1} AS merge_rank, x AS lhs, y AS rhs, "
+        f"x || y AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, n + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLES["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)

@@ -54,3 +54,68 @@ def test_doc_level_assembly(spark):
            for r in bpe_encode(docs).collect()}
     assert got["1"] == (2, "the data")
     assert got["2"] == (9, "q u er y the q u er y")
+
+
+# --- BPE TRAINING (merge learning) ----------------------------------------
+
+def _ref_bpe_train(word_freqs: dict[str, int], n_merges: int):
+    """Reference trainer: classic pair counting (overlaps included),
+    (count DESC, lhs, rhs) argmax, left-to-right non-overlapping apply."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[toks[i], toks[i + 1]] = \
+                    counts.get((toks[i], toks[i + 1]), 0) + f
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, x, y, x + y, cnt))
+        new = {}
+        for toks, f in vocab.items():
+            acc: list[str] = []
+            for t in toks:
+                if acc and acc[-1] == x and t == y:
+                    acc[-1] = x + y
+                else:
+                    acc.append(t)
+            new[tuple(acc)] = new.get(tuple(acc), 0) + f
+        vocab = new
+    return out
+
+
+def _train(spark, text, n_merges):
+    from big_data_assignment_2_spark.operators.textstats import bpe_train
+    df = spark.createDataFrame([("1", text)], "doc_id string, text string")
+    rows = bpe_train(df, n_merges=n_merges).collect()
+    return [(r["merge_rank"], r["lhs"], r["rhs"], r["merged"],
+             r["pair_count"]) for r in rows]
+
+
+def test_bpe_train_sennrich_corpus(spark):
+    # The ACL'16 walkthrough corpus: first merges are driven by the
+    # 'newest' cluster; expectation computed by the reference trainer.
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    got = _train(spark, text, 6)
+    assert got == _ref_bpe_train(freqs, 6)
+    # Sanity on the well-known head: (e,s) with count 9 wins round 0.
+    assert got[0][1:] == ("e", "s", "es", 9)
+
+
+def test_bpe_train_overlap_counting_and_tiebreak(spark):
+    # 'aaa' contributes TWO (a,a) adjacencies; after merging (a,a)
+    # left-to-right, 'aaa' becomes [aa, a].
+    got = _train(spark, "aaa bb", 2)
+    assert got == _ref_bpe_train({"aaa": 1, "bb": 1}, 2)
+    # Round 0: (a,a) cnt=2 beats (b,b) cnt=1; round 1 tie at cnt=1
+    # between (aa,a) and (b,b) -> lexicographic lhs tie-break.
+    assert got[0][1:] == ("a", "a", "aa", 2)
+    assert got[1][1:] == ("aa", "a", "aaa", 1)
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    # Single-char vocabulary: zero adjacent pairs, empty merge table.
+    assert _train(spark, "a b c a", 4) == []

@@ -166,3 +166,56 @@ def test_inrow_minhash_signatures_match_exploded(spark, sf_dir):
          for r in inrow.collect()}
     assert a == b
     assert "999999" not in b
+
+
+def _naive_jaccard_pairs(corpus, threshold):
+    """All-pairs thresholded token-set Jaccard, rounded like the engine."""
+    import re
+    sets = {str(i): set(re.findall(r"\w+", t.lower())) for i, t in corpus}
+    out = set()
+    ids = sorted(sets, key=int)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = round(inter / union, 6) if union else 0.0
+            if j >= threshold:
+                out.add((a, b, j))
+    return out
+
+
+def test_prefix_jaccard_equals_naive_all_pairs(spark):
+    """PPJoin prefix filtering is LOSSLESS: output must equal the naive
+    all-pairs thresholded join, including pairs whose shared tokens are
+    common (prefix = rare tokens is a filter on candidates, never on
+    results)."""
+    from big_data_assignment_2_spark.operators.dedup import \
+        prefix_jaccard_pairs
+
+    corpus = CORPUS + [
+        (6, "the quick brown fox jumps over the lazy dog today"),  # J=9/10
+        (7, "quick brown fox jumps over lazy dog"),                # subset
+        (8, "alpha beta gamma delta epsilon"),
+        (9, "alpha beta gamma delta zeta"),                        # J=4/6
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    for t in (0.5, 0.75, 0.9):
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in prefix_jaccard_pairs(docs, threshold=t).collect()}
+        assert got == _naive_jaccard_pairs(corpus, t), f"threshold {t}"
+
+
+def test_prefix_jaccard_exactness_beats_lsh_banding(spark):
+    """The exact path must catch qualifying pairs regardless of band
+    luck: identical-token-set docs (J=1.0) and a one-token swap at the
+    0.5 bar both appear."""
+    from big_data_assignment_2_spark.operators.dedup import \
+        prefix_jaccard_pairs
+
+    corpus = [(1, "x y z w"), (2, "w z y x"), (3, "x y z q")]
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in prefix_jaccard_pairs(
+               spark.createDataFrame(corpus, "doc_id long, text string"),
+               threshold=0.5).collect()}
+    assert got[("1", "2")] == 1.0
+    assert got[("1", "3")] == got[("2", "3")] == 0.6
