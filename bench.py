@@ -51,6 +51,9 @@ EXTRA = [
     "mm_decode_real",        # stdlib BMP/WAV codec via Arrow mapInPandas
     "mm_png_decode",         # stdlib PNG codec (zlib + 5-filter unfilter)
     "pipeline_global_shuffle",  # distributed total-order permutation
+    "dedup_prefix_jaccard",  # EXACT PPJoin set-similarity join (lossless)
+    "sim_pq_topk",           # product-quantization ADC ANN
+    "text_bpe_train",        # distributed tokenizer training (8 merges)
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

@@ -159,3 +159,34 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integers — x on the
+    even bits, y on the odd bits — as pure integer column arithmetic
+    (2·bits shift-mask-shift terms; whole-stage codegen keeps it one
+    projection).  Clustering a table by this value makes parquet
+    row-group min/max stats selective on BOTH dimensions at once, so a
+    2-D box predicate prunes I/O that a single-column sort order can
+    only prune on one axis — the lakehouse OPTIMIZE ZORDER layout story.
+    Engine-portable: the same shifts evaluate identically in SQL, so an
+    oracle can recompute every z-value."""
+    xb = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yb = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    out = None
+    for b in range(bits):
+        tx = F.shiftleft(F.shiftright(xb, b).bitwiseAND(F.lit(1)), 2 * b)
+        ty = F.shiftleft(F.shiftright(yb, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out
+
+
+def write_zorder(df: DataFrame, path: str, x: str, y: str,
+                 n_files: int = 16, bits: int = 16) -> None:
+    """Persist ``df`` Z-ordered on (x, y): range-shuffle on the Morton
+    value then sort within partitions, so each output file covers a
+    compact Z-range (tight min/max envelopes on both x and y)."""
+    (df.withColumn("zval", zorder_value(x, y, bits))
+       .repartitionByRange(n_files, "zval")
+       .sortWithinPartitions("zval")
+       .write.mode("overwrite").parquet(path))

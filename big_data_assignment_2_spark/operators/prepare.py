@@ -81,3 +81,31 @@ def write_doc_files(prepared: DataFrame, path: str,
                     else F.lit("")))
     (prepared.select(F.concat_ws("\t", fname, F.col("text")).alias("value"))
      .write.mode("overwrite").text(path))
+
+
+def sample_per_key(df: DataFrame, key_col: str, k: int,
+                   salt: str = "", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-key sample: exactly min(k, |stratum|) rows per
+    key, selected by md5 hash rank — the distributed, reproducible
+    replacement for per-key reservoir sampling (Vitter's Algorithm R
+    needs sequential state; ranking a uniform hash gives the same
+    uniform-k-subset marginal per stratum and is embarrassingly
+    parallel).  Unlike :func:`stratified_sample` (Bernoulli — only the
+    EXPECTED per-stratum count is controlled) the output size per key is
+    exact, which is what eval-set carving and per-source caps need.
+
+    Scale shape: one shuffle on ``key_col``; the rank window sorts
+    WITHIN each key's partition (never a single-partition global
+    window).  A pathologically hot key serializes only its own
+    partition; for exact-k-per-key semantics that sort is inherent.
+    Returns (key, id, sample_rank) with rank 1..k by hash order —
+    deterministic across engines and runs for a fixed salt.
+    """
+    from pyspark.sql.window import Window
+
+    sid = F.col(id_col).cast("string")
+    h = F.md5(F.concat(sid, F.lit(salt)))
+    w = Window.partitionBy(key_col).orderBy(h, sid)
+    return (df.select(F.col(key_col), sid.alias(id_col))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))

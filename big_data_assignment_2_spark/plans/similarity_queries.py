@@ -171,6 +171,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
 
 
+PQ_M = 4        # subspaces (16 dims each)
+PQ_KS = 8       # codebook size per subspace
+PQ_ITERS = 1    # Lloyd rounds per codebook (unrolled in the oracle)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under EXACT oracle check: per-subspace
+    Lloyd codebooks, map-side m-code encoding, asymmetric-distance (ADC)
+    scoring — the RAM-compression ANN path (m bytes per vector instead
+    of dim floats).  The oracle replays codebook training, encoding, and
+    the per-code table lookups in SQL, so the approximate index's full
+    semantics are the verified contract."""
+    from ..operators.similarity import pq_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(em, _queries_df(spark, sf_dir), k=TOP_K, m=PQ_M,
+                   ks=PQ_KS, iters=PQ_ITERS)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -182,6 +201,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_pq_topk": q_pq_topk,
     "sim_tfidf_topk": q_tfidf_topk,
     "sim_ivf_topk": q_ivf_topk,
     "sim_kmeans_assign": q_kmeans_assign,
@@ -319,6 +339,75 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _pq_oracle() -> str:
+    """Replays pq_topk end-to-end in SQL: per-subspace Lloyd codebooks
+    (sliced-vector chains, same init/update/tie-break as the shared
+    k-means chain), argmin encoding to m codes, ADC scoring via joins to
+    the final centroid CTEs (the SQL form of the distance-table lookup),
+    windowed top-k.  Multiply-referenced CTEs are MATERIALIZED (DuckDB
+    otherwise inlines them — the dedup/graph-oracle degeneration)."""
+    m, ks, iters, sub = PQ_M, PQ_KS, PQ_ITERS, 64 // PQ_M
+
+    def sq(x: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), "
+                f"d -> ({x} - {c}[d]) * ({x} - {c}[d])))")
+
+    ctes = []
+    for s in range(m):
+        lo = s * sub
+        ctes.append(f"sv{s} AS MATERIALIZED (SELECT vec_id, "
+                    f"v[{lo + 1}:{lo + sub}] AS v FROM vecs)")
+        ctes.append(f"s{s}c0 AS MATERIALIZED (SELECT vec_id AS cid, v "
+                    f"FROM sv{s} WHERE vec_id < {ks})")
+        for i in range(1, iters + 1):
+            avg_list = ", ".join(f"round(avg(v[{d}]), 6)"
+                                 for d in range(1, sub + 1))
+            ctes.append(f"""s{s}a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq('x.v[d]', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM sv{s} x CROSS JOIN s{s}c{i - 1} c) WHERE rn = 1)""")
+            ctes.append(f"s{s}n{i} AS (SELECT cid, [{avg_list}] AS v "
+                        f"FROM s{s}a{i} GROUP BY cid)")
+            ctes.append(f"s{s}c{i} AS MATERIALIZED (SELECT p.cid, "
+                        f"coalesce(n.v, p.v) AS v "
+                        f"FROM s{s}c{i - 1} p LEFT JOIN s{s}n{i} n USING (cid))")
+        ctes.append(f"""s{s}g AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq('x.v[d]', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM sv{s} x CROSS JOIN s{s}c{iters} c) WHERE rn = 1)""")
+    code_cols = ", ".join(f"s{s}g.cid AS c{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}g USING (vec_id)" for s in range(1, m))
+    adc = " + ".join(
+        sq(f"q.v[{s * sub} + d]", f"cs{s}.v") for s in range(m))
+    cent_joins = " ".join(
+        f"JOIN s{s}c{iters} cs{s} ON cs{s}.cid = c.c{s}" for s in range(m))
+    ctes_sql = ",\n".join(ctes)
+    return f"""
+WITH {_VECS},
+{ctes_sql},
+codes AS MATERIALIZED (
+  SELECT s0g.vec_id, {code_cols} FROM s0g {code_joins}),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({adc}, 6) AS adc_dist
+  FROM q CROSS JOIN codes c
+  {cent_joins}
+  WHERE c.vec_id != q.query_id)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 from .search_queries import _TOKENS_CTE  # noqa: E402
 
 # Width-ADAPTIVE banded-LSH candidate CTE chain, shared by the scaled
@@ -389,6 +478,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
     "sim_ivf_topk": _ivf_oracle(),
+    "sim_pq_topk": _pq_oracle(),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_quantize_int8": f"""
 WITH {_VECS},

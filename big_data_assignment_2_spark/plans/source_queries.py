@@ -230,7 +230,46 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _checksum("event_id", "ts_us", "user_id").alias("checksum")))
 
 
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout — the lakehouse OPTIMIZE ZORDER
+    story: orders rewritten clustered on the interleaved
+    (o_custkey, days-since-1992) value, then a 2-D box predicate
+    (customer range × date range) read back from the clustered copy.
+    The aggregate (count + exact-decimal sum via the string route +
+    min/max z-value) must equal the same box computed on the ORIGINAL
+    parquet — certifying both the rewrite cycle and the z-value integer
+    arithmetic cross-engine.  The I/O-pruning benefit itself (fewer
+    row-groups intersect a box under Z-layout than under a 1-D sort) is
+    asserted from parquet footer stats in
+    tests/test_sources.test_zorder_layout_prunes_box_rowgroups.
+    Scratch hygiene: one path per process, stale siblings removed
+    (same policy as q_orc_roundtrip)."""
+    import glob
+    import shutil
+
+    from ..operators.persist import write_zorder
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, f"zorder_orders_{_PROCESS_UID}")
+    for stale in glob.glob(os.path.join(_SCRATCH, "zorder_orders_*")):
+        if stale != path:
+            shutil.rmtree(stale, ignore_errors=True)
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    write_zorder(o.withColumn("__days", days), path, "o_custkey", "__days")
+    back = spark.read.parquet(path)
+    box = back.filter(F.col("o_custkey").between(100, 200)
+                      & F.col("o_orderdate").between("1995-01-01",
+                                                     "1995-06-30"))
+    return box.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+         .cast("string").cast("double").alias("sum_price"),
+        F.min("zval").alias("min_z"),
+        F.max("zval").alias("max_z"))
+
+
 QUERIES = {
+    "source_zorder_prune": q_zorder_prune,
     "source_stratified_sample": q_stratified_sample,
     "source_orc_roundtrip": q_orc_roundtrip,
     "source_perdoc_roundtrip": q_perdoc_sink_roundtrip,
@@ -241,9 +280,31 @@ QUERIES = {
     "source_sample_count": q_sample_count,
 }
 
+def _zval_sql(x: str, y: str, bits: int = 16) -> str:
+    """SQL twin of operators.persist.zorder_value (same shift terms)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_ZVAL = _zval_sql("o_custkey",
+                  "datediff('day', DATE '1992-01-01', o_orderdate)")
+
 ORACLES = {
     # Oracles aggregate the ORIGINAL parquet: equality certifies the
     # write→read cycle, not just the aggregation.
+    "source_zorder_prune": f"""
+SELECT count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+            AS DOUBLE) AS sum_price,
+       min({_ZVAL}) AS min_z,
+       max({_ZVAL}) AS max_z
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 200
+  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+""",
     # F7 filename = sanitize(doc_id || '_') — digits and '_' pass the
     # [a-zA-Z0-9_-] filter untouched.
     "source_perdoc_roundtrip": f"""

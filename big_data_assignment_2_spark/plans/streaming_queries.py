@@ -135,6 +135,17 @@ def q_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                             output_mode="append")
 
 
+def q_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark through the micro-batch engine:
+    bare-key dedup state evicted by watermark (no window key column) —
+    the Spark-3.5 API for dedup over unbounded key cardinality."""
+    from ..streaming.windows import dedup_keys_within_watermark
+
+    return run_stream_to_df(
+        spark, dedup_keys_within_watermark(events_stream(spark, sf_dir)),
+        output_mode="append")
+
+
 def q_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join (state bounded by
     watermark + horizon on both sides), append mode."""
@@ -181,6 +192,7 @@ QUERIES = {
     "stream_stateful_totals_v2": q_stateful_totals_v2,
     "stream_session_30m_live": q_session_live,
     "stream_dedup_keys_live": q_dedup_live,
+    "stream_dedup_within_wm_live": q_dedup_within_wm_live,
     "stream_interval_join_1h_live": q_interval_join_live,
     "stream_topk_foreachbatch": q_topk_foreachbatch,
     "stream_topk_per_day": q_topk_window,
@@ -271,5 +283,9 @@ FROM sessions GROUP BY user_id, session_id
 # semantics, different execution engine path.
 ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]
 ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]
+# Single-file availableNow drain = one micro-batch, so the surviving
+# bare-key set is exactly the distinct keys.
+ORACLES["stream_dedup_within_wm_live"] = \
+    "SELECT DISTINCT user_id, event_type FROM events"
 ORACLES["stream_interval_join_1h_live"] = ORACLES["stream_interval_join_1h"]
 ORACLES["stream_topk_foreachbatch"] = ORACLES["stream_topk_per_day"]

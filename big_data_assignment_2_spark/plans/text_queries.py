@@ -70,6 +70,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_merges=BPE_TRAIN_MERGES)
 
 
+SAMPLE_PER_KEY_K = 5
+SAMPLE_PER_KEY_SALT = "pk7"
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (hash-rank reservoir
+    replacement): 5 docs per source by md5 order — the eval-set-carving /
+    per-source-cap primitive whose per-key output size is exact, unlike
+    Bernoulli sampleBy."""
+    from ..operators.prepare import sample_per_key
+
+    return sample_per_key(load_table(spark, sf_dir, "documents"),
+                          "source", SAMPLE_PER_KEY_K,
+                          salt=SAMPLE_PER_KEY_SALT)
+
+
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 whitespace normalization (the reference's only Python UDF,
     `prepare_data.py:23-27`) as a native expression."""
@@ -546,6 +562,7 @@ QUERIES = {
     "text_token_count_bpe": q_token_count_bpe,
     "text_bpe_encode": q_bpe_encode,
     "text_bpe_train": q_bpe_train,
+    "pipeline_sample_per_key": q_sample_per_key,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
@@ -1038,3 +1055,14 @@ def _bpe_train_oracle(n: int) -> str:
 
 
 ORACLES["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
+
+ORACLES["pipeline_sample_per_key"] = f"""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_PER_KEY_SALT}'),
+                      CAST(doc_id AS VARCHAR)) AS INTEGER) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {SAMPLE_PER_KEY_K}
+"""

@@ -96,7 +96,28 @@ def q_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"))
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame — the time-window analytic ROWS frames
+    can't express: per customer, order value and count over the 30 days
+    up to and including each order.  Spark's rangeBetween needs a single
+    numeric ORDER BY, so the sort key is days-since-epoch; the frame is
+    peer-inclusive (all same-day orders join the frame), which makes the
+    aggregate deterministic without a tiebreaker.  Exact DECIMAL inside
+    the frame sum, one double conversion at the end (house float
+    policy)."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = (Window.partitionBy("o_custkey").orderBy(days)
+         .rangeBetween(-30, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("sum_30d"),
+        F.count("*").over(w).alias("n_orders_30d"))
+
+
 QUERIES = {
+    "win_range_frame": q_range_frame,
     "win_distribution": q_distribution,
     "win_topk_per_group": q_topk_per_group,
     "win_first_last": q_first_last,
@@ -107,6 +128,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_range_frame": """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           AS sum_30d,
+       count(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
     "win_distribution": """
 SELECT c_mktsegment, c_custkey,
        round(percent_rank() OVER w, 6) AS bal_pct_rank,

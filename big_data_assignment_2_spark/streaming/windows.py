@@ -97,6 +97,22 @@ def dedup_keys(events: DataFrame, width: str = "1 day") -> DataFrame:
                     "user_id", "event_type"))
 
 
+def dedup_keys_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on BARE keys with watermark-driven state eviction
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): unlike
+    :func:`dedup_keys` there is no window column in the key, so state for
+    a key is dropped once the watermark passes its last-seen event time —
+    the unbounded-key-cardinality-safe shape (keys never accumulate
+    forever).  Requires an upstream ``withWatermark``.  Projected to the
+    key columns so batch/streaming/oracle agree regardless of which
+    duplicate survives; under an availableNow drain of a single input
+    file (one micro-batch) the kept-key set is exactly DISTINCT keys.
+    """
+    return (events
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type"))
+
+
 def interval_join(events: DataFrame, left_type: str = "click",
                   right_type: str = "purchase",
                   horizon: str = "1 hour") -> DataFrame:

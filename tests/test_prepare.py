@@ -69,3 +69,31 @@ def test_stratified_sample(spark, sf_dir):
     again = stratified_sample(docs, "lang", 0.5, seed=1)
     assert sorted(r["doc_id"] for r in half.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_sample_per_key_exact_k_deterministic(spark):
+    """Hash-rank per-key sampling: exactly min(k, |stratum|) rows per
+    key, identical across invocations, rank = md5 order."""
+    import hashlib
+
+    from big_data_assignment_2_spark.operators.prepare import sample_per_key
+
+    rows = [(i, "a" if i <= 7 else "b") for i in range(1, 11)]  # a:7, b:3
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_per_key(df, "source", 5, salt="s").collect()
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r["source"], []).append(r)
+    assert len(by_key["a"]) == 5      # capped at k
+    assert len(by_key["b"]) == 3      # whole small stratum survives
+    # Determinism + rank semantics: md5(doc_id || salt) ascending.
+    for key, members in by_key.items():
+        members.sort(key=lambda r: r["sample_rank"])
+        hashes = [hashlib.md5((r["doc_id"] + "s").encode()).hexdigest()
+                  for r in members]
+        assert hashes == sorted(hashes)
+        assert [r["sample_rank"] for r in members] == \
+            list(range(1, len(members) + 1))
+    assert sorted(tuple(r) for r in out) == \
+        sorted(tuple(r) for r in sample_per_key(
+            df, "source", 5, salt="s").collect())

@@ -118,3 +118,54 @@ def test_tfidf_topk_planted_similarity(spark):
     assert mine[0]["neighbor_id"] == "1"
     ids = [r["neighbor_id"] for r in mine]
     assert "3" not in ids  # no shared term -> no candidate pair at all
+
+
+def test_pq_topk_exact_on_prototype_corpus(spark):
+    """On a corpus whose vectors ARE the codebook prototypes (8 distinct
+    vectors, each duplicated), Lloyd converges to the prototypes exactly,
+    so ADC distance == true squared distance and PQ top-k must equal the
+    brute-force ranking (neighbor_id tiebreak)."""
+    from big_data_assignment_2_spark.operators.similarity import pq_topk
+
+    protos = [[(j + 1) * 0.25] * 64 for j in range(8)]
+    rows = [(i, protos[i % 8]) for i in range(16)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (em.filter("vec_id < 2")
+         .selectExpr("vec_id AS query_id", "embedding"))
+    got = pq_topk(em, q, k=5, m=4, ks=8, iters=1).collect()
+
+    import itertools
+    want = {}
+    for qid in (0, 1):
+        qv = protos[qid]
+        scored = sorted(
+            ((round(sum((qv[d] - v[d]) ** 2 for d in range(64)), 6), i)
+             for i, v in rows if i != qid))
+        want[qid] = [(i, d, r + 1)
+                     for r, (d, i) in enumerate(itertools.islice(scored, 5))]
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["adc_dist"], r["rank"]))
+    for qid in (0, 1):
+        assert sorted(got_by_q[qid], key=lambda t: t[2]) == want[qid]
+
+
+def test_pq_codes_bounded_and_rank_contiguous(spark, sf_dir):
+    """On real embeddings: every rank list is exactly 1..k per query and
+    ADC distances are non-decreasing with rank."""
+    from big_data_assignment_2_spark.operators.similarity import pq_topk
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    out = pq_topk(em, q, k=4, m=4, ks=8, iters=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)

@@ -142,3 +142,70 @@ def test_jsonl_malformed_rows_quarantined(spark, tmp_path):
     with pytest.raises((CapturedException, PythonException, Exception)):
         spark.read.schema("doc_id BIGINT, text STRING") \
             .option("mode", "FAILFAST").json(p).collect()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from big_data_assignment_2_spark.operators.persist import zorder_value
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (65535, 65535)],
+                               "x long, y long")
+    got = [r[0] for r in df.select(zorder_value("x", "y")).collect()]
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [ref(3, 5), 0, ref(65535, 65535)]
+    assert ref(3, 5) == 0b100111  # x=11 on even bits, y=101 on odd
+
+
+def test_zorder_layout_prunes_box_rowgroups(spark, sf_dir, tmp_path):
+    """The point of the Z-layout: row-group min/max envelopes stay tight
+    on BOTH box dimensions, so a 2-D box intersects fewer row groups
+    than under a random (hash-partitioned) layout, where every row
+    group spans the full range of both columns."""
+    import datetime
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.persist import write_zorder
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__days", F.datediff(F.col("o_orderdate"),
+                             F.to_date(F.lit("1992-01-01"))))
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder(o, zpath, "o_custkey", "__days", n_files=16)
+    o.repartition(16).write.parquet(rpath)
+
+    lo_d = datetime.date(1995, 1, 1)
+    hi_d = datetime.date(1995, 6, 30)
+
+    def touched(path):
+        hit = total = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = {g.column(i).path_in_schema: g.column(i).statistics
+                      for i in range(g.num_columns)}
+                ck, od = st["o_custkey"], st["o_orderdate"]
+                # date column may surface as datetime.datetime stats
+                od_min = od.min.date() if hasattr(od.min, "date") else od.min
+                od_max = od.max.date() if hasattr(od.max, "date") else od.max
+                total += 1
+                if (ck.min <= 200 and ck.max >= 100
+                        and od_min <= hi_d and od_max >= lo_d):
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = touched(zpath)
+    r_hit, r_total = touched(rpath)
+    assert r_hit == r_total          # random layout: every group intersects
+    assert z_hit < r_hit             # Z-layout prunes the 2-D box

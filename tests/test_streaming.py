@@ -119,3 +119,21 @@ def test_foreachbatch_topk_ranking_parity(spark, sf_dir):
          .foreachBatch(rank_snapshot).trigger(availableNow=True).start())
     q.awaitTermination()
     assert result["rows"] == want
+
+
+def test_dedup_within_watermark_streaming(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (bare-key state, watermark
+    eviction) through the real micro-batch engine: with one drained
+    input file (a single micro-batch) the surviving key set must be
+    exactly the distinct keys of the batch table."""
+    from big_data_assignment_2_spark.streaming.windows import \
+        dedup_keys_within_watermark
+
+    stream = dedup_keys_within_watermark(
+        events_stream(spark, sf_dir, with_watermark="1 hour"))
+    assert stream.isStreaming
+    stream_to_memory(stream, "t_dedup_wm", output_mode="append")
+    got = _rows(spark.table("t_dedup_wm"))
+    want = _rows(load_table(spark, sf_dir, "events")
+                 .select("user_id", "event_type").distinct())
+    assert got == want
