@@ -109,6 +109,11 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
+        # ADC scores every m-byte CODE row against the broadcast query
+        # set — that full pass over the compressed codes is the PQ
+        # contract (the compression, not candidate pruning, is the win;
+        # IVF-style pruning composes on top and is covered by sim_ivf_topk)
+        "sim_pq_topk",
         # broadcast 1-row corpus-size relation (IDF needs N, as BM25 does)
         "sim_tfidf_topk",
         # exact-total (1 row) x sketch-union estimate (1 row): a literal
