@@ -617,3 +617,66 @@ def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9,
             .select(F.col("doc_a").cast("string").alias("doc_a"),
                     F.col("doc_b").cast("string").alias("doc_b"),
                     "jaccard"))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.95,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """ASYMMETRIC set containment C(A→B) = |A∩B| / |A| ≥ t — the
+    quote/subset detector Jaccard misses: a short document wholly quoted
+    inside a long one has high containment but low Jaccard (the long
+    doc's extra tokens dilute the union).  Standard fuzzy-dedup stage
+    for removing near-subsets of retained documents.
+
+    Candidate generation is the one-sided prefix filter (the asymmetric
+    member of the PPJoin family): C(A→B) ≥ t needs |A∩B| ≥ ceil(t·|A|),
+    so A must share a token from its first |A| - ceil(t·|A|) + 1
+    RAREST-ordered tokens with B — only A-side prefixes explode; the B
+    side is the full (doc, term) inverted index.  Verification is the
+    in-row ``array_intersect`` over the held df-ordered arrays, like
+    :func:`prefix_jaccard_pairs` (lossless by the same pigeonhole).
+
+    Returns ORDERED pairs (doc_sub, doc_sup, containment): both
+    directions can appear, each with its own containment value.
+    """
+    from pyspark import StorageLevel
+
+    num_id = F.col(id_col).cast("bigint")
+    toks = docs.select(num_id.alias("doc_id"),
+                       F.explode(F.array_distinct(tokenize(text_col)))
+                       .alias("term"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("__df"))
+    ordered = (toks.join(F.broadcast(dfreq), "term")
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.sort_array(F.collect_list(F.struct("__df", "term"))),
+                   lambda s: s["term"]).alias("__toks"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    n = F.size("__toks")
+    pref_len = n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("__toks", F.lit(1), pref_len))
+        .alias("term"))
+    # Asymmetric candidates: A-side PREFIX tokens (rare per doc) against
+    # the FULL inverted index on the B side — a two-relation shuffle
+    # equi-join, so a globally-hot term that is still some doc's rarest
+    # falls under AQE skew-join splitting (enabled session-wide) rather
+    # than the self-pair salter the symmetric joins use.
+    cand = (prefix.withColumnRenamed("doc_id", "doc_sub")
+            .join(toks.withColumnRenamed("doc_id", "doc_sup"), "term")
+            .filter(F.col("doc_sub") != F.col("doc_sup"))
+            .select("doc_sub", "doc_sup")
+            .distinct())
+    arr_sub = ordered.select(F.col("doc_id").alias("doc_sub"),
+                             F.col("__toks").alias("__ta"),
+                             F.size("__toks").alias("__na"))
+    arr_sup = ordered.select(F.col("doc_id").alias("doc_sup"),
+                             F.col("__toks").alias("__tb"))
+    return (cand.join(arr_sub, "doc_sub").join(arr_sup, "doc_sup")
+            .withColumn("containment", F.round(
+                F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                / F.col("__na"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select(F.col("doc_sub").cast("string").alias("doc_sub"),
+                    F.col("doc_sup").cast("string").alias("doc_sup"),
+                    "containment"))

@@ -123,8 +123,22 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.95
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set containment |A∩B|/|A| ≥ 0.95 — quote/near-subset
+    detection, the dedup signal Jaccard dilutes on length-mismatched
+    pairs; A-side-only prefix filter (lossless, same pigeonhole as the
+    symmetric PPJoin)."""
+    from ..operators.dedup import containment_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=CONTAINMENT_THRESHOLD)
+
+
 QUERIES = {
     "dedup_prefix_jaccard": q_prefix_jaccard,
+    "dedup_containment": q_containment,
     "dedup_edit_verify": q_edit_verify,
     "dedup_winnow_fp": q_winnow_fingerprints,
     "dedup_winnow_overlap": q_winnow_overlap,
@@ -355,6 +369,22 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 """,
+    # Prefix-free for the same reason as dedup_prefix_jaccard: the plain
+    # all-ordered-pairs containment join proves the A-side prefix filter
+    # loses nothing.
+    "dedup_containment": f"""
+WITH {_TOKENS_CTE},
+ts AS (SELECT DISTINCT doc_id, term FROM tokens),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_sub, y.doc_id AS doc_sup, count(*) AS n_inter
+  FROM ts x JOIN ts y ON x.term = y.term AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_sub, i.doc_sup,
+       round(CAST(n_inter AS DOUBLE) / s.sz, 6) AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.doc_sub
+WHERE CAST(n_inter AS DOUBLE) / s.sz >= {CONTAINMENT_THRESHOLD}
+""",
     "dedup_simhash": f"WITH {_TOKENS_CTE}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
     "dedup_simhash_near": f"""
 WITH {_TOKENS_CTE}, {_SIMHASH_CTE},
@@ -398,6 +428,7 @@ _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
     "dedup_ngram_jaccard": ("docs", "tokens", "sh", "sizes", "inter",
                             "led"),
     "dedup_prefix_jaccard": ("docs", "tokens", "ts", "sizes", "inter"),
+    "dedup_containment": ("docs", "tokens", "ts", "sizes", "inter"),
     "dedup_simhash": ("docs", "tokens", "tf", "hh", "votes", "sig"),
     "dedup_simhash_near": ("docs", "tokens", "tf", "hh", "votes", "sig",
                            "bands", "cand"),

@@ -219,3 +219,36 @@ def test_prefix_jaccard_exactness_beats_lsh_banding(spark):
                threshold=0.5).collect()}
     assert got[("1", "2")] == 1.0
     assert got[("1", "3")] == got[("2", "3")] == 0.6
+
+
+def test_containment_asymmetric_subset_detection(spark):
+    """Containment catches the short-doc-quoted-in-long-doc case that
+    Jaccard dilutes, is asymmetric, and equals the naive all-ordered-
+    pairs computation."""
+    import re
+
+    from big_data_assignment_2_spark.operators.dedup import containment_pairs
+
+    corpus = [
+        (1, "alpha beta gamma"),                                   # subset of 2
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "alpha beta kappa"),                                   # 2/3 in 2
+        (4, "completely unrelated words here"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {(r["doc_sub"], r["doc_sup"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.6).collect()}
+
+    sets = {str(i): set(re.findall(r"\w+", t.lower())) for i, t in corpus}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a] & sets[b]:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+            if c >= 0.6:
+                want[(a, b)] = c
+    assert got == want
+    assert got[("1", "2")] == 1.0          # full subset
+    assert ("2", "1") not in got           # asymmetric: 3/9 < 0.6
+    assert got[("3", "2")] == 0.666667
