@@ -77,18 +77,20 @@ def _merge_pair(toks: Column, x: str, y: str) -> Column:
         ).otherwise(F.concat(acc, F.array(t))))
 
 
-def bpe_encode_word(word: Column) -> Column:
-    """Encode one word: char array folded through BPE_MERGES in rank
-    order.  Native higher-order functions end to end — no Python on the
-    data path."""
+def bpe_encode_word(word: Column,
+                    merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> Column:
+    """Encode one word: char array folded through ``merges`` in rank
+    order (default: the fixed BPE_MERGES table).  Native higher-order
+    functions end to end — no Python on the data path."""
     toks = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
-    for x, y in BPE_MERGES:
+    for x, y in merges:
         toks = _merge_pair(toks, x, y)
     return toks
 
 
 def bpe_encode(docs: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> DataFrame:
     """Vocabulary-driven BPE over the corpus, dictionary-encoded for
     scale: the merge fold runs once per DISTINCT word (the vocabulary —
     orders of magnitude smaller than the corpus at 100 TB), then a
@@ -99,7 +101,7 @@ def bpe_encode(docs: DataFrame, text_col: str = "text",
     words = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.posexplode(tokenize(text_col)).alias("pos", "word"))
-    encoded = bpe_encode_word(F.col("word"))
+    encoded = bpe_encode_word(F.col("word"), merges)
     vocab = (words.select("word").distinct()
              .select("word",
                      F.array_join(encoded, " ").alias("__pieces_str"),
@@ -202,9 +204,21 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
     folds 1..k-1; the relations are vocabulary-sized, so the k persisted
     stages are cheap even at corpus scale.
     """
+    return docs.sparkSession.createDataFrame(
+        bpe_learn_merges(docs, n_merges, text_col),
+        "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT")
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
+                     text_col: str = "text"
+                     ) -> list[tuple[int, str, str, str, int]]:
+    """The training loop of :func:`bpe_train`, returning the learned
+    merge list driver-side (bounded: n_merges rows) so callers can feed
+    it straight into :func:`bpe_encode` — train-then-tokenize in one
+    lineage."""
     from pyspark import StorageLevel
 
-    spark = docs.sparkSession
     words = docs.select(F.explode(tokenize(text_col)).alias("word"))
     cur = (words.groupBy("word").agg(F.count("*").alias("freq"))
            .select("word", "freq",
@@ -229,7 +243,4 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
         cur = (cur.select("word", "freq",
                           _merge_pair(F.col("toks"), x, y).alias("toks"))
                .persist(StorageLevel.MEMORY_AND_DISK))
-    return spark.createDataFrame(
-        merges,
-        "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "
-        "pair_count BIGINT")
+    return merges

@@ -86,6 +86,21 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                           salt=SAMPLE_PER_KEY_SALT)
 
 
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer lifecycle: learn the 8-merge table from the
+    corpus (bpe_learn_merges — bounded driver collect per round), then
+    tokenize the SAME corpus with the learned table (bpe_encode's
+    dictionary-encoded fold + broadcast-back).  The oracle re-derives
+    the merges in SQL and threads them through correlated encode folds,
+    so train→apply is certified as one contract."""
+    from ..operators.textstats import bpe_encode, bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = tuple((m[1], m[2])
+                    for m in bpe_learn_merges(docs, BPE_TRAIN_MERGES))
+    return bpe_encode(docs, merges=learned)
+
+
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 whitespace normalization (the reference's only Python UDF,
     `prepare_data.py:23-27`) as a native expression."""
@@ -562,6 +577,7 @@ QUERIES = {
     "text_token_count_bpe": q_token_count_bpe,
     "text_bpe_encode": q_bpe_encode,
     "text_bpe_train": q_bpe_train,
+    "text_bpe_train_encode": q_bpe_train_encode,
     "pipeline_sample_per_key": q_sample_per_key,
     "text_heavy_hitters": q_heavy_hitters,
     "pipeline_decontaminate": q_decontaminate,
@@ -1013,15 +1029,15 @@ GROUP BY w.doc_id
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 
 
-def _bpe_train_oracle(n: int) -> str:
-    """DuckDB twin of operators.textstats.bpe_train, UNROLLED: round k's
-    CTEs are p{k} (adjacent-pair counts incl. overlaps), m{k} (argmax
-    merge, (cnt DESC, x, y) tie-break), t{k} (vocabulary re-folded
-    through m{k} via a CORRELATED list_reduce — the merge pair comes
-    from the cross-joined 1-row m{k}, not a literal).  Every CTE is
-    MATERIALIZED: t{k} is referenced by both p{k+1} and t{k+1}, and
-    DuckDB otherwise inlines multiply-referenced CTEs (the same
-    degeneration the dedup/graph oracles hit)."""
+def _bpe_train_ctes(n: int) -> list[str]:
+    """The UNROLLED training chain shared by the train and train+encode
+    oracles: round k's CTEs are p{k} (adjacent-pair counts incl.
+    overlaps), m{k} (argmax merge, (cnt DESC, x, y) tie-break), t{k}
+    (vocabulary re-folded through m{k} via a CORRELATED list_reduce —
+    the merge pair comes from the cross-joined 1-row m{k}, not a
+    literal).  Every CTE is MATERIALIZED: t{k} is referenced by both
+    p{k+1} and t{k+1}, and DuckDB otherwise inlines multiply-referenced
+    CTEs (the same degeneration the dedup/graph oracles hit)."""
     ctes = [r"""dt AS MATERIALIZED (
   SELECT list_filter(
              string_split_regex(
@@ -1047,14 +1063,57 @@ def _bpe_train_oracle(n: int) -> str:
                        THEN list_append(a[1:len(a)-1], m.x || m.y)
                        ELSE list_concat(a, b) END) AS toks
   FROM t{k-1} t, m{k} m)""")
+    return ctes
+
+
+def _bpe_train_oracle(n: int) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {k - 1} AS merge_rank, x AS lhs, y AS rhs, "
         f"x || y AS merged, cnt AS pair_count FROM m{k}"
         for k in range(1, n + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_train_ctes(n)) + "\n" + sel
+
+
+def _bpe_train_encode_oracle(n: int) -> str:
+    """Train-then-tokenize twin: the encode fold of _bpe_encode_oracle,
+    but each of the n nested list_reduce rules takes its merge pair from
+    the CORRELATED m{k} rows of the training chain (all n one-row m{k}
+    CTEs cross-joined into the vocabulary encode) instead of literals —
+    so a green row certifies that encoding with the LEARNED table
+    matches Spark's bpe_learn_merges → bpe_encode composition."""
+    expr = "string_split(word, '')"
+    for k in range(1, n + 1):
+        expr = (
+            "list_reduce(list_transform(" + expr + ", s -> [s]), "
+            f"(a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = m{k}.x "
+            f"AND b[1] = m{k}.y THEN list_append(a[1:len(a)-1], "
+            f"m{k}.x || m{k}.y) ELSE list_concat(a, b) END)")
+    froms = ", ".join(f"m{k}" for k in range(1, n + 1))
+    ctes = _bpe_train_ctes(n) + [r"""dq AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(
+             string_split_regex(
+                 regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+             t -> t <> '') AS toks
+  FROM documents)""", """wq AS MATERIALIZED (
+  SELECT doc_id, pos, toks[pos] AS word FROM (
+    SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+    FROM dq))""",
+        "vq AS MATERIALIZED (SELECT DISTINCT word FROM wq)",
+        f"eq AS MATERIALIZED (SELECT word, {expr} AS pieces "
+        f"FROM vq, {froms})"]
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT w.doc_id,
+       CAST(sum(len(e.pieces)) AS BIGINT) AS n_pieces,
+       string_agg(array_to_string(e.pieces, ' '), ' ' ORDER BY w.pos)
+           AS pieces
+FROM wq w JOIN eq e USING (word)
+GROUP BY w.doc_id
+""")
 
 
 ORACLES["text_bpe_train"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
+ORACLES["text_bpe_train_encode"] = _bpe_train_encode_oracle(BPE_TRAIN_MERGES)
 
 ORACLES["pipeline_sample_per_key"] = f"""
 SELECT source, doc_id, sample_rank FROM (
