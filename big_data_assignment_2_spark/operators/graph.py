@@ -179,3 +179,41 @@ def triangle_count(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n")))
     return (nodes.join(per_node, "node", "left")
             .select("node", F.coalesce("n", F.lit(0)).alias("n_triangles")))
+
+
+def khop_distances(edges: DataFrame, source: int, max_hops: int = 3,
+                   checkpoint_every: int = 5) -> DataFrame:
+    """Minimum-hop BFS from ``source`` over the directed edge list — the
+    unit-weight single-source shortest-path member of the iterative
+    family (Pregel frontier expansion as DataFrame operations).
+
+    Round k joins the CURRENT FRONTIER (nodes first reached at round
+    k-1, not the whole visited set) against the persisted edge relation
+    and anti-joins the visited set, so per-round work is proportional to
+    the frontier's out-edges — the textbook distributed BFS shape.
+    Integer distances and pure set semantics make it deterministic and
+    exactly replayable by an unrolled SQL oracle.  The
+    ``localCheckpoint``-every-k-rounds lineage discipline of the other
+    iterative operators applies past ``checkpoint_every`` rounds.
+
+    Returns (node, dist) for every node within ``max_hops``; unreached
+    nodes are absent (distance +inf is no row, not a sentinel).
+    """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    e = (edges.select(F.col("src").cast("int").alias("src"),
+                      F.col("dst").cast("int").alias("dst"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    dist = spark.createDataFrame([(int(source), 0)], "node INT, dist INT")
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        reached = (e.join(frontier, e["src"] == frontier["node"])
+                   .select(F.col("dst").alias("node")).distinct())
+        new = (reached.join(dist.select("node"), "node", "left_anti")
+               .select("node", F.lit(k).alias("dist")))
+        dist = dist.unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
+        if k % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

@@ -168,13 +168,70 @@ FROM l{LPA_ITERS} l JOIN nation n ON n.n_nationkey = l.node
 """
 
 
+KHOP_SOURCE = 6    # GERMANY-ish key: picked for multi-hop structure
+KHOP_FRAC = 0.6    # strong-lane cutoff: w >= 0.6 * max(w)
+KHOP_HOPS = 3
+
+
+def q_khop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source min-hop BFS (unit-weight shortest paths) from
+    nation KHOP_SOURCE over the STRONG trade lanes only — the dense
+    trade graph has diameter ~1, so the relative weight cutoff
+    (w ≥ 0.6·max) keeps the heavy lanes and produces genuine multi-hop
+    structure (hops 0/1/2 at the gate scales, some nations unreached).
+    max(w) reaches the driver as one scalar (the same bounded-collect
+    contract as PageRank's node count); distances are exact integers —
+    the unrolled SQL oracle replays every frontier round."""
+    from ..operators.graph import khop_distances
+
+    edges = _trade_edges(spark, sf_dir)
+    mx = edges.agg(F.max("w")).collect()[0][0]
+    strong = edges.filter(F.col("w") >= KHOP_FRAC * mx).select("src", "dst")
+    d = khop_distances(strong, KHOP_SOURCE, max_hops=KHOP_HOPS)
+    nation = load_table(spark, sf_dir, "nation")
+    return (d.join(F.broadcast(nation),
+                   d["node"] == nation["n_nationkey"])
+            .select(F.col("n_name").alias("nation"), "dist"))
+
+
+def _khop_oracle() -> str:
+    ctes = ["""e AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2)""",
+            f"""es AS MATERIALIZED (
+  SELECT src, dst FROM e WHERE w >= {KHOP_FRAC} * (SELECT max(w) FROM e))""",
+            f"d0 AS MATERIALIZED (SELECT CAST({KHOP_SOURCE} AS INTEGER) "
+            f"AS node, 0 AS dist)"]
+    for k in range(1, KHOP_HOPS + 1):
+        ctes.append(f"""n{k} AS MATERIALIZED (
+  SELECT DISTINCT es.dst AS node FROM es JOIN d{k - 1} d
+  ON es.src = d.node)""")
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT * FROM d{k - 1}
+  UNION ALL
+  SELECT node, {k} AS dist FROM n{k}
+  WHERE node NOT IN (SELECT node FROM d{k - 1}))""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT n.n_name AS nation, CAST(d.dist AS INTEGER) AS dist
+FROM d{KHOP_HOPS} d JOIN nation n ON n.n_nationkey = d.node
+"""
+
+
 QUERIES = {
+    "graph_khop_trade": q_khop_trade,
     "graph_pagerank_trade": q_pagerank_trade,
     "graph_triangles_trade": q_triangles_trade,
     "graph_communities_trade": q_communities_trade,
 }
 
 ORACLES = {
+    "graph_khop_trade": _khop_oracle(),
     "graph_pagerank_trade": _pagerank_oracle(),
     "graph_triangles_trade": _TRIANGLES_SQL,
     "graph_communities_trade": _lpa_oracle(),

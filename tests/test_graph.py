@@ -155,3 +155,23 @@ def test_label_propagation_checkpoint_and_early_stop(spark):
     assert sorted(map(tuple, fast.collect())) \
         == sorted(map(tuple, full.collect()))
     assert _plan_depth(fast) < _plan_depth(full)
+
+
+def test_khop_chain_diamond_and_unreachable(spark):
+    """BFS min-hop semantics on a planted graph: chain distances, the
+    diamond node gets its MIN distance once, unreachable nodes are
+    absent, and max_hops truncates the frontier."""
+    from big_data_assignment_2_spark.operators.graph import khop_distances
+
+    #   1 -> 2 -> 3 -> 4 (chain)
+    #   1 -> 5, 2 -> 5    (diamond: 5 reachable at hop 1 and 2 -> keep 1)
+    #   9 -> 1            (in-edge only: 9 unreachable FROM 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (2, 5), (9, 1)],
+        "src int, dst int")
+    got = {r["node"]: r["dist"]
+           for r in khop_distances(edges, 1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 1}
+    capped = {r["node"]: r["dist"]
+              for r in khop_distances(edges, 1, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2, 5: 1}   # 4 beyond the cap
