@@ -274,6 +274,44 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("p").cast("double").alias("sum_price")))
 
 
+SCD2_MIN_ORDERS = 15
+SCD2_EPOCH = "1992-01-01"
+SCD2_OPEN_END = "9999-12-31"
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2: versioned dimension rows with
+    [valid_from, valid_to) ranges — the TEMPORAL merge variant
+    (rel_merge_upsert covers the flat upsert).  The change set derives
+    deterministically from the fact table: customers with ≥ 15 orders
+    move to segment 'PREMIUM' effective at their LATEST order date; each
+    changed key yields a CLOSED old version (valid_to = effective date)
+    plus an OPEN new version, unchanged keys keep one open row.  One
+    key-partitioned left join feeds both branches — the plan shape a
+    lakehouse SCD2 MERGE compiles to."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ch = (o.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.max("o_orderdate").alias("eff"))
+          .filter(F.col("n") >= SCD2_MIN_ORDERS)
+          .select("k", "eff"))
+    j = c.join(ch, c["c_custkey"] == ch["k"], "left")
+    closed_or_open = j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit(SCD2_EPOCH)).alias("valid_from"),
+        F.coalesce("eff", F.to_date(F.lit(SCD2_OPEN_END))).alias("valid_to"),
+        F.lit(1).alias("version"))
+    new_open = j.filter(F.col("eff").isNotNull()).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("PREMIUM").alias("segment"),
+        F.col("eff").alias("valid_from"),
+        F.to_date(F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        F.lit(2).alias("version"))
+    return closed_or_open.unionByName(new_open)
+
+
 def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two derived per-customer relations (urgent vs
     finished order counts) — each side has keys the other lacks, so left-
@@ -743,6 +781,7 @@ QUERIES = {
     "rel_nation_volume": q_nation_volume,
     "rel_returned_top_customers": q_returned_top_customers,
     "rel_merge_upsert": q_merge_upsert,
+    "rel_scd2_history": q_scd2_history,
     "rel_join_full": q_join_full,
     "rel_approx_quantiles": q_approx_quantiles,
     "rel_explode_outer": q_explode_outer,
@@ -877,6 +916,19 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_mktsegment
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "rel_scd2_history": f"""
+WITH ch AS (
+  SELECT o_custkey AS k, max(o_orderdate) AS eff
+  FROM orders GROUP BY o_custkey HAVING count(*) >= {SCD2_MIN_ORDERS})
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       DATE '{SCD2_EPOCH}' AS valid_from,
+       coalesce(ch.eff, DATE '{SCD2_OPEN_END}') AS valid_to,
+       1 AS version
+FROM customer c LEFT JOIN ch ON ch.k = c.c_custkey
+UNION ALL
+SELECT c.c_custkey, 'PREMIUM', ch.eff, DATE '{SCD2_OPEN_END}', 2
+FROM customer c JOIN ch ON ch.k = c.c_custkey
 """,
     "rel_merge_upsert": """
 WITH base AS (

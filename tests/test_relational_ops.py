@@ -100,3 +100,39 @@ def test_global_rank_plan_has_range_exchange(spark, sf_dir):
     # The only SinglePartition exchange feeds the per-partition-count window
     # (one row per partition), never the orders scan.
     assert plan.count("SinglePartition") <= 1
+
+
+def test_scd2_history_versioning_invariants(spark, sf_dir):
+    """SCD2 invariants: changed keys carry exactly two abutting versions
+    (old closed at the effective date, new open-ended), unchanged keys
+    one open row; no gaps or overlaps."""
+    import datetime
+
+    from big_data_assignment_2_spark.plans.relational_queries import (
+        SCD2_MIN_ORDERS, q_scd2_history)
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    def _d(v):
+        # o_orderdate may surface as datetime at test scale; compare dates
+        return v.date() if hasattr(v, "date") else v
+
+    rows = q_scd2_history(spark, sf_dir).collect()
+    open_end = datetime.date(9999, 12, 31)
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["custkey"], []).append(r)
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+    changed = {r[0] for r in o.groupBy("o_custkey").count()
+               .filter(F.col("count") >= SCD2_MIN_ORDERS)
+               .select("o_custkey").collect()}
+    assert changed, "threshold too high for this sf: no changed keys"
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        if k in changed:
+            assert len(vs) == 2
+            assert _d(vs[0]["valid_to"]) == _d(vs[1]["valid_from"])  # abut
+            assert _d(vs[1]["valid_to"]) == open_end
+            assert vs[1]["segment"] == "PREMIUM"
+        else:
+            assert len(vs) == 1 and _d(vs[0]["valid_to"]) == open_end
