@@ -135,6 +135,29 @@ def q_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                             output_mode="append")
 
 
+def q_enrich_static_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join through the micro-batch engine — the standard
+    enrichment shape (fact stream × broadcast dimension) and a distinct
+    streaming execution path from the stream-stream interval join: the
+    static side is planned as an ordinary batch broadcast against every
+    micro-batch, no state store involved.  Users map to nations by
+    user_id % 25 (the harness's synthetic user→geo assignment); output
+    is value totals per (nation, event_type) in exact cents."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, sf_dir, with_watermark=None)
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("nk"),
+                   F.col("n_name").alias("nation")))
+    joined = ev.withColumn("nk", F.col("user_id") % 25) \
+        .join(F.broadcast(dim), "nk")
+    agg = (joined.groupBy("nation", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("total_cents")))
+    return run_stream_to_df(spark, agg, output_mode="complete")
+
+
 def q_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark through the micro-batch engine:
     bare-key dedup state evicted by watermark (no window key column) —
@@ -193,6 +216,7 @@ QUERIES = {
     "stream_session_30m_live": q_session_live,
     "stream_dedup_keys_live": q_dedup_live,
     "stream_dedup_within_wm_live": q_dedup_within_wm_live,
+    "stream_enrich_static_live": q_enrich_static_live,
     "stream_interval_join_1h_live": q_interval_join_live,
     "stream_topk_foreachbatch": q_topk_foreachbatch,
     "stream_topk_per_day": q_topk_window,
@@ -287,5 +311,14 @@ ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]
 # bare-key set is exactly the distinct keys.
 ORACLES["stream_dedup_within_wm_live"] = \
     "SELECT DISTINCT user_id, event_type FROM events"
+# Drained complete-mode agg == batch aggregate; cents are exact ints.
+ORACLES["stream_enrich_static_live"] = """
+SELECT n.n_name AS nation, e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, 2
+"""
 ORACLES["stream_interval_join_1h_live"] = ORACLES["stream_interval_join_1h"]
 ORACLES["stream_topk_foreachbatch"] = ORACLES["stream_topk_per_day"]

@@ -137,3 +137,28 @@ def test_dedup_within_watermark_streaming(spark, sf_dir):
     want = _rows(load_table(spark, sf_dir, "events")
                  .select("user_id", "event_type").distinct())
     assert got == want
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir):
+    """Stream-static broadcast enrichment drained under availableNow
+    must equal the batch join+agg of the same relations."""
+    from pyspark.sql import functions as F
+
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("nk"),
+                   F.col("n_name").alias("nation")))
+
+    def shape(ev):
+        return (ev.withColumn("nk", F.col("user_id") % 25)
+                .join(F.broadcast(dim), "nk")
+                .groupBy("nation", "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                     .alias("total_cents")))
+
+    stream = shape(events_stream(spark, sf_dir, with_watermark=None))
+    assert stream.isStreaming
+    stream_to_memory(stream, "t_enrich_static")
+    got = _rows(spark.table("t_enrich_static"))
+    want = _rows(shape(load_table(spark, sf_dir, "events")))
+    assert got == want
