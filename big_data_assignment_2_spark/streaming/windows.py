@@ -32,9 +32,18 @@ def events_stream(spark: SparkSession, sf_dir: str,
     # zone-free.  Runtime-settable, so driver-owned bare sessions work.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The directory also contains the other tables; restrict via pathGlobFilter.
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    import os
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # Spark-written table (e.g. the ~sf1 scale set): a DIRECTORY of
+        # part files — stream the directory itself (a filename glob
+        # against sf_dir would match nothing and silently drain empty).
+        stream = (spark.readStream.schema(raw_schema)
+                  .parquet(f"{sf_dir}/events.parquet"))
+    else:
+        # Driver testdata: single files side by side; restrict via
+        # pathGlobFilter so the other tables' files are not read.
+        stream = (spark.readStream.schema(raw_schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
