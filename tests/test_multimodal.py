@@ -193,3 +193,24 @@ def test_png_decode_on_spark(spark, sf_dir):
         exp = int((((a * x[None, :, None] + b * y[:, None, None]
                      + 11 * c[None, None, :] + d) % 256)).sum())
         assert r["pix_sum"] == exp
+
+
+def test_mp4_box_roundtrip_and_corruption():
+    """ISO BMFF generator/parser agreement at the byte level, plus
+    rejection of corrupt structures."""
+    import pytest
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        decode_mp4, mp4_bytes)
+
+    b = mp4_bytes(640, 360, 12_345)
+    m = decode_mp4(b)
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 360, 12_345)
+    assert m["n_tracks"] == 1 and m["n_top_boxes"] == 3
+    # non-millisecond timescale: duration converts through the timescale
+    assert decode_mp4(mp4_bytes(64, 64, 2000,
+                                timescale=90_000))["duration_ms"] == 2000
+    with pytest.raises(ValueError):
+        decode_mp4(b"\x00" * 32)                    # no ftyp
+    with pytest.raises(ValueError):
+        decode_mp4(b[:4] + b"ftyp" + b"\x00\x00\x00\x03zzzz")  # size < 8
