@@ -197,3 +197,39 @@ def test_decimal_double_conversion_envelope(spark):
         .cast("double").alias("via_string")).collect()}
     for i, c in enumerate(correct):
         assert got[i] == c, (cases[i], got[i], c)
+
+
+def test_prefix_filter_pigeonhole_is_lossless_property():
+    """The PPJoin prefix bound, validated by brute force over random
+    corpora (pure Python — the same arithmetic the Spark operator uses):
+    for EVERY pair with Jaccard >= t (symmetric) or containment >= t
+    (asymmetric, A-side), the two sets must share a token within the
+    prescribed prefix of the df-ordered token list.  A counterexample
+    here would mean the operators can drop qualifying pairs."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(40)]
+    for trial in range(200):
+        n_docs = rng.randint(3, 12)
+        docs = [set(rng.sample(vocab, rng.randint(1, 15)))
+                for _ in range(n_docs)]
+        df = {t: sum(t in d for d in docs) for t in vocab}
+        ordered = [sorted(d, key=lambda t: (df[t], t)) for d in docs]
+        for t in (0.5, 0.7, 0.9, 0.95):
+            def prefix(i):
+                n = len(ordered[i])
+                return set(ordered[i][: n - math.ceil(t * n) + 1])
+            for a, b in itertools.combinations(range(n_docs), 2):
+                inter = len(docs[a] & docs[b])
+                union = len(docs[a] | docs[b])
+                if union and inter / union >= t:          # symmetric
+                    assert prefix(a) & prefix(b), (
+                        t, ordered[a], ordered[b], "jaccard pair escaped")
+            for a, b in itertools.permutations(range(n_docs), 2):
+                if docs[a] and len(docs[a] & docs[b]) / len(docs[a]) >= t:
+                    assert prefix(a) & docs[b], (
+                        t, ordered[a], sorted(docs[b]),
+                        "containment pair escaped")
