@@ -190,6 +190,28 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ks=PQ_KS, iters=PQ_ITERS)
 
 
+IVFPQ_COARSE_K = 4
+IVFPQ_COARSE_ITERS = 1
+IVFPQ_NPROBE = 2
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with residual encoding — the production ANN index
+    (FAISS-style: coarse lists prune candidates AND center residuals,
+    PQ compresses residuals to m codes, queries score by per-list
+    asymmetric distance) — fully deterministic, replayed end-to-end by
+    the SQL oracle (coarse Lloyd, assignment, residuals, sub-codebooks,
+    codes, probe selection, ADC, ranking)."""
+    from ..operators.similarity import ivfpq_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(em, _queries_df(spark, sf_dir), k=TOP_K,
+                      n_centroids=IVFPQ_COARSE_K,
+                      coarse_iters=IVFPQ_COARSE_ITERS,
+                      nprobe=IVFPQ_NPROBE, m=PQ_M, ks=PQ_KS,
+                      pq_iters=PQ_ITERS)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -201,6 +223,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ivfpq_topk": q_ivfpq_topk,
     "sim_pq_topk": q_pq_topk,
     "sim_tfidf_topk": q_tfidf_topk,
     "sim_ivf_topk": q_ivf_topk,
@@ -408,6 +431,114 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _ivfpq_oracle() -> str:
+    """Replays ivfpq_topk end-to-end: coarse Lloyd (k=IVFPQ_COARSE_K
+    over the full 64-dim vectors), assignment + RESIDUALS, per-subspace
+    sub-Lloyd codebooks trained on residual slices, argmin codes,
+    per-query nprobe probe selection, per-list query residuals, and ADC
+    scoring via correlated joins to the sub-codebook CTEs."""
+    kc, ci, np_ = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
+    m, ks, pqi, sub = PQ_M, PQ_KS, PQ_ITERS, 64 // PQ_M
+
+    def sq_n(x: str, c: str, n: int) -> str:
+        return (f"list_sum(list_transform(range(1, {n + 1}), "
+                f"d -> ({x} - {c}[d]) * ({x} - {c}[d])))")
+
+    ctes = [f"g0 AS MATERIALIZED (SELECT vec_id AS cid, v FROM vecs "
+            f"WHERE vec_id < {kc})"]
+    for i in range(1, ci + 1):
+        avg64 = ", ".join(f"round(avg(v[{d}]), 6)" for d in range(1, 65))
+        ctes.append(f"""ga{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq_n('x.v[d]', 'c.v', 64)} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN g{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"gn{i} AS (SELECT cid, [{avg64}] AS v "
+                    f"FROM ga{i} GROUP BY cid)")
+        ctes.append(f"g{i} AS MATERIALIZED (SELECT p.cid, "
+                    f"coalesce(n.v, p.v) AS v "
+                    f"FROM g{i - 1} p LEFT JOIN gn{i} n USING (cid))")
+    ctes.append(f"""asg AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq_n('x.v[d]', 'c.v', 64)} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN g{ci} c) WHERE rn = 1)""")
+    ctes.append(f"""res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid AS list_id,
+         list_transform(range(1, 65), d -> a.v[d] - c.v[d]) AS rv
+  FROM asg a JOIN g{ci} c USING (cid))""")
+    for s in range(m):
+        lo = s * sub
+        ctes.append(f"rs{s} AS MATERIALIZED (SELECT vec_id, "
+                    f"rv[{lo + 1}:{lo + sub}] AS v FROM res)")
+        ctes.append(f"s{s}c0 AS MATERIALIZED (SELECT vec_id AS cid, v "
+                    f"FROM rs{s} WHERE vec_id < {ks})")
+        for i in range(1, pqi + 1):
+            avgs = ", ".join(f"round(avg(v[{d}]), 6)"
+                             for d in range(1, sub + 1))
+            ctes.append(f"""s{s}a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq_n('x.v[d]', 'c.v', sub)} ASC, c.cid ASC) AS rn
+    FROM rs{s} x CROSS JOIN s{s}c{i - 1} c) WHERE rn = 1)""")
+            ctes.append(f"s{s}n{i} AS (SELECT cid, [{avgs}] AS v "
+                        f"FROM s{s}a{i} GROUP BY cid)")
+            ctes.append(f"s{s}c{i} AS MATERIALIZED (SELECT p.cid, "
+                        f"coalesce(n.v, p.v) AS v "
+                        f"FROM s{s}c{i - 1} p LEFT JOIN s{s}n{i} n "
+                        f"USING (cid))")
+        ctes.append(f"""s{s}g AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {sq_n('x.v[d]', 'c.v', sub)} ASC, c.cid ASC) AS rn
+    FROM rs{s} x CROSS JOIN s{s}c{pqi} c) WHERE rn = 1)""")
+    code_cols = ", ".join(f"s{s}g.cid AS c{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}g USING (vec_id)" for s in range(1, m))
+    ctes.append(f"""codes AS MATERIALIZED (
+  SELECT r.vec_id, r.list_id, {code_cols}
+  FROM res r JOIN s0g USING (vec_id) {code_joins})""")
+    ctes.append(f"q AS MATERIALIZED (SELECT vec_id AS query_id, v "
+                f"FROM vecs WHERE vec_id < {N_QUERIES})")
+    ctes.append(f"""pr AS MATERIALIZED (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {sq_n('q.v[d]', 'c.v', 64)} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN g{ci} c) WHERE rn <= {np_})""")
+    ctes.append(f"""qres AS MATERIALIZED (
+  SELECT p.query_id, p.cid AS list_id,
+         list_transform(range(1, 65), d -> p.qv[d] - c.v[d]) AS qr
+  FROM pr p JOIN g{ci} c USING (cid))""")
+    adc = " + ".join(
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"d -> (x.qr[{s * sub} + d] - cs{s}.v[d]) "
+        f"* (x.qr[{s * sub} + d] - cs{s}.v[d])))"
+        for s in range(m))
+    cent_joins = " ".join(
+        f"JOIN s{s}c{pqi} cs{s} ON cs{s}.cid = c.c{s}" for s in range(m))
+    ctes_sql = ",\n".join(ctes)
+    return f"""
+WITH {_VECS},
+{ctes_sql},
+scored AS (
+  SELECT x.query_id, c.vec_id AS neighbor_id,
+         round({adc}, 6) AS adc_dist
+  FROM qres x JOIN codes c ON c.list_id = x.list_id
+  {cent_joins}
+  WHERE c.vec_id != x.query_id)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 from .search_queries import _TOKENS_CTE  # noqa: E402
 
 # Width-ADAPTIVE banded-LSH candidate CTE chain, shared by the scaled
@@ -479,6 +610,7 @@ WHERE rank <= {TOP_K}
 """,
     "sim_ivf_topk": _ivf_oracle(),
     "sim_pq_topk": _pq_oracle(),
+    "sim_ivfpq_topk": _ivfpq_oracle(),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_quantize_int8": f"""
 WITH {_VECS},

@@ -169,3 +169,31 @@ def test_pq_codes_bounded_and_rank_contiguous(spark, sf_dir):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4]
         dists = [r["adc_dist"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_ivfpq_degenerate_residuals_reduce_to_coarse_distance(spark):
+    """On a corpus whose vectors ARE the coarse centroids (8 prototypes,
+    duplicated), every residual is zero, so ADC(q, x) must equal the
+    squared distance from q to x's list centroid — a closed form the
+    test recomputes; also checks candidates come only from the nprobe
+    nearest lists."""
+    from big_data_assignment_2_spark.operators.similarity import ivfpq_topk
+
+    protos = [[(j + 1) * 0.25] * 64 for j in range(8)]
+    rows = [(i, protos[i % 8]) for i in range(16)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = em.filter("vec_id < 1").selectExpr("vec_id AS query_id", "embedding")
+    got = ivfpq_topk(em, q, k=16, n_centroids=8, coarse_iters=1,
+                     nprobe=2, m=4, ks=8, pq_iters=1).collect()
+
+    qv = protos[0]
+
+    def d2(j):
+        return round(sum((qv[d] - protos[j][d]) ** 2 for d in range(64)), 6)
+
+    # nprobe=2 nearest lists to q: list 0 (d=0) and list 1.
+    expect_lists = {0, 1}
+    members = [i for i in range(16) if i % 8 in expect_lists and i != 0]
+    assert {r["neighbor_id"] for r in got} == set(members)
+    for r in got:
+        assert r["adc_dist"] == d2(r["neighbor_id"] % 8)
