@@ -53,6 +53,7 @@ EXTRA = [
     "pipeline_global_shuffle",  # distributed total-order permutation
     "dedup_prefix_jaccard",  # EXACT PPJoin set-similarity join (lossless)
     "sim_pq_topk",           # product-quantization ADC ANN
+    "sim_ivfpq_topk",        # IVF+PQ residual index (production ANN shape)
     "text_bpe_train",        # distributed tokenizer training (8 merges)
 ]
 
