@@ -170,7 +170,17 @@ def zorder_value(x, y, bits: int = 16):
     2-D box predicate prunes I/O that a single-column sort order can
     only prune on one axis — the lakehouse OPTIMIZE ZORDER layout story.
     Engine-portable: the same shifts evaluate identically in SQL, so an
-    oracle can recompute every z-value."""
+    oracle can recompute every z-value.
+
+    ``bits`` must cover the columns' value range: a key >= 2**bits
+    silently aliases with (key - 2**bits) — identical z-values for
+    distant key ranges, so files mix those ranges and the 2-D pruning
+    degrades (cross-engine parity hides it, because both engines
+    truncate identically).  Extra leading-zero bits are harmless (their
+    terms contribute 0), so over-sizing never changes a z-value;
+    ``write_zorder`` sizes bits from the observed column max at write
+    time for exactly this reason.  Ceiling 31: bit positions reach
+    2*bits-1 = 61 < 63, inside the signed-bigint budget."""
     xb = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     yb = (F.col(y) if isinstance(y, str) else y).cast("bigint")
     out = None
@@ -182,11 +192,25 @@ def zorder_value(x, y, bits: int = 16):
 
 
 def write_zorder(df: DataFrame, path: str, x: str, y: str,
-                 n_files: int = 16, bits: int = 16) -> None:
+                 n_files: int = 16, bits: int | None = None) -> int:
     """Persist ``df`` Z-ordered on (x, y): range-shuffle on the Morton
     value then sort within partitions, so each output file covers a
-    compact Z-range (tight min/max envelopes on both x and y)."""
+    compact Z-range (tight min/max envelopes on both x and y).
+
+    ``bits=None`` (default) sizes the interleave width from the observed
+    column maxima — one cheap max-agg pass over just (x, y) before the
+    layout shuffle — so keys beyond 2**16 never alias (see
+    ``zorder_value``).  An explicit ``bits`` skips the scan but puts the
+    range contract on the caller.  Returns the width used."""
+    if bits is None:
+        mx, my = (df.agg(F.max(F.col(x).cast("bigint")),
+                         F.max(F.col(y).cast("bigint"))).first())
+        top = max(mx or 0, my or 0, 1)
+        bits = min(max(top.bit_length(), 1), 31)
+    if bits > 31:
+        raise ValueError(f"bits={bits} exceeds the signed-bigint budget (31)")
     (df.withColumn("zval", zorder_value(x, y, bits))
        .repartitionByRange(n_files, "zval")
        .sortWithinPartitions("zval")
        .write.mode("overwrite").parquet(path))
+    return bits

@@ -182,6 +182,11 @@ def _bands_cte() -> str:
     return "bands AS (\n  " + "\n  UNION ALL ".join(rows) + ")"
 
 
+# Every similarity WHERE below thresholds the 6dp-ROUNDED ratio, matching
+# the Spark side (jaccard_verify_arrays / containment_pairs filter the
+# rounded column): thresholding different values would drop/keep pairs
+# within 5e-7 of the threshold inconsistently once unions grow past ~2e6
+# tokens (r7 ADVICE).
 _JACCARD_TAIL = """
 sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
 inter AS (
@@ -195,7 +200,7 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {thr}
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= {thr}
 """
 
 _SIMHASH_VOTES = ",\n           ".join(
@@ -347,7 +352,7 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {NGRAM_THRESHOLD}
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= {NGRAM_THRESHOLD}
 """,
     # Deliberately prefix-FREE: the oracle is the plain thresholded
     # Jaccard join over all token-sharing pairs, so a green row PROVES the
@@ -367,7 +372,7 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_THRESHOLD}
 """,
     # Prefix-free for the same reason as dedup_prefix_jaccard: the plain
     # all-ordered-pairs containment join proves the A-side prefix filter
@@ -383,7 +388,7 @@ inter AS (
 SELECT i.doc_sub, i.doc_sup,
        round(CAST(n_inter AS DOUBLE) / s.sz, 6) AS containment
 FROM inter i JOIN sizes s ON s.doc_id = i.doc_sub
-WHERE CAST(n_inter AS DOUBLE) / s.sz >= {CONTAINMENT_THRESHOLD}
+WHERE round(CAST(n_inter AS DOUBLE) / s.sz, 6) >= {CONTAINMENT_THRESHOLD}
 """,
     "dedup_simhash": f"WITH {_TOKENS_CTE}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sig",
     "dedup_simhash_near": f"""

@@ -276,7 +276,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_MIN_ORDERS = 15
 SCD2_EPOCH = "1992-01-01"
-SCD2_OPEN_END = "9999-12-31"
+# Open-interval sentinel.  NOT the conventional 9999-12-31: the driver's
+# comparison harness transfers results through pandas, whose datetime64[ns]
+# ceiling is 2262-04-11, so the conventional sentinel overflows
+# (OutOfBoundsDatetime) during result transfer.  2199-12-31 is far beyond any
+# TPC-H date (1992-1998) and pandas-representable in both engines.
+SCD2_OPEN_END = "2199-12-31"
 
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:

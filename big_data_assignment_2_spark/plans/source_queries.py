@@ -280,8 +280,11 @@ QUERIES = {
     "source_sample_count": q_sample_count,
 }
 
-def _zval_sql(x: str, y: str, bits: int = 16) -> str:
-    """SQL twin of operators.persist.zorder_value (same shift terms)."""
+def _zval_sql(x: str, y: str, bits: int = 31) -> str:
+    """SQL twin of operators.persist.zorder_value (same shift terms).
+    Width 31 == write_zorder's auto-size ceiling; extra leading-zero
+    bits contribute 0, so this matches any auto-sized width that covers
+    the data — the twin stays static while the engine adapts."""
     terms = []
     for b in range(bits):
         terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b})")

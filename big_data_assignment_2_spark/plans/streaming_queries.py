@@ -161,11 +161,19 @@ def q_enrich_static_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_within_wm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark through the micro-batch engine:
     bare-key dedup state evicted by watermark (no window key column) —
-    the Spark-3.5 API for dedup over unbounded key cardinality."""
+    the Spark-3.5 API for dedup over unbounded key cardinality.
+
+    single_batch: the DISTINCT-keys oracle is only exact when the drain
+    is one micro-batch — a key whose state was watermark-evicted between
+    batches is re-emitted, so a multi-file source table (the sf1-style
+    Spark-written directory) splitting the availableNow drain would
+    break parity.  The pinned file cap makes the one-batch contract
+    explicit instead of an accident of the single-file fixture."""
     from ..streaming.windows import dedup_keys_within_watermark
 
     return run_stream_to_df(
-        spark, dedup_keys_within_watermark(events_stream(spark, sf_dir)),
+        spark, dedup_keys_within_watermark(
+            events_stream(spark, sf_dir, single_batch=True)),
         output_mode="append")
 
 

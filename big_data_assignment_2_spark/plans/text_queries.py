@@ -1080,16 +1080,30 @@ def _bpe_train_encode_oracle(n: int) -> str:
     the CORRELATED m{k} rows of the training chain (all n one-row m{k}
     CTEs cross-joined into the vocabulary encode) instead of literals —
     so a green row certifies that encoding with the LEARNED table
-    matches Spark's bpe_learn_merges → bpe_encode composition."""
+    matches Spark's bpe_learn_merges → bpe_encode composition.
+
+    Each m{k} is wrapped in a guarded twin g{k} that emits an identity
+    sentinel ('','') when the round produced no merge (corpus exhausted
+    before n rounds): tokens are never empty strings, so the sentinel
+    rule can never fire, matching Spark's early ``break`` in
+    bpe_learn_merges.  Without the guard an empty m{k} would annihilate
+    the whole cross-joined encode (zero rows) while Spark still encodes
+    every doc with the shorter learned table."""
     expr = "string_split(word, '')"
     for k in range(1, n + 1):
         expr = (
             "list_reduce(list_transform(" + expr + ", s -> [s]), "
-            f"(a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = m{k}.x "
-            f"AND b[1] = m{k}.y THEN list_append(a[1:len(a)-1], "
-            f"m{k}.x || m{k}.y) ELSE list_concat(a, b) END)")
-    froms = ", ".join(f"m{k}" for k in range(1, n + 1))
-    ctes = _bpe_train_ctes(n) + [r"""dq AS MATERIALIZED (
+            f"(a, b) -> CASE WHEN len(a) > 0 AND a[len(a)] = g{k}.x "
+            f"AND b[1] = g{k}.y THEN list_append(a[1:len(a)-1], "
+            f"g{k}.x || g{k}.y) ELSE list_concat(a, b) END)")
+    froms = ", ".join(f"g{k}" for k in range(1, n + 1))
+    guards = [
+        f"g{k} AS MATERIALIZED (\n"
+        f"  SELECT x, y FROM m{k}\n"
+        f"  UNION ALL\n"
+        f"  SELECT '', '' WHERE (SELECT count(*) FROM m{k}) = 0)"
+        for k in range(1, n + 1)]
+    ctes = _bpe_train_ctes(n) + guards + [r"""dq AS MATERIALIZED (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(
              string_split_regex(

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
-                  with_watermark: str | None = "1 hour") -> DataFrame:
+                  with_watermark: str | None = "1 hour",
+                  single_batch: bool = False) -> DataFrame:
     """File-source stream of the events table (one-file directory; for a
     live pipeline this would be Kafka — the transformations are identical).
     Converts the nanos-as-long ts exactly like the batch loader."""
@@ -33,17 +34,24 @@ def events_stream(spark: SparkSession, sf_dir: str,
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     import os
+    reader = spark.readStream.schema(raw_schema)
+    if single_batch:
+        # Callers whose oracle assumes the availableNow drain is ONE
+        # micro-batch (e.g. dropDuplicatesWithinWatermark, where state
+        # evicted between batches re-admits a key) pin the per-trigger
+        # file cap above any plausible part-file count, so a
+        # directory-of-part-files table can't split the drain.
+        reader = reader.option("maxFilesPerTrigger", 1_000_000)
     if os.path.isdir(f"{sf_dir}/events.parquet"):
         # Spark-written table (e.g. the ~sf1 scale set): a DIRECTORY of
         # part files — stream the directory itself (a filename glob
         # against sf_dir would match nothing and silently drain empty).
-        stream = (spark.readStream.schema(raw_schema)
-                  .parquet(f"{sf_dir}/events.parquet"))
+        stream = reader.parquet(f"{sf_dir}/events.parquet")
     else:
         # Driver testdata: single files side by side; restrict via
         # pathGlobFilter so the other tables' files are not read.
-        stream = (spark.readStream.schema(raw_schema)
-                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        stream = (reader.option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -119,3 +119,38 @@ def test_bpe_train_overlap_counting_and_tiebreak(spark):
 def test_bpe_train_stops_when_no_pairs(spark):
     # Single-char vocabulary: zero adjacent pairs, empty merge table.
     assert _train(spark, "a b c a", 4) == []
+
+
+def test_bpe_train_encode_oracle_survives_exhausted_corpus(spark, tmp_path):
+    """r7 ADVICE: when the corpus yields fewer than BPE_TRAIN_MERGES
+    merges, the train+encode oracle's per-round m{k} CTEs go empty; the
+    pre-guard cross-join annihilated the whole encode (zero rows) while
+    Spark's early-break bpe_learn_merges still encoded every doc.  The
+    g{k} identity-sentinel guards must keep engine and oracle identical
+    on such a corpus."""
+    import duckdb
+
+    from big_data_assignment_2_spark.plans.text_queries import (
+        BPE_TRAIN_MERGES, _bpe_train_encode_oracle, q_bpe_train_encode)
+
+    # 'ab' exhausts after ONE merge (a,b)->ab; 'c'/'d' add no pairs.
+    rows = [(1, "ab ab c", "en", "synthetic", 7),
+            (2, "ab d", "en", "synthetic", 4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {(r["doc_id"], r["n_pieces"], r["pieces"])
+           for r in q_bpe_train_encode(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet/*.parquet'")
+    want = {tuple(r) for r in con.execute(
+        _bpe_train_encode_oracle(BPE_TRAIN_MERGES)).fetchall()}
+    # Normalize doc_id type (oracle casts to VARCHAR, Spark may too).
+    norm = lambda s: {(str(a), b, c) for a, b, c in s}
+    assert norm(got) == norm(want)
+    assert len(got) == 2  # every doc encoded, not annihilated

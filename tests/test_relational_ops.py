@@ -109,7 +109,7 @@ def test_scd2_history_versioning_invariants(spark, sf_dir):
     import datetime
 
     from big_data_assignment_2_spark.plans.relational_queries import (
-        SCD2_MIN_ORDERS, q_scd2_history)
+        SCD2_MIN_ORDERS, SCD2_OPEN_END, q_scd2_history)
     from big_data_assignment_2_spark.sources.io import load_table
 
     def _d(v):
@@ -117,7 +117,11 @@ def test_scd2_history_versioning_invariants(spark, sf_dir):
         return v.date() if hasattr(v, "date") else v
 
     rows = q_scd2_history(spark, sf_dir).collect()
-    open_end = datetime.date(9999, 12, 31)
+    open_end = datetime.date.fromisoformat(SCD2_OPEN_END)
+    # Harness compatibility: the sentinel must survive a pandas
+    # datetime64[ns] round-trip (ceiling 2262-04-11).
+    import pandas as pd
+    assert pd.Timestamp(SCD2_OPEN_END) <= pd.Timestamp.max
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(r["custkey"], []).append(r)

@@ -163,6 +163,30 @@ def test_zorder_value_interleaves_bits(spark):
     assert ref(3, 5) == 0b100111  # x=11 on even bits, y=101 on odd
 
 
+def test_zorder_autosized_bits_no_aliasing_past_16_bits(spark, tmp_path):
+    """write_zorder sizes the interleave width from the observed max, so
+    a key k >= 2**16 gets a DIFFERENT z-value than k - 2**16 (the r7
+    aliasing bug: bits=16 truncated both to the same value, mixing
+    distant key ranges in the same files).  Wide-value round-trip is
+    also pinned: values needing > 16 bits survive interleave intact."""
+    from big_data_assignment_2_spark.operators.persist import (
+        write_zorder, zorder_value)
+
+    k = 70_000  # > 2**16, aliased with 70_000 - 65_536 = 4_464 under bits=16
+    df = spark.createDataFrame([(k, 1), (k - 65_536, 1)], "x long, y long")
+
+    # bits=16 truncation really does alias (the bug being guarded):
+    z16 = [r[0] for r in df.select(zorder_value("x", "y", bits=16)).collect()]
+    assert z16[0] == z16[1]
+
+    p = str(tmp_path / "z")
+    used = write_zorder(df, p, "x", "y", n_files=1)
+    assert used == k.bit_length()  # sized from the observed max, not 16
+    back = {(r["x"], r["zval"]) for r in spark.read.parquet(p).collect()}
+    zvals = {z for _, z in back}
+    assert len(zvals) == 2  # distinct keys -> distinct z-values
+
+
 def test_zorder_layout_prunes_box_rowgroups(spark, sf_dir, tmp_path):
     """The point of the Z-layout: row-group min/max envelopes stay tight
     on BOTH box dimensions, so a 2-D box intersects fewer row groups
