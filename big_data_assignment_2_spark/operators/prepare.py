@@ -36,6 +36,16 @@ def sample_corpus(docs: DataFrame, n: int = 1000, seed: int = 0,
     return docs.sample(fraction=fraction, seed=seed).limit(n)
 
 
+# Bounded-collect contract for the scalar-fraction path: the strata
+# enumeration is a driver-side distinct().collect(), inherent to the
+# sampleBy fractions API.  Fine for the intended strata (source labels,
+# languages — tens of keys); a high-cardinality stratum column would
+# stall the driver at scale, so the enumeration is capped and raises
+# instead of silently collecting millions of keys (same policy as
+# dedup.LOCAL_CC_MAX_EDGES).
+STRATA_MAX_KEYS = 10_000
+
+
 def stratified_sample(docs: DataFrame, strata_col: str,
                       fractions: dict[str, float] | float,
                       seed: int = 0) -> DataFrame:
@@ -44,9 +54,17 @@ def stratified_sample(docs: DataFrame, strata_col: str,
     ratio.  ``fractions`` is per-stratum, or a scalar applied to all
     observed strata.  `sampleBy` is a map-side filter: no shuffle, scales
     to any input size; only the strata enumeration (when a scalar is
-    given) touches the driver."""
+    given) touches the driver, bounded by ``STRATA_MAX_KEYS`` — pass an
+    explicit ``fractions`` dict (or a plain ``rand() < f`` filter) for
+    unbounded-cardinality strata."""
     if not isinstance(fractions, dict):
-        keys = [r[0] for r in docs.select(strata_col).distinct().collect()]
+        keys = [r[0] for r in (docs.select(strata_col).distinct()
+                               .limit(STRATA_MAX_KEYS + 1).collect())]
+        if len(keys) > STRATA_MAX_KEYS:
+            raise ValueError(
+                f"stratified_sample: > {STRATA_MAX_KEYS} distinct "
+                f"'{strata_col}' strata; pass an explicit fractions dict "
+                f"instead of enumerating unbounded keys on the driver")
         fractions = {k: float(fractions) for k in keys}
     return docs.sampleBy(strata_col, fractions, seed=seed)
 

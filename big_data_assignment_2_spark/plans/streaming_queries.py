@@ -218,7 +218,80 @@ def q_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outdir)
 
 
+def q_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/RESTART recovery — the production streaming property the
+    other live rows don't exercise: a watermarked tumbling aggregation is
+    run over the FIRST HALF of events (ts below the corpus midpoint),
+    STOPPED, then a second query with the SAME checkpoint directory
+    drains the second half plus one far-future flush sentinel.  The
+    recovered run must resume from the persisted state store + committed
+    watermark: the midpoint-boundary window (counts accumulated in run 1
+    but not yet emitted — the watermark lags 1 hour) can only come out
+    correct in run 2 if its state survived the restart, and a checkpoint
+    ignored would re-emit run-1 windows (duplicate rows) — both failure
+    modes break the oracle's exact per-window counts.
+
+    The sentinel (far-future ts, sentinel type) pushes the final
+    watermark past every real window so append mode flushes them all;
+    its own window stays unemitted in state and is filtered anyway.
+    Scratch hygiene: per-process dirs, stale siblings removed (same
+    policy as the source_* roundtrips)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import _MEMSINK_SEQ
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base = os.path.join(scratch, f"restart_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    for stale in glob.glob(os.path.join(scratch, "restart_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    flush_ts = hi + __import__("datetime").timedelta(days=35)
+
+    def drain_from_src() -> None:
+        # Parquet may surface ts as TIMESTAMP_NTZ; withWatermark requires
+        # TIMESTAMP (value-exact cast — session zone is UTC).
+        stream = (spark.readStream.schema(ev.schema).parquet(src)
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withWatermark("ts", "1 hour"))
+        agg = (stream.groupBy(F.window("ts", "1 day").alias("w"),
+                              "event_type")
+               .agg(F.count("*").alias("n")))
+        out = agg.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"), "event_type", "n")
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # Run 1: first half, drain, STOP (query terminates with state +
+    # watermark committed to ckpt).
+    ev.filter(F.col("ts") < F.lit(cutoff)).write.mode("append").parquet(src)
+    drain_from_src()
+    # Run 2: new files (file-source checkpoint skips the already-read
+    # ones), fresh query object, SAME checkpoint — the restart.
+    second = ev.filter(F.col("ts") >= F.lit(cutoff))
+    sentinel = spark.createDataFrame(
+        [(int(-1), flush_ts, int(-1), "__FLUSH__", 0.0)], ev.schema)
+    second.unionByName(sentinel).write.mode("append").parquet(src)
+    drain_from_src()
+
+    return (spark.read.parquet(sink)
+            .filter(F.col("event_type") != "__FLUSH__"))
+
+
 QUERIES = {
+    "stream_restart_recovery": q_restart_recovery,
     "stream_stateful_totals": q_stateful_totals,
     "stream_stateful_totals_v2": q_stateful_totals_v2,
     "stream_session_30m_live": q_session_live,
@@ -236,6 +309,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Restart recovery: the two-run drained sink must equal the one-shot
+    # batch aggregate over ALL events — state lost on restart zeroes the
+    # midpoint window, checkpoint ignored duplicates run-1 windows.
+    "stream_restart_recovery": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
     # Final drained state == batch aggregate; the compared total is exact
     # integer cents (values are 2-dp money), immune to summation order.
     "stream_stateful_totals": """

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_assignment_2_spark.operators.similarity import (
-    brute_force_topk, ivf_build, ivf_topk, ivf_topk_deterministic)
+    brute_force_topk, ivf_build, ivf_topk_deterministic)
 from big_data_assignment_2_spark.sources.io import load_table
 
 
@@ -33,7 +33,8 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     q = embeddings.filter(F.col("vec_id") < 5) \
         .selectExpr("vec_id AS query_id", "embedding")
     exact = brute_force_topk(embeddings, q, k=10).collect()
-    approx = ivf_topk(embeddings, q, k=10, n_centroids=8, nprobe=4).collect()
+    approx = ivf_topk_deterministic(embeddings, q, k=10, n_centroids=8,
+                                    iters=2, nprobe=4).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])

@@ -175,3 +175,30 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         assert plan.count("SelectedBucketsCount: 4 out of 4") == 2, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_tfidf_persists_tf_and_w_and_dfreq_broadcasts(spark, sf_dir):
+    """Pins the tfidf two-stage cache contract (rounds 7-8): BOTH tf and
+    w are persisted stages.  tf cached → the tokenize subtree is paid
+    once on first materialization (dfreq derives from the cache); w
+    cached → the three consumers (norms, query side, corpus side) read
+    the weights directly on warm runs instead of re-paying the
+    broadcast-join + multiply each (the r6→r7 driver-bench regression).
+    dfreq must arrive via BroadcastHashJoin, never shuffled against the
+    corpus-sized side."""
+    import re
+
+    from big_data_assignment_2_spark.plans.similarity_queries import (
+        q_tfidf_topk)
+
+    df = q_tfidf_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [{c.split("#")[0].strip() for c in cols.split(",")}
+             for cols in re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan)]
+    assert scans, f"no cached stage in plan:\n{plan[:2000]}"
+    # Consumers read the cached WEIGHT stage...
+    assert any("w" in names for names in scans), scans
+    # ...and every cached scan is one of the two declared stages.
+    for names in scans:
+        assert names <= {"doc_id", "term", "tf", "w"}, scans
+    assert "BroadcastHashJoin" in plan

@@ -97,3 +97,24 @@ def test_sample_per_key_exact_k_deterministic(spark):
     assert sorted(tuple(r) for r in out) == \
         sorted(tuple(r) for r in sample_per_key(
             df, "source", 5, salt="s").collect())
+
+
+def test_stratified_sample_guards_unbounded_strata(spark):
+    """Scalar-fraction path enumerates strata on the driver; above
+    STRATA_MAX_KEYS it must raise instead of collecting them all
+    (r7 verdict task: bounded-collect contract)."""
+    import pytest
+
+    from big_data_assignment_2_spark.operators import prepare as prep
+
+    df = spark.range(50).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    old = prep.STRATA_MAX_KEYS
+    try:
+        prep.STRATA_MAX_KEYS = 10
+        with pytest.raises(ValueError, match="strata"):
+            prep.stratified_sample(df, "k", 0.5)
+        # Explicit dict path is unaffected by the cap.
+        out = prep.stratified_sample(df, "k", {"1": 1.0, "2": 1.0})
+        assert {r["k"] for r in out.collect()} == {"1", "2"}
+    finally:
+        prep.STRATA_MAX_KEYS = old
