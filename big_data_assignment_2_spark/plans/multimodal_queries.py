@@ -134,6 +134,24 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_png(generate_media_png(docs))
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL codec (baseline JPEG) end-to-end: synthesize valid
+    baseline JPEGs built from flat 8x8 blocks whose value is arithmetic
+    in doc_id, then decode them back — marker walk, DHT-driven Huffman
+    entropy decode (byte unstuffing, DC prediction, ZRL/EOB), dezigzag,
+    dequantize, float IDCT — inside Arrow-batched ``mapInPandas``.
+    Under the unity quantization table a flat block round-trips
+    BIT-EXACTLY (its FDCT is one integer DC coefficient), so the oracle
+    recomputes the exact decoded pixel sum arithmetically: a green row
+    certifies the full entropy + transform path, while the lossy
+    general path is pinned by tolerance tests
+    (tests/test_multimodal_jpeg.py)."""
+    from ..operators.multimodal import decode_media_jpeg, generate_media_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_jpeg(generate_media_jpeg(docs))
+
+
 def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth REAL codec: a minimal valid ISO BMFF (MP4) file is
     synthesized per document — geometry and duration pure functions of
@@ -176,6 +194,7 @@ def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mm_jpeg_decode": q_jpeg_decode,
     "mm_mp4_metadata": q_mp4_metadata,
     "mm_png_decode": q_png_decode,
     "mm_decode_real": q_decode_real,
@@ -191,6 +210,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # JPEG: flat 8x8 blocks with v(bx,by) = (a*bx + b*by + d) mod 256 and
+    # geometry pure functions of doc_id (see jpeg_flat_blocks); under the
+    # unity quant table the codec round-trips flat blocks bit-exactly, so
+    # the decoded pixel sum is exactly 64 * sum of block values.
+    "mm_jpeg_decode": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
+  FROM documents),
+px AS (
+  SELECT doc_id, bw, bh,
+         64 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
     # MP4: every field is a pure function of doc_id; the payload is
     # structurally constant (24-byte ftyp + 216-byte moov + 16-byte mdat).
     "mm_mp4_metadata": """

@@ -62,12 +62,15 @@ def test_real_codecs_roundtrip():
     aud = decode_payload(wav_bytes(1234, 16000))
     assert (aud["n_channels"], aud["sample_rate"], aud["n_samples"]) \
         == (1, 16000, 1234)
-    # PNG is a REAL codec since round 7: garbage after the magic is a
-    # parse error, not a stub; truly library-bound formats still stub.
+    # PNG (round 7) and baseline JPEG (round 8) are REAL codecs: garbage
+    # after the magic is a parse error, not a stub; truly library-bound
+    # formats (MP4 frame demux) still stub.
     with pytest.raises(ValueError):
         decode_payload(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x00\x00\x18ftypisom")
 
 
 def test_decode_media_real_on_spark(spark, sf_dir):
@@ -169,8 +172,12 @@ def test_png_decode_payload_dispatch():
 
     meta = decode_payload(png_bytes(20, 6, 4, 8, 1))
     assert (meta["width"], meta["height"]) == (20, 6)
+    # JPEG is real since round 8: a structurally empty stream is a parse
+    # error; MP4 stays the library-bound stub.
+    with pytest.raises(ValueError):
+        decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+        decode_payload(b"\x00\x00\x00\x18ftypisom")
 
 
 def test_png_decode_on_spark(spark, sf_dir):
