@@ -65,6 +65,14 @@ EXTRA = [
 COLD_ALSO = ["dedup_minhash_near", "dedup_clusters"]
 
 
+# Fixed-width LSH rows dropped from sweeps at sf >= ~1: their fixed bucket
+# space admits a fixed FRACTION of all N² pairs (measured 84-87 s each at
+# sf1, 30x candidate blowup per 10x data — the cliff SCALE.md documents).
+# The adaptive pair stays timed at every scale; one fixed-width gate row
+# remains oracle-certified at sf0.01/sf0.1 for continuity.
+FIXED_WIDTH_LSH = {"sim_cosine_top_pairs", "sim_cosine_banded"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from big_data_assignment_2_spark.session import get_spark
@@ -72,6 +80,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = all_queries()
+
+    sf_name = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        big_sf = float(sf_name) >= 0.5
+    except ValueError:
+        big_sf = True  # synthetic dirs (e.g. sf1x) are the scale sweeps
+    extra = [q for q in EXTRA if not (big_sf and q in FIXED_WIDTH_LSH)]
 
     # Warm up JVM / codegen / parquet footer caches.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -91,7 +106,7 @@ def main() -> None:
     # runs (exploded token state, GC debt) executing before the headline
     # loop can inflate an unchanged query's min-of-3 several-fold.  Timing
     # order now matches the conditions BASELINE.md was recorded under.
-    for name in HEADLINE + EXTRA:
+    for name in HEADLINE + extra:
         fn = qs[name]
         materialize(fn(spark, sf_dir))   # untimed warmup: codegen + JIT
         spark.sparkContext._jvm.System.gc()

@@ -385,7 +385,10 @@ def _local_union_find(both: DataFrame, spark) -> DataFrame:
             parent[rb] = ra
     out = pd.DataFrame({"id": list(parent)})
     out["component"] = [find(v) for v in out["id"]]
-    return spark.createDataFrame(out)
+    # Explicit schema: a no-near-dup corpus yields ZERO edges, and pandas
+    # cannot infer dtypes from an empty frame (CANNOT_INFER_EMPTY_SCHEMA).
+    return spark.createDataFrame(out.astype("int64"),
+                                 "id bigint, component bigint")
 
 
 def _iterative_min_label(both: DataFrame, max_iter: int) -> DataFrame:

@@ -1,0 +1,108 @@
+"""KMV / theta-style distinct-count sketches with set algebra.
+
+The Datasketches theta sketch family (union / intersection / difference on
+cardinality sketches) is the 100 TB way to answer "how many customers are
+in BOTH cohorts" without shuffling the distinct values themselves: each
+shard retains only its k smallest hashes, partial sketches merge
+associatively (k-min of k-mins == global k-min), and set operations happen
+on the ~k-entry sketches, not the data.
+
+Unlike HLL (`rel_hll_sketch_union`, whose estimates are engine-specific so
+its oracle can only bound the error), KMV over a *deterministic arithmetic
+hash* is exactly reproducible in ANSI SQL: h(x) = (a*x + b) mod p with
+bigint arithmetic gives bit-identical sketches — and therefore bit-identical
+ESTIMATES — in Spark and DuckDB.  The oracle parity is exact, not a
+tolerance boolean.
+
+Scale shape: phase 1 computes a per-(group, input-partition) k-min over a
+``collect_set`` bounded by the partition's distinct values, phase 2 merges
+the <=k-entry partials per group.  No global sort, no window over the full
+distinct set; the shuffle carries at most k hashes per (group, partition).
+
+Estimator (standard KMV, Bar-Yossef et al. 2002): with theta = the k-th
+smallest hash (or p when fewer than k distinct values survive), every
+retained hash is < theta and est = retained * p / theta — which degrades to
+the EXACT count when the sketch holds the whole set (theta = p).
+Intersection uses the theta-sketch rule: theta = min(theta_a, theta_b),
+candidates = common hashes < theta, est = |candidates| * p / theta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: a*x stays under 2^63 for x < ~8.3e9, so the
+# multiply never wraps in either engine (Spark non-ANSI would wrap silently,
+# DuckDB would promote to HUGEINT — both would break parity).
+KMV_P = 2_147_483_647
+KMV_A = 1_103_515_245  # classic LCG multiplier; any odd a works
+KMV_B = 12_345
+KMV_K = 128
+
+
+def kmv_hash(col: Column) -> Column:
+    """(a*x + b) mod p as BIGINT — identical in Spark and ANSI SQL."""
+    return (col.cast("bigint") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(KMV_P)
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """The SQL twin of :func:`kmv_hash` (same literals, same order)."""
+    return f"(CAST({expr} AS BIGINT) * {KMV_A} + {KMV_B}) % {KMV_P}"
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketch: ascending array of the k smallest distinct
+    hashes of ``value_col``.  Two-phase mergeable build — phase 1 holds at
+    most one partial per (group, partition) and each partial is <= k
+    entries, so the phase-2 shuffle is O(k * partitions), never O(distinct).
+    """
+    per_part = (
+        df.select(F.col(group_col).alias("g"),
+                  kmv_hash(F.col(value_col)).alias("h"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("g", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k)
+             .alias("part_kmin")))
+    return (per_part.groupBy("g")
+            .agg(F.slice(
+                F.array_distinct(
+                    F.array_sort(F.flatten(F.collect_list("part_kmin")))),
+                1, k).alias("kmin")))
+
+
+def kmv_theta(kmin: Column, k: int = KMV_K) -> Column:
+    """Sketch threshold: the k-th smallest hash, or p for an exact sketch."""
+    return F.when(F.size(kmin) < k, F.lit(KMV_P).cast("bigint")) \
+            .otherwise(F.element_at(kmin, k).cast("bigint"))
+
+
+def kmv_estimate(kmin: Column, k: int = KMV_K) -> Column:
+    """Uniform KMV estimator: retained(< theta) * p / theta.
+
+    Exact-count degeneration: theta = p keeps every entry and the ratio
+    collapses to the retained count.
+    """
+    theta = kmv_theta(kmin, k)
+    retained = F.size(F.filter(kmin, lambda x: x < theta))
+    return retained.cast("double") * F.lit(float(KMV_P)) \
+        / theta.cast("double")
+
+
+def kmv_merge(kmin_arrays: Column, k: int = KMV_K) -> Column:
+    """Union of sketches: k smallest distinct hashes across the arrays.
+    ``kmin_arrays`` is an array<array<bigint>> (e.g. collect_list of kmin).
+    """
+    return F.slice(
+        F.array_distinct(F.array_sort(F.flatten(kmin_arrays))), 1, k)
+
+
+def kmv_intersect_estimate(kmin_a: Column, kmin_b: Column,
+                           k: int = KMV_K) -> Column:
+    """Theta-sketch intersection estimate between two sketches."""
+    theta = F.least(kmv_theta(kmin_a, k), kmv_theta(kmin_b, k))
+    common = F.filter(F.array_intersect(kmin_a, kmin_b),
+                      lambda x: x < theta)
+    return F.size(common).cast("double") * F.lit(float(KMV_P)) \
+        / theta.cast("double")

@@ -85,6 +85,41 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, threshold=JACCARD_THRESHOLD)
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization after near-dup clustering — the C4/RefinedWeb
+    'keep one per duplicate cluster' step, with an explicit KEEP POLICY
+    instead of min-id: per cluster retain the LONGEST member (most
+    content), doc_id ascending on ties.  Returns one row per cluster:
+    (cluster_rep, best_doc, best_chars, n_members); singleton clusters
+    pass through with themselves as best.
+
+    Scale shape: the cluster labels come from the rep-collapsed CC loop
+    (near_dup_clusters), the policy is a per-cluster row_number window —
+    partitioned by cluster, never global.  Swapping the ORDER BY swaps
+    the keep policy (quality score, recency, source priority) without
+    touching the clustering."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, threshold=JACCARD_THRESHOLD)
+    quality = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                          F.length("text").alias("n_chars"))
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("n_chars"), F.col("doc_id").cast("bigint"))
+    wc = Window.partitionBy("cluster_rep")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rn") == 1)
+            .select("cluster_rep",
+                    F.col("doc_id").alias("best_doc"),
+                    F.col("n_chars").alias("best_chars"),
+                    "n_members"))
+
+
 EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
 EDIT_SIM_MIN = 0.6
 
@@ -154,6 +189,7 @@ QUERIES = {
     # dedup_minhash_near above, so under a tight driver budget the cheap
     # proofs land first.
     "dedup_clusters": q_near_dup_clusters,
+    "dedup_keep_best": q_keep_best,
 }
 
 
@@ -306,6 +342,24 @@ WHERE round(1.0 - levenshtein(a.pre, b.pre)
             / greatest(length(a.pre), length(b.pre)), 6) >= {EDIT_SIM_MIN}
 """,
     "dedup_clusters": _clusters_oracle(),
+    # Clusters re-derived by the same unrolled propagation, then the keep
+    # policy re-applied as a window — certifying policy AND clustering.
+    "dedup_keep_best": f"""
+WITH cl AS MATERIALIZED (SELECT * FROM ({_clusters_oracle()})),
+q AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n_chars
+      FROM documents),
+j AS (SELECT cl.cluster_rep, cl.doc_id, q.n_chars
+      FROM cl JOIN q USING (doc_id)),
+r AS (SELECT cluster_rep, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_rep
+                                ORDER BY n_chars DESC,
+                                         CAST(doc_id AS BIGINT)) AS rn,
+             count(*) OVER (PARTITION BY cluster_rep) AS n_members
+      FROM j)
+SELECT cluster_rep, doc_id AS best_doc,
+       CAST(n_chars AS INTEGER) AS best_chars, n_members
+FROM r WHERE rn = 1
+""",
     "dedup_winnow_fp": f"WITH {_TOKENS_CTE}, {_WINNOW_FP_CTE} "
                        "SELECT doc_id, fingerprint FROM fp",
     "dedup_winnow_overlap": f"""

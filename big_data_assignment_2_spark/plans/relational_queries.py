@@ -698,6 +698,101 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_out.unionByName(total)
 
 
+def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV cardinality sketches with SET ALGEBRA — union AND
+    intersection estimates from mergeable k-min-value sketches
+    (operators.sketches; Bar-Yossef et al. 2002, the Datasketches theta
+    model).  `rel_hll_sketch_union` covers mergeable union; HLL cannot
+    intersect, and its engine-specific estimates force a tolerance-boolean
+    oracle.  KMV over a deterministic arithmetic hash gives bit-identical
+    sketches — and estimates — in ANSI SQL, so this oracle is EXACT parity
+    on the estimates themselves.
+
+    Rows: per-status distinct-customer estimates, the sketch-union
+    estimate, and the theta-intersection estimate for customers with both
+    'F' and 'O' orders.  Scale shape: the sketch build is the two-phase
+    per-partition k-min (shuffle carries <= k hashes per partition per
+    group — see the operator docstring); the set ops run on three <= k-entry
+    arrays in single-row aggregates, never on the data."""
+    from ..operators.sketches import (KMV_K, kmv_estimate,
+                                      kmv_intersect_estimate, kmv_merge,
+                                      kmv_sketch)
+    o = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch(o, "o_orderstatus", "o_custkey", KMV_K)
+    sk.persist()
+    per = sk.select(
+        F.concat(F.lit("status:"), F.col("g")).alias("set_expr"),
+        F.round(kmv_estimate(F.col("kmin"), KMV_K), 4).alias("est_distinct"))
+    union = (sk.agg(kmv_merge(F.collect_list("kmin"), KMV_K).alias("kmin"))
+             .select(F.lit("union:all").alias("set_expr"),
+                     F.round(kmv_estimate(F.col("kmin"), KMV_K), 4)
+                     .alias("est_distinct")))
+    # Arrays are orderable in Spark, and each branch matches exactly one
+    # row, so conditional max() pivots the two sketches into one row with
+    # no join at all.
+    pair = (sk.filter(F.col("g").isin("F", "O"))
+            .agg(F.max(F.when(F.col("g") == "F", F.col("kmin"))).alias("ka"),
+                 F.max(F.when(F.col("g") == "O", F.col("kmin"))).alias("kb")))
+    inter = pair.select(
+        F.lit("intersect:F&O").alias("set_expr"),
+        F.round(kmv_intersect_estimate(F.col("ka"), F.col("kb"), KMV_K), 4)
+        .alias("est_distinct"))
+    return per.unionByName(union).unionByName(inter)
+
+
+# Incremental view maintenance: the split date and deletion predicate are
+# shared by the Spark delta-merge plan and the oracle's full recompute.
+IVM_SPLIT = "1996-06-01"
+IVM_DEL_MOD = 97
+
+
+def q_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (counting algorithm): a materialized
+    per-customer aggregate over the pre-split orders is brought up to date
+    by folding in ONE signed delta batch — post-split rows as +1
+    multiplicities, a deletion cohort (orderkey % {mod} == 0) as -1 — via
+    delta-aggregate + full-outer merge on the group key.  Groups whose
+    multiplicity count reaches zero vanish, exactly as a recompute would
+    drop them.
+
+    This is the 100 TB shape for keeping a 100-TB-fact-table rollup fresh:
+    the delta batch and the (much smaller) aggregate table are the only
+    relations touched; the base facts are never rescanned.  The oracle IS
+    the full recompute over (base - deletions + inserts), so the green row
+    certifies delta-merge == recompute.  Money stays exact DECIMAL through
+    both the view and the signed delta (products/sums never round), cast
+    to double only at the edge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    split = F.lit(IVM_SPLIT).cast("date")
+    base = o.filter(F.col("o_orderdate") < split)
+    # The maintained aggregate (at scale: a persisted table, re-written
+    # by each maintenance cycle).
+    view = (base.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("s")))
+    inserts = (o.filter(F.col("o_orderdate") >= split)
+               .select("o_custkey", "p", F.lit(1).alias("m")))
+    deletes = (base.filter(F.col("o_orderkey") % IVM_DEL_MOD == 0)
+               .select("o_custkey", "p", F.lit(-1).alias("m")))
+    dagg = (inserts.unionByName(deletes)
+            .groupBy("o_custkey")
+            .agg(F.sum("m").alias("dn"),
+                 F.sum(F.col("p") * F.col("m")).alias("ds")))
+    merged = (view.join(dagg, "o_custkey", "full")
+              .select("o_custkey",
+                      (F.coalesce(F.col("n"), F.lit(0))
+                       + F.coalesce(F.col("dn"), F.lit(0)))
+                      .alias("n_orders"),
+                      (F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)"))
+                       + F.coalesce(F.col("ds"),
+                                    F.lit(0).cast("decimal(18,2)")))
+                      .alias("s")))
+    return (merged.filter(F.col("n_orders") > 0)
+            .select("o_custkey", "n_orders",
+                    F.col("s").cast("double").alias("sum_price")))
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-order enumeration of every order by price via
     :func:`operators.relational.global_rank` — the scale-safe replacement
@@ -772,6 +867,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "rel_bucketed_join": q_bucketed_join,
     "rel_hll_sketch_union": q_hll_sketch_union,
+    "rel_theta_sketch_ops": q_theta_sketch_ops,
+    "rel_ivm_delta_agg": q_ivm_delta_agg,
     "rel_global_rank": q_global_rank,
     "rel_approx_distinct": q_approx_distinct,
     "rel_pivot": q_pivot,
@@ -829,6 +926,67 @@ SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers,
 FROM orders GROUP BY o_orderstatus
 UNION ALL
 SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+""",
+    # EXACT-parity sketch oracle: the same (a*x+b) mod p hash, the same
+    # k-min retention, the same uniform retained*p/theta estimator — the
+    # SQL rebuilds the sketches from scratch (row_number over the distinct
+    # hashes) and must land on bit-identical estimates.  Constants mirror
+    # operators/sketches.py (KMV_A/KMV_B/KMV_P/KMV_K).
+    "rel_theta_sketch_ops": """
+WITH h AS (
+  SELECT DISTINCT o_orderstatus AS g,
+         (CAST(o_custkey AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
+  FROM orders
+),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h),
+sk AS (SELECT g, h FROM r WHERE rn <= 128),
+st AS (SELECT g, count(*) AS sz, max(h) AS kth FROM sk GROUP BY g),
+th AS (SELECT g, CASE WHEN sz < 128 THEN 2147483647 ELSE kth END AS theta
+       FROM st),
+per AS (
+  SELECT sk.g, any_value(th.theta) AS theta,
+         count(*) FILTER (WHERE sk.h < th.theta) AS retained
+  FROM sk JOIN th USING (g) GROUP BY sk.g
+),
+uh AS (SELECT DISTINCT h FROM h),
+ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+usk AS (SELECT h FROM ur WHERE rn <= 128),
+uth AS (SELECT CASE WHEN count(*) < 128 THEN 2147483647 ELSE max(h) END
+               AS theta FROM usk),
+ith AS (SELECT min(theta) AS theta FROM th WHERE g IN ('F', 'O'))
+SELECT 'status:' || g AS set_expr,
+       round(CAST(retained AS DOUBLE) * 2147483647.0
+             / CAST(theta AS DOUBLE), 4) AS est_distinct
+FROM per
+UNION ALL
+SELECT 'union:all',
+       round(CAST((SELECT count(*) FROM usk, uth
+                   WHERE usk.h < uth.theta) AS DOUBLE)
+             * 2147483647.0 / CAST(uth.theta AS DOUBLE), 4)
+FROM uth
+UNION ALL
+SELECT 'intersect:F&O',
+       round(CAST((SELECT count(*)
+                   FROM (SELECT h FROM sk WHERE g = 'F') a
+                   JOIN (SELECT h FROM sk WHERE g = 'O') b USING (h), ith
+                   WHERE a.h < ith.theta) AS DOUBLE)
+             * 2147483647.0 / CAST(ith.theta AS DOUBLE), 4)
+FROM ith
+""",
+    # Full recompute over (base - deletions + inserts): the Spark side
+    # must reach the same table by folding ONE signed delta batch into the
+    # materialized pre-split aggregate.
+    "rel_ivm_delta_agg": """
+WITH eff AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  WHERE (o_orderdate < DATE '1996-06-01' AND o_orderkey % 97 <> 0)
+     OR o_orderdate >= DATE '1996-06-01'
+)
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(p) AS DOUBLE) AS sum_price
+FROM eff GROUP BY o_custkey
 """,
     # The oracle is the textbook single-window definition the distributed
     # operator must reproduce rank-for-rank.

@@ -548,6 +548,51 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("epoch")))
 
 
+PRIORITY_SAMPLE_K = 200
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus sampling via PRIORITY SAMPLING (Duffield, Lund &
+    Thorup, JACM '07): each doc gets priority q = w / u with u a
+    deterministic uniform from the arithmetic KMV hash (pure rational
+    arithmetic — no transcendental functions, so the priorities are
+    bit-identical in ANSI SQL and the top-k cutoff cannot diverge between
+    engines).  Weight = chars + 1, i.e. sample roughly proportional to
+    token budget — the 'fill a training-mix quota by content volume, not
+    doc count' step.  The Horvitz-Thompson estimate max(w, tau), with tau
+    the (k+1)-th priority, makes the sample reusable for unbiased
+    subset-sum estimates over the full corpus.
+
+    Scale shape: one projection pass + TakeOrderedAndProject(k+1) — no
+    global sort, no shuffle beyond the top-k tree reduce; the windows run
+    on the k+1 survivors only."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import KMV_P, kmv_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = PRIORITY_SAMPLE_K
+    w_int = (F.length("text") + F.lit(1)).cast("bigint")
+    u = (kmv_hash(F.col("doc_id").cast("bigint")) + F.lit(1)) \
+        .cast("double") / F.lit(float(KMV_P + 1))
+    scored = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         w_int.alias("w"),
+                         (w_int.cast("double") / u).alias("q"))
+    top = (scored.orderBy(F.desc("q"), F.col("doc_id").cast("bigint"))
+           .limit(k + 1))
+    wr = Window.orderBy(F.desc("q"), F.col("doc_id").cast("bigint"))
+    wall = Window.partitionBy(F.lit(1))
+    ranked = (top.withColumn("rn", F.row_number().over(wr))
+              .withColumn("tau",
+                          F.max(F.when(F.col("rn") == k + 1, F.col("q")))
+                          .over(wall)))
+    w_d = F.col("w").cast("double")
+    est = F.when(F.col("tau").isNull(), w_d) \
+        .when(F.col("tau") > w_d, F.col("tau")).otherwise(w_d)
+    return (ranked.filter(F.col("rn") <= k)
+            .select("doc_id", "w", F.round(est, 4).alias("est_weight")))
+
+
 _SHUFFLE_SALT = "shuffle-epoch-1"
 
 
@@ -572,6 +617,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pipeline_priority_sample": q_priority_sample,
     "pipeline_upsample": q_upsample,
     "pipeline_global_shuffle": q_global_shuffle,
     "text_token_count_bpe": q_token_count_bpe,
@@ -654,6 +700,30 @@ survivors AS (
   FROM passing GROUP BY k)"""
 
 ORACLES = {
+    # Same LCG hash, same rational priority, same (k+1)-cutoff: pure
+    # mul/div doubles, so the ordering — and therefore the SAMPLE — is
+    # bit-identical across engines (constants = operators/sketches.py).
+    "pipeline_priority_sample": f"""
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(length(text) + 1 AS BIGINT) AS w,
+         CAST(CAST(length(text) + 1 AS BIGINT) AS DOUBLE)
+         / (CAST((CAST(doc_id AS BIGINT) * 1103515245 + 12345)
+                 % 2147483647 + 1 AS DOUBLE) / 2147483648.0) AS q
+  FROM documents
+),
+r AS (SELECT doc_id, w, q,
+             row_number() OVER (ORDER BY q DESC, CAST(doc_id AS BIGINT))
+                 AS rn
+      FROM s),
+t AS (SELECT max(CASE WHEN rn = {PRIORITY_SAMPLE_K + 1} THEN q END) AS tau
+      FROM r WHERE rn <= {PRIORITY_SAMPLE_K + 1})
+SELECT doc_id, w,
+       round(CASE WHEN t.tau IS NULL THEN CAST(w AS DOUBLE)
+                  WHEN t.tau > CAST(w AS DOUBLE) THEN t.tau
+                  ELSE CAST(w AS DOUBLE) END, 4) AS est_weight
+FROM r, t WHERE rn <= {PRIORITY_SAMPLE_K}
+""",
     "pipeline_upsample": """
 WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 plan AS (

@@ -116,7 +116,50 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_orders_30d"))
 
 
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped time-series gap-fill + linear interpolation — the
+    hypertable `time_bucket_gapfill`/`interpolate` shape: per user, the
+    daily event count becomes a dense calendar (``sequence`` over each
+    user's own [min, max] day span, exploded), missing days are filled by
+    linear interpolation between the surrounding observations via
+    running ``last(..., ignorenulls)`` / ``first(..., ignorenulls)``
+    windows.  Endpoints are always observed (the span is bounded by the
+    user's own observations), so no extrapolation branch exists.
+
+    The observed metric is an integer count, so the interpolated value is
+    an exact-rational double computed by the identical expression tree in
+    both engines — bit-identical before the 6 dp round.  Scale: the
+    calendar explode is proportional to sum of per-key spans (never a
+    global calendar cross join), and both windows run inside the same
+    per-user partition — one shuffle on user_id total."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (e.groupBy("user_id", F.to_date("ts").alias("day"))
+           .agg(F.count(F.lit(1)).alias("v")))
+    cal = (obs.groupBy("user_id")
+           .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+           .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day")))
+    j = cal.join(obs, ["user_id", "day"], "left")
+    wb = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    frac = (F.datediff(F.col("day"), prev_d).cast("double")
+            / F.datediff(next_d, prev_d).cast("double"))
+    interp = F.when(F.col("v").isNotNull(), F.col("v").cast("double")) \
+        .otherwise(prev_v.cast("double")
+                   + (next_v - prev_v).cast("double") * frac)
+    return j.select("user_id", "day",
+                    F.round(interp, 6).alias("v_filled"),
+                    F.col("v").isNull().alias("was_gap"))
+
+
 QUERIES = {
+    "win_gapfill_interp": q_gapfill_interp,
     "win_range_frame": q_range_frame,
     "win_distribution": q_distribution,
     "win_topk_per_group": q_topk_per_group,
@@ -128,6 +171,51 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same calendar, same forward/backward ignore-nulls scans, same
+    # exact-integer interpolation arithmetic — DuckDB's generate_series is
+    # inclusive like Spark's sequence; DATE - DATE is whole days in both.
+    "win_gapfill_interp": """
+WITH obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs
+         GROUP BY user_id),
+cal AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT c.user_id, c.day, o.v
+  FROM cal c LEFT JOIN obs o ON c.user_id = o.user_id AND c.day = o.day
+),
+w AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wb AS prev_d,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wf AS next_d
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             ELSE CAST(prev_v AS DOUBLE)
+                  + CAST(next_v - prev_v AS DOUBLE)
+                    * (CAST(day - prev_d AS DOUBLE)
+                       / CAST(next_d - prev_d AS DOUBLE)) END, 6)
+           AS v_filled,
+       (v IS NULL) AS was_gap
+FROM w
+""",
     "win_range_frame": """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
