@@ -106,6 +106,27 @@ def q_stateful_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("total_cents"))
 
 
+def q_topk_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful top-k with SESSION TTL (streaming/stateful_v2.
+    TopKSessionProcessor): per user, the top-3 event values within the
+    LAST event-time session, where 30 min of idleness expires the key's
+    state — the timer/TTL dimension of the StatefulProcessor contract
+    that running totals (which never expire) cannot exercise.
+
+    The oracle re-derives the same answer declaratively: lag-gap session
+    segmentation, last session per user, rank by value.  A green row
+    therefore certifies that the imperative per-row state machine
+    (insert into fixed top-k slots, reset on gap) equals the relational
+    definition for every user."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful_v2 import run_processor_timeordered
+
+    out = run_processor_timeordered(load_table(spark, sf_dir, "events"))
+    return out.select("user_id", "rnk",
+                      F.round("value", 6).alias("value"), "n_session")
+
+
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keys(load_table(spark, sf_dir, "events"))
 
@@ -294,6 +315,7 @@ QUERIES = {
     "stream_restart_recovery": q_restart_recovery,
     "stream_stateful_totals": q_stateful_totals,
     "stream_stateful_totals_v2": q_stateful_totals_v2,
+    "stream_topk_ttl": q_topk_ttl,
     "stream_session_30m_live": q_session_live,
     "stream_dedup_keys_live": q_dedup_live,
     "stream_dedup_within_wm_live": q_dedup_within_wm_live,
@@ -323,6 +345,36 @@ FROM events GROUP BY 1, 2
 SELECT user_id, count(*) AS n_events,
        CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id
+""",
+    # Declarative twin of the session-TTL state machine: lag-gap session
+    # segmentation -> last session per user -> rank by value.  Constants
+    # mirror streaming/stateful_v2.py (30 min gap, k=3).
+    "stream_topk_ttl": """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+),
+last_sess AS (SELECT user_id, max(sess) AS sess FROM s GROUP BY user_id),
+f AS (SELECT s.* FROM s JOIN last_sess USING (user_id, sess)),
+r AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk,
+         count(*) OVER (PARTITION BY user_id) AS n_session
+  FROM f
+)
+SELECT user_id, rnk, round(value, 6) AS value, n_session
+FROM r WHERE rnk <= 3
 """,
     # v2 (transformWithStateInPandas / StatefulProcessor) shares the v1
     # exact-cents oracle: same semantics, successor state API.

@@ -150,3 +150,114 @@ def run_processor_batch(events: DataFrame, n_microbatches: int = 3,
     return (events.select("user_id", "value")
             .groupBy("user_id")
             .applyInPandas(drive, OUTPUT_SCHEMA))
+
+
+# --- top-k with session TTL -------------------------------------------------
+
+TOPK_K = 3
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min of event-time idleness
+
+TOPK_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("rnk", LongType()),
+    StructField("value", DoubleType()),
+    StructField("n_session", LongType()),
+])
+
+# Fixed k slots keep the ValueState a flat struct (the schema form every
+# state backend supports); -1 sentinels mark empty slots.
+TOPK_STATE_SCHEMA = StructType(
+    [StructField("last_ts_us", LongType()),
+     StructField("n_session", LongType())]
+    + [StructField(f"v{i}", DoubleType()) for i in range(TOPK_K)]
+    + [StructField(f"e{i}", LongType()) for i in range(TOPK_K)])
+
+
+class TopKSessionProcessor(StatefulProcessor):
+    """Per-user top-k event values WITHIN the current event-time session:
+    state is evicted whenever the key sits idle longer than
+    ``SESSION_GAP_US`` — the state-TTL/timeout pattern that keeps a
+    100 TB keyed state store from growing without bound (idle keys are
+    dropped, not accumulated forever).
+
+    Under the real engine this eviction is an event-time timer
+    (``handle.registerTimer`` at last_ts + gap; ``handleExpiredTimer``
+    clears state); the harness path applies the identical gap rule
+    inline while folding rows in event-time order, which yields the same
+    final state for any batching that preserves per-key time order.
+    Result is batch-boundary-invariant because the rule is evaluated per
+    ROW, never per batch.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("topk_session", TOPK_STATE_SCHEMA)
+
+    def _load(self):
+        if self._state.exists():
+            row = self._state.get()
+            last_ts, n = row[0], row[1]
+            top = [(row[2 + i], row[2 + TOPK_K + i]) for i in range(TOPK_K)
+                   if row[2 + TOPK_K + i] >= 0]
+        else:
+            last_ts, n, top = None, 0, []
+        return last_ts, n, top
+
+    def _store(self, last_ts, n, top):
+        vals = [v for v, _ in top] + [0.0] * (TOPK_K - len(top))
+        eids = [e for _, e in top] + [-1] * (TOPK_K - len(top))
+        self._state.update((last_ts, n, *vals, *eids))
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        last_ts, n, top = self._load()
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+            for t, eid, val in zip(ts_us, pdf["event_id"].to_numpy(),
+                                   pdf["value"].to_numpy()):
+                if last_ts is not None and t - last_ts > SESSION_GAP_US:
+                    n, top = 0, []          # timer fired: session expired
+                last_ts = int(t)
+                n += 1
+                top.append((float(val), int(eid)))
+                # value DESC, event_id ASC — the oracle's exact ordering.
+                top.sort(key=lambda p: (-p[0], p[1]))
+                del top[TOPK_K:]
+        self._store(last_ts, n, top)
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(top),
+            "rnk": [i + 1 for i in range(len(top))],
+            "value": [v for v, _ in top],
+            "n_session": [n] * len(top),
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def run_processor_timeordered(events: DataFrame, n_microbatches: int = 4,
+                              processor_cls=TopKSessionProcessor) -> DataFrame:
+    """Like :func:`run_processor_batch` but the per-key rows are sorted by
+    event time and chunked CONTIGUOUSLY, so micro-batches arrive in time
+    order — the arrival discipline the session-TTL semantics assume (a
+    watermarked stream delivers per-key time order up to the watermark)."""
+
+    def drive(key, pdf):
+        import numpy as np
+
+        proc = processor_cls()
+        proc.init(_BatchHandle())
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        last = None
+        for chunk in np.array_split(pdf, n_microbatches):
+            if len(chunk) == 0:
+                continue
+            for out in proc.handleInputRows(key, iter([chunk]), None):
+                last = out
+        proc.close()
+        return last
+
+    return (events.select("user_id", "ts", "event_id", "value")
+            .groupBy("user_id")
+            .applyInPandas(drive, TOPK_OUTPUT_SCHEMA))

@@ -79,3 +79,60 @@ def test_processor_batch_state_evolves_across_chunks(spark):
     assert len(out) == 1
     assert out[0]["n_events"] == 9          # 3 chunks of 3, accumulated
     assert abs(out[0]["total_value"] - 36.0) < 1e-9
+
+
+# --- TopKSessionProcessor (session TTL) -------------------------------------
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+                 "value")
+
+
+def test_topk_ttl_session_reset(spark):
+    """Events 40 minutes apart split sessions: only the LAST session's
+    values survive, earlier (even larger) values are evicted."""
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        run_processor_timeordered)
+
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 10:00:00", 7, 99.0),   # session 1 (largest value)
+        (2, "2024-01-01 10:10:00", 7, 98.0),   # session 1
+        (3, "2024-01-01 11:00:00", 7, 1.0),    # 50-min gap -> new session
+        (4, "2024-01-01 11:20:00", 7, 3.0),
+        (5, "2024-01-01 11:25:00", 7, 2.0),
+        (6, "2024-01-01 11:40:00", 7, 4.0),
+    ])
+    out = sorted((r["rnk"], r["value"], r["n_session"])
+                 for r in run_processor_timeordered(ev).collect())
+    assert out == [(1, 4.0, 4), (2, 3.0, 4), (3, 2.0, 4)]
+
+
+def test_topk_ttl_exact_30min_gap_keeps_session(spark):
+    """The rule is STRICTLY greater than the gap (matches the oracle's
+    `>` on INTERVAL 30 MINUTE)."""
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        run_processor_timeordered)
+
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 10:00:00", 7, 5.0),
+        (2, "2024-01-01 10:30:00", 7, 6.0),    # exactly 30 min: same sess
+    ])
+    out = sorted((r["rnk"], r["value"], r["n_session"])
+                 for r in run_processor_timeordered(ev).collect())
+    assert out == [(1, 6.0, 2), (2, 5.0, 2)]
+
+
+def test_topk_ttl_batch_boundary_invariant(spark, sf_dir):
+    """The per-row gap rule makes the final state independent of how the
+    time-ordered input is chunked into micro-batches."""
+    from big_data_assignment_2_spark.streaming.stateful_v2 import (
+        run_processor_timeordered)
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, run_processor_timeordered(
+        ev, n_microbatches=1).collect()))
+    b = sorted(map(tuple, run_processor_timeordered(
+        ev, n_microbatches=7).collect()))
+    assert a == b and len(a) > 0
