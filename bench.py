@@ -87,6 +87,13 @@ def main() -> None:
     except ValueError:
         big_sf = True  # synthetic dirs (e.g. sf1x) are the scale sweeps
     extra = [q for q in EXTRA if not (big_sf and q in FIXED_WIDTH_LSH)]
+    if big_sf:
+        skipped = sorted(FIXED_WIDTH_LSH & set(EXTRA))
+        if skipped:
+            print(f"# sf {sf_name!r} >= 0.5: skipping fixed-width LSH rows "
+                  f"{skipped} (fixed bucket space admits a fixed fraction "
+                  "of all N^2 pairs; adaptive twins stay timed)",
+                  file=sys.stderr)
 
     # Warm up JVM / codegen / parquet footer caches.
     spark.range(1_000_000).selectExpr("sum(id)").collect()

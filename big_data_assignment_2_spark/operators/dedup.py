@@ -560,9 +560,91 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             .select("doc_a", "doc_b", "hamming"))
 
 
+def df_ordered_token_arrays(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc distinct-token arrays sorted by GLOBAL ascending document
+    frequency (term as tiebreak) — the shared input relation of the
+    prefix-filter joins.  Persisted (it feeds candidate generation AND
+    verification)."""
+    from pyspark import StorageLevel
+
+    num_id = F.col(id_col).cast("bigint")
+    toks = docs.select(num_id.alias("doc_id"),
+                       F.explode(F.array_distinct(tokenize(text_col)))
+                       .alias("term"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("__df"))
+    return (toks.join(F.broadcast(dfreq), "term")
+            .groupBy("doc_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "term"))),
+                lambda s: s["term"]).alias("__toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def ppjoin_candidates(ordered: DataFrame, threshold: float,
+                      ppjoin_filters: bool = True) -> DataFrame:
+    """Candidate pairs for the exact set-similarity self-join, from the
+    persisted ``(doc_id, __toks)`` relation of globally df-ordered token
+    arrays.  With ``ppjoin_filters`` the PPJoin length and positional
+    filters (Xiao et al. WWW'08 §3.2) prune candidates AT GENERATION TIME,
+    before the distinct and the verify join:
+
+    - LENGTH filter: J(A,B) ≥ t forces |A∩B|/|A∪B| ≥ t with overlap ≤
+      min(|A|,|B|) and union ≥ max(|A|,|B|), so min ≥ t·max — a doc can
+      never match one less than t times its size, however many prefix
+      tokens they share.
+    - POSITIONAL filter: a shared token at (1-based) df-order positions
+      (i, j) bounds the overlap by min(i-1, j-1) + 1 + min(|A|-i, |B|-j)
+      (common-before ≤ both left slices, common-after ≤ both right
+      slices, because the global order makes shared tokens appear in the
+      same relative order in both docs).  J ≥ t needs overlap ≥ α =
+      ⌈t/(1+t)·(|A|+|B|)⌉, so any matched row whose bound is below α is
+      pruned.
+
+    LOSSLESS: for a qualifying pair EVERY matched row's positional bound
+    is ≥ its true overlap ≥ α and the length test holds, so at least one
+    (in fact every) generating row survives to the distinct.  Both
+    filters use threshold − 1e-6 so a pair that only passes the verify's
+    6-dp-rounded ratio can never be pruned here.
+
+    Why it matters at scale: the bare prefix filter admits a pair once
+    ANY prefix token collides; on a small-vocabulary (or stop-word-heavy)
+    corpus prefix tokens are common and candidates balloon superlinearly
+    (measured 54 s @ sf1 pre-filter).  Length + positional tests are
+    per-row arithmetic on (pos, size) — no extra joins, no extra shuffle
+    — and cut the distinct/verify input, which is the dominant stage.
+    """
+    t = threshold - 1e-6
+    n = F.size("__toks")
+    pref_len = n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
+    prefix = ordered.select(
+        "doc_id", n.alias("__n"),
+        F.posexplode(F.slice("__toks", F.lit(1), pref_len))
+        .alias("__p0", "term")).withColumn(
+            "__pos", F.col("__p0") + F.lit(1)).drop("__p0")
+    from .skew import skew_safe_self_pairs
+    pairs = (skew_safe_self_pairs(prefix, ["term"],
+                                  ["doc_id", "__n", "__pos"])
+             .filter(F.col("doc_id_a") < F.col("doc_id_b")))
+    if ppjoin_filters:
+        na, nb = F.col("__n_a"), F.col("__n_b")
+        ia, jb = F.col("__pos_a"), F.col("__pos_b")
+        alpha = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
+        pairs = (pairs
+                 .filter(F.least(na, nb).cast("double")
+                         >= F.lit(t) * F.greatest(na, nb))
+                 .filter((F.least(ia, jb) - F.lit(1)
+                          + F.lit(1)
+                          + F.least(na - ia, nb - jb)) >= alpha))
+    return (pairs.select(F.col("doc_id_a").alias("doc_a"),
+                         F.col("doc_id_b").alias("doc_b"))
+            .distinct())
+
+
 def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         ppjoin_filters: bool = True) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al. WWW'08).
     Returns ALL pairs with token-set Jaccard ≥ threshold: unlike
@@ -579,43 +661,24 @@ def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9,
     volume collapses versus joining on all tokens, and the guarantee is
     lossless (every qualifying pair is generated).
 
+    PPJoin upgrade (r9): candidate generation additionally applies the
+    LENGTH and POSITIONAL filters — see :func:`ppjoin_candidates` for the
+    bounds and the losslessness argument.  On adversarial small-vocab
+    corpora (where every prefix token is common) this is the difference
+    between superlinear candidate blowup and candidates that track the
+    true pair count.
+
     Scale shape (100 TB): one tokenize, one vocabulary agg (df table,
     broadcast — vocabulary-bounded), one per-doc sort agg, a prefix
     explode whose volume is ≈ (1-t)·corpus tokens, a skew-safed
-    inverted-index self-join, then the shared size-prune + in-row
-    ``array_intersect`` verify (:func:`jaccard_verify_arrays`).  No
-    stage is quadratic in the corpus; the prefix join is the candidate
-    bound and shrinks as t → 1.
+    inverted-index self-join pruned per-row by the PPJoin filters, then
+    the shared size-prune + in-row ``array_intersect`` verify
+    (:func:`jaccard_verify_arrays`).  No stage is quadratic in the
+    corpus; the filtered prefix join is the candidate bound and shrinks
+    as t → 1.
     """
-    from pyspark import StorageLevel
-
-    from .skew import skew_safe_self_pairs
-
-    num_id = F.col(id_col).cast("bigint")
-    toks = docs.select(num_id.alias("doc_id"),
-                       F.explode(F.array_distinct(tokenize(text_col)))
-                       .alias("term"))
-    # Global token order: ascending df, then term. Vocabulary-bounded →
-    # broadcast to every executor; the ordered per-doc array is built by
-    # one sort agg over (df, term) structs.
-    dfreq = toks.groupBy("term").agg(F.count("*").alias("__df"))
-    ordered = (toks.join(F.broadcast(dfreq), "term")
-               .groupBy("doc_id")
-               .agg(F.transform(
-                   F.sort_array(F.collect_list(F.struct("__df", "term"))),
-                   lambda s: s["term"]).alias("__toks"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
-    # Prefix length |X| - ceil(t·|X|) + 1; slice + explode only that.
-    n = F.size("__toks")
-    pref_len = n - F.ceil(F.lit(threshold) * n).cast("int") + F.lit(1)
-    prefix = ordered.select(
-        "doc_id", F.explode(F.slice("__toks", F.lit(1), pref_len))
-        .alias("term"))
-    cand = (skew_safe_self_pairs(prefix, ["term"], ["doc_id"])
-            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-            .select(F.col("doc_id_a").alias("doc_a"),
-                    F.col("doc_id_b").alias("doc_b"))
-            .distinct())
+    ordered = df_ordered_token_arrays(docs, text_col, id_col)
+    cand = ppjoin_candidates(ordered, threshold, ppjoin_filters)
     return (jaccard_verify_arrays(cand, ordered, threshold)
             .select(F.col("doc_a").cast("string").alias("doc_a"),
                     F.col("doc_b").cast("string").alias("doc_b"),

@@ -32,9 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^31 - 1: a*x stays under 2^63 for x < ~8.3e9, so the
-# multiply never wraps in either engine (Spark non-ANSI would wrap silently,
-# DuckDB would promote to HUGEINT — both would break parity).
+# Mersenne prime 2^31 - 1.  The hash reduces x mod p BEFORE multiplying:
+# |x % p| < 2^31 and a < 2^31, so (x % p) * a stays under 2^62 for EVERY
+# int64 input — no silent wrap in non-ANSI Spark, no HUGEINT promotion in
+# DuckDB, and the result is algebraically identical to (a*x + b) mod p
+# (both engines give the remainder the dividend's sign, and the two
+# dividends always share a sign, so the representatives match too).
 KMV_P = 2_147_483_647
 KMV_A = 1_103_515_245  # classic LCG multiplier; any odd a works
 KMV_B = 12_345
@@ -42,13 +45,16 @@ KMV_K = 128
 
 
 def kmv_hash(col: Column) -> Column:
-    """(a*x + b) mod p as BIGINT — identical in Spark and ANSI SQL."""
-    return (col.cast("bigint") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(KMV_P)
+    """((x mod p) * a + b) mod p as BIGINT — overflow-free for all int64
+    inputs and identical in Spark and ANSI SQL (see module constants)."""
+    return ((col.cast("bigint") % F.lit(KMV_P)) * F.lit(KMV_A)
+            + F.lit(KMV_B)) % F.lit(KMV_P)
 
 
 def kmv_hash_sql(expr: str) -> str:
     """The SQL twin of :func:`kmv_hash` (same literals, same order)."""
-    return f"(CAST({expr} AS BIGINT) * {KMV_A} + {KMV_B}) % {KMV_P}"
+    return (f"((CAST({expr} AS BIGINT) % {KMV_P}) * {KMV_A}"
+            f" + {KMV_B}) % {KMV_P}")
 
 
 def kmv_sketch(df: DataFrame, group_col: str, value_col: str,

@@ -718,8 +718,11 @@ def q_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       kmv_intersect_estimate, kmv_merge,
                                       kmv_sketch)
     o = load_table(spark, sf_dir, "orders")
+    # No persist: the three branches each recompute the sketch build, but
+    # it is one map-side k-min pass over orders — cheaper than leaving
+    # cached partitions pinned across a bench/gate loop that materializes
+    # every registry query in one session (ADVICE r8).
     sk = kmv_sketch(o, "o_orderstatus", "o_custkey", KMV_K)
-    sk.persist()
     per = sk.select(
         F.concat(F.lit("status:"), F.col("g")).alias("set_expr"),
         F.round(kmv_estimate(F.col("kmin"), KMV_K), 4).alias("est_distinct"))
@@ -935,7 +938,8 @@ SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
     "rel_theta_sketch_ops": """
 WITH h AS (
   SELECT DISTINCT o_orderstatus AS g,
-         (CAST(o_custkey AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
+         ((CAST(o_custkey AS BIGINT) % 2147483647) * 1103515245 + 12345)
+             % 2147483647 AS h
   FROM orders
 ),
 r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn

@@ -708,7 +708,8 @@ WITH s AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          CAST(length(text) + 1 AS BIGINT) AS w,
          CAST(CAST(length(text) + 1 AS BIGINT) AS DOUBLE)
-         / (CAST((CAST(doc_id AS BIGINT) * 1103515245 + 12345)
+         / (CAST(((CAST(doc_id AS BIGINT) % 2147483647) * 1103515245
+                  + 12345)
                  % 2147483647 + 1 AS DOUBLE) / 2147483648.0) AS q
   FROM documents
 ),

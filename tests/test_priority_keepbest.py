@@ -26,7 +26,7 @@ def test_priority_sample_ht_estimate_properties(spark, sf_dir):
     assert all(r["est_weight"] >= r["w"] for r in rows)
     total = duckdb.sql(
         "SELECT sum(length(text) + 1) FROM "
-        f"'{ '/root/testdata/sf0.001' }/documents.parquet'").fetchone()[0]
+        f"'{sf_dir}/documents.parquet'").fetchone()[0]
     est_total = sum(r["est_weight"] for r in rows)
     assert abs(est_total - total) / total < 0.25
 
@@ -43,7 +43,7 @@ def test_priority_sample_heavy_items_always_kept(spark, sf_dir):
     tau = taus.pop()
     heavy = duckdb.sql(
         "SELECT CAST(doc_id AS VARCHAR) FROM "
-        "'/root/testdata/sf0.001/documents.parquet' "
+        f"'{sf_dir}/documents.parquet' "
         f"WHERE length(text) + 1 > {tau}").fetchall()
     assert {d for (d,) in heavy} <= sampled
 
