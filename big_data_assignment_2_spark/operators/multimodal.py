@@ -11,8 +11,11 @@ cross-engine by the ``mm_decode_real`` oracle row) and PNG
 scanline unfiltering; ``mm_png_decode`` oracle row), baseline JPEG
 (:func:`decode_jpeg`: marker walk, DHT-driven Huffman entropy decode,
 dezigzag/dequantize, float IDCT; ``mm_jpeg_decode`` oracle row), and
-MP4 box-tree metadata — and honestly stubbed where a format genuinely
-needs an absent library (MP4 frame DEMUXING needs ffmpeg; progressive
+MP4 box-tree metadata plus MJPEG-track frame DEMUX (r9:
+:func:`demux_mp4_frames` resolves stsc/stsz/stco sample tables and
+feeds each sample to the JPEG decoder; ``mm_mp4_frames`` oracle row)
+— and honestly stubbed where a format genuinely needs an absent
+library (non-MJPEG video bitstreams need a codec library; progressive
 / chroma-subsampled JPEG raise).  ``decode_image(fake=True)`` keeps
 the deterministic fake for exercising pipeline shape with arbitrary
 payload bytes.
@@ -162,8 +165,9 @@ def synth_waveform(doc_id: int, n_samples: int) -> "object":
 def decode_payload(payload: bytes) -> dict:
     """REAL codec dispatch on magic bytes.  BMP/PNG/JPEG →
     (width, height); WAV → (n_channels, sample_rate, n_samples).
-    Anything else raises — MP4 frame demuxing requires ffmpeg, absent
-    from this environment."""
+    Anything else raises — non-MJPEG video bitstreams need an external
+    codec library (MJPEG-track MP4s demux via
+    :func:`demux_mp4_frames`)."""
     import io
     import struct
     import wave
@@ -186,9 +190,22 @@ def decode_payload(payload: bytes) -> dict:
         m = decode_jpeg(payload)
         return {"width": m["width"], "height": m["height"],
                 "n_channels": None, "sample_rate": None, "n_samples": None}
+    if payload[4:8] == b"ftyp":
+        meta = decode_mp4(payload)
+        try:
+            frames = demux_mp4_frames(payload)
+        except ValueError as e:
+            if "no track with a sample table" not in str(e):
+                raise          # corrupt sample tables are parse errors
+            frames = []        # valid metadata-only BMFF (no stbl)
+        if frames:
+            m = decode_jpeg(frames[0])
+            meta["width"], meta["height"] = m["width"], m["height"]
+        return {"width": meta["width"], "height": meta["height"],
+                "n_channels": None, "sample_rate": None,
+                "n_samples": len(frames)}
     raise NotImplementedError(
-        f"no stdlib codec for magic {payload[:4]!r}; MP4 frame demuxing "
-        "needs ffmpeg, not present in this environment")
+        f"no stdlib codec for magic {payload[:4]!r}")
 
 
 def generate_media_real(docs: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -790,13 +807,19 @@ _JPEG_AC_SYMBOLS = (
     + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 
 
-def _dct_matrix():
-    import numpy as np
+_DCT_C = None
 
-    x = np.arange(8)
-    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
-    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
-    return c
+
+def _dct_matrix():
+    global _DCT_C
+    if _DCT_C is None:
+        import numpy as np
+
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+        _DCT_C = c
+    return _DCT_C
 
 
 def _huff_canonical(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
@@ -835,6 +858,45 @@ def _jpeg_mag_bits(v: int) -> tuple[int, int]:
     return size, v
 
 
+def _encode_block(bw_writer: "_BitWriter", blk, qmat, dc_tab, ac_tab,
+                  prev_dc: int) -> int:
+    """FDCT + quantize + zigzag + (run,size) entropy-encode ONE level-
+    shifted 8x8 block; returns the new DC predictor."""
+    import numpy as np
+
+    C = _dct_matrix()
+    S = C @ blk @ C.T
+    Sq = np.round(S / qmat).astype(np.int64)
+    zz = Sq.reshape(64)[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size, bits = _jpeg_mag_bits(diff) if diff else (0, 0)
+    code, n = dc_tab[size]
+    bw_writer.write(code, n)
+    if size:
+        bw_writer.write(bits, size)
+    run = 0
+    last_nz = max([i for i in range(1, 64) if zz[i]], default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, n = ac_tab[0xF0]            # ZRL
+            bw_writer.write(code, n)
+            run -= 16
+        size, bits = _jpeg_mag_bits(v)
+        code, n = ac_tab[(run << 4) | size]
+        bw_writer.write(code, n)
+        bw_writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, n = ac_tab[0x00]                # EOB
+        bw_writer.write(code, n)
+    return prev_dc
+
+
 def jpeg_bytes(pixels, quant=None) -> bytes:
     """Encode a grayscale uint8 array (h, w) as a baseline JPEG.  ``quant``
     is the 64-entry quantization table in natural order (default all
@@ -851,7 +913,6 @@ def jpeg_bytes(pixels, quant=None) -> bytes:
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(px.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)),
                     mode="edge")
-    C = _dct_matrix()
     dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
     ac_tab = _huff_canonical(_JPEG_AC_SYMBOLS, 9)
     bw_writer = _BitWriter()
@@ -860,35 +921,8 @@ def jpeg_bytes(pixels, quant=None) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            S = C @ blk @ C.T
-            Sq = np.round(S / qmat).astype(np.int64)
-            zz = Sq.reshape(64)[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, bits = _jpeg_mag_bits(diff) if diff else (0, 0)
-            code, n = dc_tab[size]
-            bw_writer.write(code, n)
-            if size:
-                bw_writer.write(bits, size)
-            run = 0
-            last_nz = max([i for i in range(1, 64) if zz[i]], default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, n = ac_tab[0xF0]            # ZRL
-                    bw_writer.write(code, n)
-                    run -= 16
-                size, bits = _jpeg_mag_bits(v)
-                code, n = ac_tab[(run << 4) | size]
-                bw_writer.write(code, n)
-                bw_writer.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, n = ac_tab[0x00]                # EOB
-                bw_writer.write(code, n)
+            prev_dc = _encode_block(bw_writer, blk, qmat, dc_tab, ac_tab,
+                                    prev_dc)
     data = bw_writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -909,6 +943,156 @@ def jpeg_bytes(pixels, quant=None) -> bytes:
            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))           # SOS
            + data + b"\xff\xd9")                                  # EOI
     return out
+
+
+def jpeg_bytes_color(pixels, quant_luma=None, quant_chroma=None) -> bytes:
+    """Encode an RGB uint8 array (h, w, 3) as a baseline 4:4:4 COLOR JPEG
+    (r9): BT.601 full-range RGB→YCbCr, three components with sampling
+    0x11 (no subsampling), separate luma/chroma quantization tables (ids
+    0/1) and separate luma/chroma Huffman table ids (DC0/AC0, DC1/AC1 —
+    written independently so the decoder must honour per-component table
+    selection), interleaved MCU scan (Y, Cb, Cr per MCU) with three
+    independent DC predictors.
+
+    Exactness contract for the oracle: a GRAY flat block (R=G=B=v) maps
+    to Y=v ± ~1e-13, Cb=Cr=128 ± ~1e-15 — each block's single DC
+    coefficient rounds to the exact integer, so under unity quant tables
+    gray flat blocks round-trip bit-exactly through the full color path
+    (interleaving, chroma predictors, YCbCr↔RGB).  True-color content is
+    lossy (DCT rounding + color-matrix round trip) and is pinned by
+    tolerance tests."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_bytes_color expects an (h, w, 3) RGB array")
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [0.299 * R + 0.587 * G + 0.114 * B,
+              -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0,
+              0.5 * R - 0.418688 * G - 0.081312 * B + 128.0]
+    ql = np.ones(64, dtype=np.int64) if quant_luma is None else \
+        np.asarray(quant_luma, dtype=np.int64).reshape(64)
+    qc = np.ones(64, dtype=np.int64) if quant_chroma is None else \
+        np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    qmats = [ql.reshape(8, 8), qc.reshape(8, 8), qc.reshape(8, 8)]
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = [np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+              for p in planes]
+    dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tab = _huff_canonical(_JPEG_AC_SYMBOLS, 9)
+    bw_writer = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
+                    - 128.0
+                prev[ci] = _encode_block(bw_writer, blk, qmats[ci],
+                                         dc_tab, ac_tab, prev[ci])
+    data = bw_writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, symbols: list[int], length: int) -> bytes:
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return bytes([(cls << 4) | tid] + counts + symbols)
+
+    zz_ql, zz_qc = ql[_JPEG_ZIGZAG], qc[_JPEG_ZIGZAG]
+    return (b"\xff\xd8"                                           # SOI
+            + seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_ql))
+            + seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in zz_qc))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
+            + seg(0xFFC4, dht(0, 0, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 0, _JPEG_AC_SYMBOLS, 9))
+            + seg(0xFFC4, dht(0, 1, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 1, _JPEG_AC_SYMBOLS, 9))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            + data + b"\xff\xd9")                                 # EOI
+
+
+def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
+    """Encode an RGB uint8 array (h, w, 3) as a baseline 4:2:0
+    chroma-SUBSAMPLED JPEG (r9, one notch past :func:`jpeg_bytes_color`):
+    luma sampling 0x22 against chroma 0x11, 16x16 macroblock MCUs of 4 Y
+    blocks + 1 Cb + 1 Cr, chroma downsampled by exact 2x2 box average.
+
+    Exactness contract: gray flat 16x16 macroblocks keep Y flat per
+    block and Cb=Cr exactly 128 (the 2x2 average of a constant is that
+    constant), so under unity quant tables they round-trip bit-exactly
+    through the full subsampled path — the oracle for ``mm_jpeg_420``.
+    True color loses chroma detail by design; tolerance tests pin the
+    envelope."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_bytes_420 expects an (h, w, 3) RGB array")
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    mbh, mbw = -(-h // 16), -(-w // 16)
+    pad = ((0, mbh * 16 - h), (0, mbw * 16 - w))
+    Y, Cb, Cr = (np.pad(p, pad, mode="edge") for p in (Y, Cb, Cr))
+    # Exact 2x2 box-average chroma downsample.
+    Cb = (Cb[0::2, 0::2] + Cb[0::2, 1::2]
+          + Cb[1::2, 0::2] + Cb[1::2, 1::2]) / 4.0
+    Cr = (Cr[0::2, 0::2] + Cr[0::2, 1::2]
+          + Cr[1::2, 0::2] + Cr[1::2, 1::2]) / 4.0
+    ql = np.ones(64, dtype=np.int64) if quant_luma is None else \
+        np.asarray(quant_luma, dtype=np.int64).reshape(64)
+    qc = np.ones(64, dtype=np.int64) if quant_chroma is None else \
+        np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    qy, qm = ql.reshape(8, 8), qc.reshape(8, 8)
+    dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tab = _huff_canonical(_JPEG_AC_SYMBOLS, 9)
+    bw_writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mbh):
+        for mx in range(mbw):
+            for vy in range(2):
+                for hx in range(2):
+                    y0, x0 = my * 16 + vy * 8, mx * 16 + hx * 8
+                    blk = Y[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    prev[0] = _encode_block(bw_writer, blk, qy,
+                                            dc_tab, ac_tab, prev[0])
+            for ci, plane in ((1, Cb), (2, Cr)):
+                blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - 128.0
+                prev[ci] = _encode_block(bw_writer, blk, qm,
+                                         dc_tab, ac_tab, prev[ci])
+    data = bw_writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, symbols: list[int], length: int) -> bytes:
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return bytes([(cls << 4) | tid] + counts + symbols)
+
+    zz_ql, zz_qc = ql[_JPEG_ZIGZAG], qc[_JPEG_ZIGZAG]
+    return (b"\xff\xd8"                                           # SOI
+            + seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_ql))
+            + seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in zz_qc))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
+            + seg(0xFFC4, dht(0, 0, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 0, _JPEG_AC_SYMBOLS, 9))
+            + seg(0xFFC4, dht(0, 1, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 1, _JPEG_AC_SYMBOLS, 9))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            + data + b"\xff\xd9")                                 # EOI
 
 
 class _BitReader:
@@ -987,11 +1171,16 @@ def decode_jpeg(payload: bytes) -> dict:
                 off += 65
         elif marker == 0xFFC0:                    # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if ncomp != 1:
-                raise NotImplementedError("only grayscale baseline JPEG")
-            if body[7] != 0x11:     # per-component: id, sampling, qtab
-                raise NotImplementedError("subsampled JPEG")
-            sof_qid = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            comps = []    # (component id, quant id, sampling), SOF order
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append((cid, qid, samp))
+            samps = [samp for _, _, samp in comps]
+            if samps not in ([0x11], [0x11] * 3, [0x22, 0x11, 0x11]):
+                raise NotImplementedError(
+                    f"sampling {samps}: only 4:4:4 and 4:2:0 supported")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("non-baseline JPEG scan")
         elif marker == 0xFFC4:                    # DHT
@@ -1013,7 +1202,10 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xFFDA:                    # SOS
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_tabs = {}      # component id -> (dc table id, ac table id)
+            for ci in range(body[0]):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
             data = payload[pos + 2 + length:]
             end = data.rfind(b"\xff\xd9")
             data = data[:end if end >= 0 else len(data)]
@@ -1021,40 +1213,88 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2 + length
     if h is None or data is None:
         raise ValueError("missing SOF0/SOS")
-    qmat = quant[sof_qid]
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    # Per-component decode state in SOF (= interleave) order.
+    comp_info = []
+    for cid, qid, _samp in comps:
+        dc_id, ac_id = scan_tabs[cid]
+        comp_info.append((quant[qid], huff[(0, dc_id)], huff[(1, ac_id)]))
     C = _dct_matrix()
-    bh, bw = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    subsampled = samps == [0x22, 0x11, 0x11]
     reader = _BitReader(data)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _huff_decode(reader, dc_tab)
-            prev_dc += _jpeg_extend(reader.read(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _huff_decode(reader, ac_tab)
-                if sym == 0x00:                   # EOB
-                    break
-                if sym == 0xF0:                   # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _jpeg_extend(reader.read(size), size)
-                i += 1
-            S = np.zeros(64, dtype=np.float64)
-            S[_JPEG_ZIGZAG] = zz
-            S = S.reshape(8, 8) * qmat
-            blk = C.T @ S @ C + 128.0
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    pixels = np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
-    return {"width": int(w), "height": int(h), "n_channels": 1,
+    prev = [0] * len(comp_info)
+
+    def decode_block(qmat, dc_tab, ac_tab, prev_dc):
+        zz = np.zeros(64, dtype=np.int64)
+        size = _huff_decode(reader, dc_tab)
+        prev_dc += _jpeg_extend(reader.read(size), size)
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _huff_decode(reader, ac_tab)
+            if sym == 0x00:                   # EOB
+                break
+            if sym == 0xF0:                   # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _jpeg_extend(reader.read(size), size)
+            i += 1
+        S = np.zeros(64, dtype=np.float64)
+        S[_JPEG_ZIGZAG] = zz
+        S = S.reshape(8, 8) * qmat
+        return C.T @ S @ C + 128.0, prev_dc
+
+    if subsampled:
+        # 4:2:0 interleaved MCU = 4 luma blocks (left-to-right then next
+        # row) + 1 Cb + 1 Cr at half resolution.
+        mbh, mbw = -(-h // 16), -(-w // 16)
+        planes = [np.zeros((mbh * 16, mbw * 16), dtype=np.float64),
+                  np.zeros((mbh * 8, mbw * 8), dtype=np.float64),
+                  np.zeros((mbh * 8, mbw * 8), dtype=np.float64)]
+        for my in range(mbh):
+            for mx in range(mbw):
+                qmat, dc_tab, ac_tab = comp_info[0]
+                for vy in range(2):
+                    for hx in range(2):
+                        blk, prev[0] = decode_block(qmat, dc_tab, ac_tab,
+                                                    prev[0])
+                        y0, x0 = my * 16 + vy * 8, mx * 16 + hx * 8
+                        planes[0][y0:y0 + 8, x0:x0 + 8] = blk
+                for ci in (1, 2):
+                    qmat, dc_tab, ac_tab = comp_info[ci]
+                    blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
+                                                 prev[ci])
+                    planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+        # Chroma upsample 2x2 (box replicate) to luma resolution.
+        planes[1] = np.repeat(np.repeat(planes[1], 2, 0), 2, 1)
+        planes[2] = np.repeat(np.repeat(planes[2], 2, 0), 2, 1)
+    else:
+        # 4:4:4 (or grayscale) interleaved MCU = one block per component.
+        bh, bw = -(-h // 8), -(-w // 8)
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+                  for _ in comp_info]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (qmat, dc_tab, ac_tab) in enumerate(comp_info):
+                    blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
+                                                 prev[ci])
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    if len(planes) == 1:
+        pixels = np.clip(np.round(planes[0][:h, :w]), 0, 255) \
+            .astype(np.uint8)
+        return {"width": int(w), "height": int(h), "n_channels": 1,
+                "pixels": pixels}
+    # BT.601 full-range YCbCr -> RGB (JFIF inverse matrix).
+    Y, Cb, Cr = (p[:h, :w] for p in planes)
+    rgb = np.stack([
+        Y + 1.402 * (Cr - 128.0),
+        Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0),
+        Y + 1.772 * (Cb - 128.0)], axis=-1)
+    pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": int(w), "height": int(h), "n_channels": 3,
             "pixels": pixels}
 
 
@@ -1124,3 +1364,386 @@ def decode_media_jpeg(media: DataFrame, batch_size: int = 256) -> DataFrame:
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     media.sparkSession.conf.set(conf_key, str(batch_size))
     return media.mapInPandas(decode_batches, JPEG_DECODED_SCHEMA)
+
+
+# --- MP4 MJPEG frame demux (r9) --------------------------------------------
+# Closes the last honest stub: container DEMUXING without ffmpeg, for the
+# one track format this repo can also DECODE — an MJPEG video track whose
+# every sample is a complete baseline JPEG (decode_jpeg above).  The
+# sample-table machinery (stsd/stts/stsc/stsz/stco|co64) is the real ISO
+# 14496-12 layout and the walker is general: multi-chunk layouts, run-length
+# stsc maps, and 64-bit chunk offsets all work.  Non-MJPEG sample formats
+# (avc1/hev1...) still raise — bitstream decoding genuinely needs a codec
+# library; the CONTAINER layer no longer does.
+
+
+def _mp4_find(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Return (payload_start, box_end) of the first box at ``path`` under
+    [start, end), descending one level per path element."""
+    for typ in path:
+        found = None
+        for t, s, e in _mp4_walk(buf, start, end):
+            if t == typ:
+                found = (s, e)
+                break
+        if found is None:
+            raise ValueError(f"missing box {typ!r}")
+        start, end = found
+    return start, end
+
+
+def mp4_mjpeg_bytes(frames: list[bytes], width: int, height: int,
+                    fps: int = 10, frames_per_chunk: int = 0) -> bytes:
+    """A valid ISO BMFF file with ONE video track of MJPEG samples
+    ('jpeg' sample entry): ftyp + mdat(frames) + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr + minf(vmhd + dinf + stbl(stsd stts stsc stsz
+    stco))))).  mdat precedes moov so every chunk offset is known without
+    patching (the layout every camera writes).  ``frames_per_chunk`` = 0
+    puts all samples in one chunk; any other value exercises the
+    multi-chunk stsc/stco path."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    n = len(frames)
+    fpc = n if frames_per_chunk <= 0 else frames_per_chunk
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = box(b"mdat", b"".join(frames))
+    # Chunk offsets: frames are laid consecutively inside mdat.
+    base = len(ftyp) + 8
+    sizes = [len(f) for f in frames]
+    chunk_offsets = []
+    off = base
+    for i in range(0, n, fpc):
+        chunk_offsets.append(off)
+        off += sum(sizes[i:i + fpc])
+
+    timescale = 1000
+    dur = n * timescale // fps
+
+    mvhd = box(b"mvhd",
+               b"\x00\x00\x00\x00"
+               + struct.pack(">IIII", 0, 0, timescale, dur)
+               + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+               + b"\x00" * 10 + _MP4_UNITY_MATRIX + b"\x00" * 24
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd",
+               b"\x00\x00\x00\x07"
+               + struct.pack(">III", 0, 0, 1) + b"\x00" * 4
+               + struct.pack(">I", dur) + b"\x00" * 8
+               + struct.pack(">hhh", 0, 0, 0) + b"\x00" * 2
+               + _MP4_UNITY_MATRIX
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd",
+               b"\x00\x00\x00\x00"
+               + struct.pack(">IIII", 0, 0, timescale, dur)
+               + struct.pack(">HH", 0x55C4, 0))       # language 'und'
+    hdlr = box(b"hdlr",
+               b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide"
+               + b"\x00" * 12 + b"mjpeg\x00")
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dinf = box(b"dinf", box(b"dref",
+                            b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                            + box(b"url ", b"\x00\x00\x00\x01")))
+    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+             + struct.pack(">H", 1)                    # data_reference_index
+             + b"\x00" * 16                            # pre_defined/reserved
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)      # frame_count
+             + b"\x05mjpeg" + b"\x00" * 26             # compressorname
+             + struct.pack(">Hh", 24, -1))
+    stsd = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    stts = box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+               + struct.pack(">II", n, timescale // fps))
+    # stsc runs: one entry unless the LAST chunk is short.
+    n_chunks = len(chunk_offsets)
+    last = n - fpc * (n_chunks - 1)
+    stsc_entries = [(1, fpc, 1)]
+    if n_chunks > 1 and last != fpc:
+        stsc_entries.append((n_chunks, last, 1))
+    stsc = box(b"stsc", b"\x00\x00\x00\x00"
+               + struct.pack(">I", len(stsc_entries))
+               + b"".join(struct.pack(">III", *e) for e in stsc_entries))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
+               + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", n_chunks)
+               + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def demux_mp4_frames(payload: bytes) -> list[bytes]:
+    """REAL sample-table demux: locate the video track's stbl, require an
+    MJPEG ('jpeg'/'mjpa') sample entry, then resolve every sample's file
+    offset from stsc (run-length sample→chunk map) + stco/co64 (chunk
+    offsets) + stsz (sample sizes) and slice the frame bytes out of mdat.
+    Raises on non-ISO-BMFF input, missing tables, and non-MJPEG sample
+    formats (those need a real bitstream codec)."""
+    import struct
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    moov_s, moov_e = _mp4_find(payload, 0, len(payload), [b"moov"])
+    stbl_s = stbl_e = None
+    for t, s, e in _mp4_walk(payload, moov_s, moov_e):
+        if t != b"trak":
+            continue
+        try:
+            stbl_s, stbl_e = _mp4_find(payload, s, e,
+                                       [b"mdia", b"minf", b"stbl"])
+            break
+        except ValueError:
+            continue
+    if stbl_s is None:
+        raise ValueError("no track with a sample table")
+    tables = {t: (s, e) for t, s, e in _mp4_walk(payload, stbl_s, stbl_e)}
+
+    s, _ = tables[b"stsd"]
+    fmt = payload[s + 12: s + 16]
+    if fmt not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"sample format {fmt!r}: only MJPEG tracks are demuxable "
+            "without an external bitstream codec")
+
+    s, _ = tables[b"stsz"]
+    fixed, count = struct.unpack_from(">II", payload, s + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", payload, s + 12))
+
+    if b"stco" in tables:
+        s, _ = tables[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", payload, s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", payload, s + 8))
+    elif b"co64" in tables:
+        s, _ = tables[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", payload, s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, s + 8))
+    else:
+        raise ValueError("missing stco/co64")
+
+    s, _ = tables[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", payload, s + 4)
+    runs = [struct.unpack_from(">III", payload, s + 8 + 12 * i)
+            for i in range(n_runs)]
+
+    # Expand stsc runs to per-chunk sample counts.
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+
+    frames = []
+    sample = 0
+    for chunk_idx, spc in enumerate(per_chunk):
+        off = offsets[chunk_idx]
+        for _ in range(spc):
+            if sample >= count:
+                break
+            frames.append(payload[off: off + sizes[sample]])
+            off += sizes[sample]
+            sample += 1
+    if sample != count:
+        raise ValueError(f"sample tables resolve {sample} of {count} samples")
+    return frames
+
+
+def jpeg_flat_blocks_frame(doc_id: int, frame_idx: int):
+    """Per-frame variant of :func:`jpeg_flat_blocks`: geometry and the
+    (a, b) gradients depend on doc_id only (MJPEG tracks keep fixed
+    dimensions); the offset d advances 31 per frame, so consecutive
+    frames differ everywhere."""
+    import numpy as np
+
+    i, f = int(doc_id), int(frame_idx)
+    bw, bh = 1 + i % 5, 1 + i % 4
+    a, b, d = 5 + i % 7, 3 + i % 5, (i + 31 * f) % 256
+    bx = np.arange(bw, dtype=np.int64)
+    by = np.arange(bh, dtype=np.int64)
+    vals = (a * bx[None, :] + b * by[:, None] + d) % 256
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+MP4_FRAMES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pix_sum", LongType()),
+])
+
+
+def generate_media_mp4_mjpeg(docs: DataFrame,
+                             batch_size: int = 64) -> DataFrame:
+    """Synthesize an MJPEG-track MP4 per document: 1 + doc_id % 3 frames,
+    each a REAL baseline JPEG of the per-frame flat-block fixture, muxed
+    through the real sample-table builder (all-in-one-chunk layout)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                frames = [jpeg_bytes(jpeg_flat_blocks_frame(i, f))
+                          for f in range(1 + i % 3)]
+                px = jpeg_flat_blocks_frame(i, 0)
+                payloads.append(mp4_mjpeg_bytes(
+                    frames, px.shape[1], px.shape[0]))
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["video"] * len(ids),
+                "payload": payloads,
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def demux_media_mp4(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched container demux + per-frame JPEG decode: one output
+    row per video frame with its geometry and exact decoded pixel sum.
+    The full 100 TB shape — binary video column in, typed per-frame rows
+    out — with every byte of container AND codec parsing real."""
+    import pandas as pd
+
+    def demux_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "width", "height", "pix_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for f, frame in enumerate(demux_mp4_frames(bytes(payload))):
+                    m = decode_jpeg(frame)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["pix_sum"].append(int(m["pixels"].sum()))
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "pix_sum": out["pix_sum"],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(demux_batches, MP4_FRAMES_SCHEMA)
+
+
+# --- Color JPEG (4:4:4) Spark plumbing (r9) --------------------------------
+
+JPEG_COLOR_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("pix_sum", LongType()),
+])
+
+
+def generate_media_jpeg_color(docs: DataFrame,
+                              batch_size: int = 256) -> DataFrame:
+    """Synthesize 4:4:4 COLOR JPEGs: the grayscale flat-block fixture
+    replicated into R=G=B, pushed through the full color encoder (three
+    interleaved components, chroma tables, three DC predictors).  Gray
+    content keeps the round trip bit-exact (see jpeg_bytes_color);
+    true-color lossiness is pinned by tolerance tests."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                g = jpeg_flat_blocks(i)
+                rgb = np.repeat(g[..., None], 3, axis=-1)
+                payloads.append(jpeg_bytes_color(rgb))
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_media_jpeg_color(media: DataFrame,
+                            batch_size: int = 256) -> DataFrame:
+    """Arrow-batched color JPEG decode: geometry, channel count and the
+    exact integer sum over ALL channels of the recovered pixels."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [decode_jpeg(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                "height": pd.array([m["height"] for m in metas],
+                                   dtype="Int32"),
+                "n_channels": pd.array([m["n_channels"] for m in metas],
+                                       dtype="Int32"),
+                "pix_sum": [int(m["pixels"].sum()) for m in metas],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(decode_batches, JPEG_COLOR_SCHEMA)
+
+
+# --- 4:2:0 subsampled JPEG Spark plumbing (r9) -----------------------------
+
+
+def jpeg_flat_macroblocks(doc_id: int):
+    """16x16-macroblock variant of :func:`jpeg_flat_blocks` for the 4:2:0
+    path: same per-block value arithmetic, 16-pixel granularity so every
+    luma block AND every subsampled chroma block is flat (bit-exact
+    round-trip contract of :func:`jpeg_bytes_420`)."""
+    import numpy as np
+
+    i = int(doc_id)
+    bw, bh = 1 + i % 5, 1 + i % 4
+    a, b, d = 5 + i % 7, 3 + i % 5, i % 256
+    bx = np.arange(bw, dtype=np.int64)
+    by = np.arange(bh, dtype=np.int64)
+    vals = (a * bx[None, :] + b * by[:, None] + d) % 256
+    return np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1).astype(np.uint8)
+
+
+def generate_media_jpeg_420(docs: DataFrame,
+                            batch_size: int = 256) -> DataFrame:
+    """Synthesize 4:2:0 chroma-subsampled JPEGs from the gray
+    flat-macroblock fixture replicated to R=G=B (bit-exact contract)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                g = jpeg_flat_macroblocks(i)
+                payloads.append(jpeg_bytes_420(
+                    np.repeat(g[..., None], 3, axis=-1)))
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -10,6 +10,7 @@ from the md5 digest, even IT has an exact SQL oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (EMBED_DIM, audio_chunks, decode_media,
                                     fake_embed, frame_sample,
@@ -152,6 +153,56 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_jpeg(generate_media_jpeg(docs))
 
 
+def q_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:4 COLOR JPEG end-to-end (r9): the flat-block fixture
+    replicated to R=G=B, encoded through the full three-component color
+    path (RGB→YCbCr, separate luma/chroma quant + Huffman table ids,
+    interleaved MCUs, three DC predictors) and decoded back.  Gray
+    content makes every chroma DC land exactly on 128, so the round trip
+    is bit-exact and the oracle is the grayscale pixel arithmetic × 3
+    channels; REAL chroma content (lossy) is pinned by tolerance tests
+    in tests/test_multimodal_jpeg_color.py."""
+    from ..operators.multimodal import (decode_media_jpeg_color,
+                                        generate_media_jpeg_color)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_jpeg_color(generate_media_jpeg_color(docs))
+
+
+def q_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-SUBSAMPLED JPEG end-to-end (r9): 16x16 gray flat
+    macroblocks through the full subsampled path — luma 0x22 vs chroma
+    0x11 sampling, 6-block interleaved MCUs, exact 2x2 box chroma
+    downsample, replicate upsample on decode.  Gray macroblocks keep
+    every (sub)block flat, so the round trip is bit-exact and the oracle
+    is pure arithmetic (3 channels x 256 px per macroblock); real-color
+    chroma loss is pinned by tolerance tests."""
+    from ..operators.multimodal import (decode_media_jpeg_color,
+                                        generate_media_jpeg_420)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_jpeg_color(generate_media_jpeg_420(docs))
+
+
+def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 frame DEMUX end-to-end (the stub closed in r9): synthesize an
+    MJPEG-track ISO BMFF file per document — 1 + doc_id % 3 frames, each
+    a real baseline JPEG of the per-frame flat-block fixture, muxed
+    through real stsd/stts/stsc/stsz/stco sample tables — then demux the
+    container (sample-table walk, chunk-offset resolution) and decode
+    every frame (full Huffman + IDCT path) inside Arrow-batched
+    ``mapInPandas``.  Flat blocks round-trip bit-exactly under the unity
+    quant table, so the oracle recomputes each frame's pixel sum
+    arithmetically; a green row certifies container demux AND codec
+    together.  Docs are sampled 1-in-7 (same predicate in the oracle) to
+    bound the per-gate decode volume."""
+    from ..operators.multimodal import demux_media_mp4, generate_media_mp4_mjpeg
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 7) == 0))
+    return demux_media_mp4(generate_media_mp4_mjpeg(docs))
+
+
 def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth REAL codec: a minimal valid ISO BMFF (MP4) file is
     synthesized per document — geometry and duration pure functions of
@@ -194,6 +245,9 @@ def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mm_jpeg_420": q_jpeg_420,
+    "mm_jpeg_color": q_jpeg_color,
+    "mm_mp4_frames": q_mp4_frames,
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_mp4_metadata": q_mp4_metadata,
     "mm_png_decode": q_png_decode,
@@ -210,6 +264,76 @@ QUERIES = {
 }
 
 ORACLES = {
+    # 4:2:0 JPEG: gray flat 16x16 MACROblocks round-trip bit-exactly
+    # through the subsampled path; sum = 3 channels x 256 px x value.
+    "mm_jpeg_420": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
+  FROM documents),
+px AS (
+  SELECT doc_id, bw, bh,
+         3 * 256 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(16 * bw AS INTEGER) AS width,
+       CAST(16 * bh AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
+    # Color JPEG: gray flat blocks through the full 3-component path
+    # round-trip bit-exactly (chroma DC = 128 exactly), so the decoded
+    # all-channel pixel sum is 3 x the grayscale arithmetic.
+    "mm_jpeg_color": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
+  FROM documents),
+px AS (
+  SELECT doc_id, bw, bh,
+         3 * 64 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
+    # MP4 MJPEG demux: frame f of doc i is flat blocks with
+    # v = (a*bx + b*by + (i + 31*f) % 256) % 256; flat blocks round-trip
+    # bit-exactly, so each frame's decoded pixel sum is 64 * sum of block
+    # values.  Regenerating that arithmetic certifies that the demuxer
+    # resolved every sample's bytes and the codec recovered every pixel.
+    "mm_mp4_frames": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b,
+         1 + doc_id % 3 AS n_frames
+  FROM documents WHERE doc_id % 7 = 0),
+frames AS (
+  SELECT doc_id, bw, bh, a, b, CAST(f.i AS INTEGER) AS frame_idx,
+         (doc_id + 31 * f.i) % 256 AS d
+  FROM params,
+       unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS f(i)),
+px AS (
+  SELECT doc_id, frame_idx, bw, bh,
+         64 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM frames,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, frame_idx, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, frame_idx,
+       CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
     # JPEG: flat 8x8 blocks with v(bx,by) = (a*bx + b*by + d) mod 256 and
     # geometry pure functions of doc_id (see jpeg_flat_blocks); under the
     # unity quant table the codec round-trips flat blocks bit-exactly, so

@@ -62,15 +62,18 @@ def test_real_codecs_roundtrip():
     aud = decode_payload(wav_bytes(1234, 16000))
     assert (aud["n_channels"], aud["sample_rate"], aud["n_samples"]) \
         == (1, 16000, 1234)
-    # PNG (round 7) and baseline JPEG (round 8) are REAL codecs: garbage
-    # after the magic is a parse error, not a stub; truly library-bound
-    # formats (MP4 frame demux) still stub.
+    # PNG (round 7), baseline JPEG (round 8) and MP4 demux (round 9) are
+    # REAL codecs: garbage after the magic is a parse error, not a stub;
+    # only genuinely library-bound formats (non-MJPEG bitstreams, unknown
+    # magic) still raise NotImplementedError.
     with pytest.raises(ValueError):
         decode_payload(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(ValueError):
+        decode_payload(b"\x00\x00\x00\x18ftypisom")   # truncated box tree
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\x00\x00\x00\x18ftypisom")
+        decode_payload(b"GIF89a" + b"\x00" * 16)
 
 
 def test_decode_media_real_on_spark(spark, sf_dir):
@@ -173,10 +176,10 @@ def test_png_decode_payload_dispatch():
     meta = decode_payload(png_bytes(20, 6, 4, 8, 1))
     assert (meta["width"], meta["height"]) == (20, 6)
     # JPEG is real since round 8: a structurally empty stream is a parse
-    # error; MP4 stays the library-bound stub.
+    # error; a truncated MP4 box tree is too (demux is real since r9).
     with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x00\x00\x18ftypisom")
 
 
