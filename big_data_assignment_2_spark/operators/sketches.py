@@ -112,3 +112,72 @@ def kmv_intersect_estimate(kmin_a: Column, kmin_b: Column,
                       lambda x: x < theta)
     return F.size(common).cast("double") * F.lit(float(KMV_P)) \
         / theta.cast("double")
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str,
+                           k: int) -> DataFrame:
+    """Pass 1 of the two-pass exact heavy-hitter shape: per input
+    partition, a bounded Misra-Gries summary with ``k`` counters
+    (Misra & Gries 1982; batched merge rule from Agarwal et al.,
+    "Mergeable Summaries", PODS'12) emits at most ``k`` candidate keys —
+    O(k) state per partition regardless of how many distinct keys stream
+    through, and a shuffle of at most k × partitions rows instead of
+    every distinct key.
+
+    Batched variant (vectorized, no per-row Python): value_counts per
+    Arrow batch, merge into the counter map, and when the map exceeds k
+    subtract the (k+1)-th largest counter from ALL and drop non-positive
+    — each such event removes at least (k+1)·d mass, so the total
+    undercount of any key is at most n_p/(k+1).
+
+    GUARANTEE (the reason pass 2 can be exact): any key with partition
+    frequency > n_p/(k+1) keeps a positive counter, and any key with
+    GLOBAL frequency > n/(k+1) must exceed that local threshold in at
+    least one partition (else summing the per-partition bounds
+    contradicts the global count) — so the union of per-partition
+    candidates is LOSSLESS for the global threshold.
+    """
+    from collections import Counter
+    from typing import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: Counter = Counter()
+        for pdf in batches:
+            counters.update(pdf[key_col].value_counts().to_dict())
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = Counter({key: c - d
+                                    for key, c in counters.items()
+                                    if c - d > 0})
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(mg, f"{key_col} string")
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters — every key with frequency strictly above
+    n/(k+1) and nothing else — without ever shuffling the full distinct
+    key space (the 100 TB shape: a vocabulary- or URL-frequency scan
+    where distinct keys dwarf executor memory budgets you'd want for a
+    plain groupBy's hash tables).
+
+    Pass 1 (:func:`misra_gries_candidates`) streams each partition
+    through k bounded counters and ships only ≤ k candidates per
+    partition.  Pass 2 semi-joins the stream against the broadcast
+    candidate set and exact-counts candidates only, so the aggregate
+    shuffle carries ≤ candidates × partitions partial rows.  The
+    threshold compare is pure integer arithmetic (freq·(k+1) > n) —
+    bit-identical in any engine.  Returns (key, freq) for the true
+    heavy hitters; deterministic and lossless by the pigeonhole
+    argument in pass 1's docstring.
+    """
+    cand = misra_gries_candidates(df, key_col, k).distinct()
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (df.join(F.broadcast(cand), key_col)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * F.lit(k + 1) > F.col("__n"))
+            .select(key_col, "freq"))

@@ -39,6 +39,39 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("source").alias("n_sources")))
 
 
+HEAVY_HITTER_K = 31
+
+
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency > n/(k+1),
+    k={k}) via the two-pass Misra-Gries candidate/verify shape
+    (operators.sketches.heavy_hitters_exact): pass 1 streams each
+    partition through k bounded counters (mergeable-summaries batched
+    rule) and ships ≤ k candidates per partition; pass 2 exact-counts
+    candidates only.  Complements ``text_heavy_hitters`` (approx_top_k
+    sketch, fixed OUTPUT size): this variant guarantees an exact
+    FREQUENCY-threshold answer with O(k) pass-1 state even when distinct
+    keys exceed any tracking budget — at 100 TB it replaces the full
+    distinct-vocabulary shuffle with k × partitions candidate rows + a
+    candidate-filtered count.  The threshold compare is pure integer
+    arithmetic (freq·(k+1) > n); the oracle is a plain GROUP BY ...
+    HAVING — losslessness of the candidate pass is exactly what a green
+    row certifies."""
+    from pyspark import StorageLevel
+
+    from ..functions.text import tokenize
+    from ..operators.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(tokenize("text")).alias("term"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return heavy_hitters_exact(toks, "term", HEAVY_HITTER_K)
+
+
+q_heavy_hitters_exact.__doc__ = \
+    q_heavy_hitters_exact.__doc__.format(k=HEAVY_HITTER_K)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-driven BPE encode (round-4 brief task #6): the fixed
     BPE_MERGES table folded over each DISTINCT word's char array in rank
@@ -626,6 +659,7 @@ QUERIES = {
     "text_bpe_train_encode": q_bpe_train_encode,
     "pipeline_sample_per_key": q_sample_per_key,
     "text_heavy_hitters": q_heavy_hitters,
+    "text_heavy_hitters_exact": q_heavy_hitters_exact,
     "pipeline_decontaminate": q_decontaminate,
     "pipeline_prepare_training": q_prepare_training,
     "text_lm_score": q_lm_score,
@@ -768,6 +802,18 @@ WITH {_TOKENS_CTE}
 SELECT term, count(*) AS n_occurrences
 FROM tokens GROUP BY term
 ORDER BY n_occurrences DESC LIMIT 100
+""",
+    # Exact-threshold twin: freq*(k+1) > n in pure integer arithmetic.
+    # The Spark side computes this via MG candidates + verify; the oracle
+    # is the definitionally-exact full group-by — a green row proves the
+    # candidate pass lost no heavy hitter.
+    "text_heavy_hitters_exact": f"""
+WITH {_TOKENS_CTE},
+tot AS (SELECT count(*) AS n FROM tokens)
+SELECT term, count(*) AS freq
+FROM tokens, tot
+GROUP BY term, n
+HAVING count(*) * {HEAVY_HITTER_K + 1} > n
 """,
     # Same token-set key as dedup_tokenset's oracle; eval side distinct
     # before the LEFT JOIN so training rows never multiply.
