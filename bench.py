@@ -55,6 +55,10 @@ EXTRA = [
     "sim_pq_topk",           # product-quantization ADC ANN
     "sim_ivfpq_topk",        # IVF+PQ residual index (production ANN shape)
     "text_bpe_train",        # distributed tokenizer training (8 merges)
+    "mm_jpeg_decode",        # baseline JPEG codec (Huffman + IDCT)
+    "mm_mp4_frames",         # MP4 sample-table demux + per-frame decode
+    "mm_jpeg_420",           # 4:2:0 subsampled color JPEG
+    "text_heavy_hitters_exact",  # two-pass Misra-Gries + exact verify
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

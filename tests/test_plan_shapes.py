@@ -120,6 +120,9 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # join key would be constant-folded away, so this 1x1 pairing can
         # only plan as a broadcast nested-loop — benign by construction
         "rel_hll_sketch_union",
+        # candidate counts x broadcast 1-row total-count relation (the
+        # integer threshold freq*(k+1) > n needs n, like BM25 needs N)
+        "text_heavy_hitters_exact",
     }
     offenders = {}
     for name, fn in contract.queries().items():
