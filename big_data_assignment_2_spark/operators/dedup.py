@@ -746,3 +746,104 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.95,
             .select(F.col("doc_sub").cast("string").alias("doc_sub"),
                     F.col("doc_sup").cast("string").alias("doc_sup"),
                     "containment"))
+
+
+def incremental_dedup(docs: DataFrame, historical: Column,
+                      threshold: float = 0.9, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental (online) dedup — flag each INCOMING document against a
+    HISTORICAL corpus only, the shape a production training pipeline runs
+    on every ingest batch: the historical fingerprint relations (exact
+    token-set keys + MinHash band keys) are exactly what a daily job
+    keeps persisted, and the day's batch joins against them WITHOUT any
+    incoming×incoming or historical×historical pair work.
+
+    ``historical`` is a boolean Column splitting ``docs``; rows where it
+    is false are the incoming batch.  Statuses per incoming doc:
+
+    - ``exact_dup``: token-set key already present in history (match =
+      lowest historical doc_id with that key, jaccard = 1.0 — equal sets).
+    - ``near_dup``: shares a MinHash band bucket with a historical doc
+      AND verified token-set Jaccard ≥ threshold (match = best jaccard,
+      ties to the lowest historical id).  Exact dups skip this stage.
+    - ``unique``: neither.
+
+    Scale shape (100 TB ingest): history-side relations are loaded from a
+    persisted store (here recomputed — same plan shape); the band join is
+    a two-relation equi-join (AQE skew-split handles hot buckets, unlike
+    the SELF-join salter the batch dedups need), candidates are verified
+    in-row on the held token arrays, and the per-incoming-doc best match
+    is one max-struct agg.  Incoming batch size, not corpus size, bounds
+    every exploded relation on the probe side.
+    """
+    from pyspark import StorageLevel
+
+    num_id = F.col(id_col).cast("bigint")
+    base = (docs.select(num_id.alias("__nid"),
+                        F.col(text_col).alias("__text"),
+                        historical.alias("__hist"))
+            .withColumn("doc_id", F.col("__nid").cast("string"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+    keyed = base.select("doc_id", "__nid", "__hist",
+                        tokenset_key("__text").alias("__k"))
+    hist_keys = (keyed.filter("__hist")
+                 .groupBy("__k").agg(F.min("__nid").alias("__exact_nid")))
+    inc = (keyed.filter(~F.col("__hist"))
+           .join(hist_keys, "__k", "left")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # MinHash bands for history and for the not-exact incoming remainder.
+    ts = doc_tokensets(base, "__text", "doc_id")
+    arrays = (ts.groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
+              .join(base.select("doc_id", "__nid", "__hist"), "doc_id")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    bands = lsh_band_keys(minhash_signatures_from_arrays(arrays))
+    bands = bands.join(base.select("doc_id", "__nid", "__hist"), "doc_id")
+    probe = (bands.join(inc.filter(F.col("__exact_nid").isNull())
+                        .select("doc_id"), "doc_id")
+             .select(F.col("doc_id").alias("inc_id"), "band_id", "band_key"))
+    build = (bands.filter("__hist")
+             .select(F.col("doc_id").alias("hist_id"),
+                     F.col("__nid").alias("hist_nid"),
+                     "band_id", "band_key"))
+    cand = (probe.join(build, ["band_id", "band_key"])
+            .select("inc_id", "hist_id", "hist_nid").distinct())
+
+    arr = arrays.select("doc_id", "__toks", F.size("__toks").alias("__sz"))
+    verified = (cand
+                .join(arr.select(F.col("doc_id").alias("inc_id"),
+                                 F.col("__toks").alias("__ta"),
+                                 F.col("__sz").alias("__sa")), "inc_id")
+                .join(arr.select(F.col("doc_id").alias("hist_id"),
+                                 F.col("__toks").alias("__tb"),
+                                 F.col("__sz").alias("__sb")), "hist_id")
+                .filter(F.least("__sa", "__sb")
+                        >= F.lit(threshold) * F.greatest("__sa", "__sb"))
+                .withColumn("__ni", F.size(F.array_intersect("__ta", "__tb")))
+                .withColumn("__j", F.round(
+                    F.col("__ni").cast("double")
+                    / (F.col("__sa") + F.col("__sb") - F.col("__ni")), 6))
+                .filter(F.col("__j") >= threshold))
+    best = (verified.groupBy("inc_id")
+            .agg(F.max(F.struct(F.col("__j").alias("j"),
+                                (-F.col("hist_nid")).alias("neg_nid")))
+                 .alias("__b"))
+            .select(F.col("inc_id").alias("doc_id"),
+                    F.col("__b.j").alias("__near_j"),
+                    (-F.col("__b.neg_nid")).alias("__near_nid")))
+
+    out = (inc.join(best, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.when(F.col("__exact_nid").isNotNull(), F.lit("exact_dup"))
+               .when(F.col("__near_nid").isNotNull(), F.lit("near_dup"))
+               .otherwise(F.lit("unique")).alias("status"),
+               F.when(F.col("__exact_nid").isNotNull(),
+                      F.col("__exact_nid").cast("string"))
+               .otherwise(F.col("__near_nid").cast("string"))
+               .alias("match_id"),
+               F.when(F.col("__exact_nid").isNotNull(), F.lit(1.0))
+               .otherwise(F.col("__near_j")).alias("jaccard")))
+    return out

@@ -171,6 +171,33 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=CONTAINMENT_THRESHOLD)
 
 
+
+INC_DEDUP_MOD = 5    # doc_id %% 5 == 0 plays the incoming ingest batch
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-batch dedup (operators.dedup.incremental_dedup,
+    r9): every 5th document plays the day's incoming batch, the rest the
+    historical corpus; each incoming doc is flagged exact_dup (token-set
+    key already in history), near_dup (shared MinHash band + verified
+    Jaccard >= {thr} against a historical doc only), or unique — with the
+    best historical match and its Jaccard.  No incoming x incoming or
+    historical x historical pair work anywhere: the production daily-job
+    shape where history is a persisted fingerprint store."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs, (F.col("doc_id").cast("bigint") % INC_DEDUP_MOD) != 0,
+        JACCARD_THRESHOLD)
+
+
+q_incremental_dedup.__doc__ = q_incremental_dedup.__doc__.format(
+    thr=JACCARD_THRESHOLD)
+
+
 QUERIES = {
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
@@ -190,7 +217,10 @@ QUERIES = {
     # proofs land first.
     "dedup_clusters": q_near_dup_clusters,
     "dedup_keep_best": q_keep_best,
+    "dedup_incremental": q_incremental_dedup,
 }
+
+
 
 
 # --- oracle generation -----------------------------------------------------
@@ -328,7 +358,58 @@ _NEAR_SQL = (
     "  WHERE CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)),\n"
     + _JACCARD_TAIL.format(thr=JACCARD_THRESHOLD))
 
+
+_INC_SQL = (
+    f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
+    """ids AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS nid FROM docs),
+keys AS (SELECT d.doc_id, i.nid,
+                md5(array_to_string(list_sort(list_distinct(d.toks)), ' '))
+                    AS k
+         FROM docs d JOIN ids i USING (doc_id)),
+hk AS (SELECT k, min(nid) AS exact_nid
+       FROM keys WHERE nid % {mod} <> 0 GROUP BY k),
+exact AS (SELECT ky.doc_id, ky.nid, hk.exact_nid
+          FROM keys ky LEFT JOIN hk USING (k)
+          WHERE ky.nid % {mod} = 0),
+cand AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id AS inc_id, hb.doc_id AS hist_id,
+         CAST(hb.doc_id AS BIGINT) AS hist_nid
+  FROM exact e
+  JOIN bands ib ON ib.doc_id = e.doc_id
+  JOIN bands hb ON hb.band_id = ib.band_id AND hb.band_key = ib.band_key
+       AND CAST(hb.doc_id AS BIGINT) % {mod} <> 0
+  WHERE e.exact_nid IS NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT c.inc_id, c.hist_nid, count(*) AS n_inter, sa.sz AS sa, sb.sz AS sb
+  FROM cand c
+  JOIN ts x ON x.doc_id = c.inc_id
+  JOIN ts y ON y.doc_id = c.hist_id AND y.term = x.term
+  JOIN sizes sa ON sa.doc_id = c.inc_id
+  JOIN sizes sb ON sb.doc_id = c.hist_id
+  GROUP BY c.inc_id, c.hist_nid, sa.sz, sb.sz),
+ver AS (SELECT inc_id, hist_nid,
+               round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 6) AS j
+        FROM inter
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 6)
+              >= {thr}),
+best AS (SELECT inc_id, hist_nid, j,
+                row_number() OVER (PARTITION BY inc_id
+                                   ORDER BY j DESC, hist_nid) AS rn
+         FROM ver)
+SELECT e.doc_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 'exact_dup'
+            WHEN b.hist_nid IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       CASE WHEN e.exact_nid IS NOT NULL THEN CAST(e.exact_nid AS VARCHAR)
+            WHEN b.hist_nid IS NOT NULL THEN CAST(b.hist_nid AS VARCHAR)
+            END AS match_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 1.0 ELSE b.j END AS jaccard
+FROM exact e LEFT JOIN best b ON b.inc_id = e.doc_id AND b.rn = 1
+""".format(mod=INC_DEDUP_MOD, thr=JACCARD_THRESHOLD))
+
 ORACLES = {
+    "dedup_incremental": _INC_SQL,
     "dedup_edit_verify": f"""
 WITH pre AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                     substr(text, 1, {EDIT_PREFIX}) AS pre FROM documents),

@@ -1,0 +1,95 @@
+"""Incremental ingest-batch dedup (operators/dedup.py r9): statuses,
+best-match selection, and the one-sided guarantee that incoming docs are
+never compared against each other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.dedup import incremental_dedup
+
+BASE = ("spark catalyst shuffle join broadcast partition codegen "
+        "arrow parquet vector")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _run(spark, rows, hist_pred=None, thr=0.8):
+    docs = _docs(spark, rows)
+    pred = hist_pred if hist_pred is not None \
+        else (F.col("doc_id") % 2) == 1
+    return {r["doc_id"]: (r["status"], r["match_id"], r["jaccard"])
+            for r in incremental_dedup(docs, pred, thr).collect()}
+
+
+def test_statuses_and_matches(spark):
+    """History: docs 1,3,5.  Incoming: 0 (exact dup of 1 — same token
+    set, reordered), 2 (near dup of 3), 4 (unique)."""
+    toks = BASE.split()
+    rows = [
+        (1, " ".join(toks)),
+        (3, " ".join(toks[:9]) + " extra1"),
+        (5, "completely different words entirely here"),
+        (0, " ".join(reversed(toks))),             # exact dup of 1
+        (2, " ".join(toks[:9]) + " extra2"),       # near dup of 3 (J=9/11)
+        (4, "nothing shared with anything above"),
+    ]
+    got = _run(spark, rows)
+    assert got["0"] == ("exact_dup", "1", 1.0)
+    status, match, j = got["2"]
+    assert (status, match) == ("near_dup", "3") and 0.8 <= j < 1.0
+    assert got["4"] == ("unique", None, None)
+
+
+def test_incoming_never_compared_to_incoming(spark):
+    """Two IDENTICAL incoming docs with no historical twin must both be
+    unique — the operator must not flag batch-internal duplicates."""
+    rows = [
+        (1, "history words alpha beta gamma delta"),
+        (0, BASE),
+        (2, BASE),                                  # identical to 0
+    ]
+    got = _run(spark, rows)
+    assert got["0"] == ("unique", None, None)
+    assert got["2"] == ("unique", None, None)
+
+
+def test_best_match_prefers_higher_jaccard_then_lower_id(spark):
+    toks = BASE.split()
+    rows = [
+        (1, " ".join(toks[:8]) + " x1"),   # J vs incoming = 8/11 < 0.8
+        (3, " ".join(toks[:9])),           # J = 9/10 = 0.9
+        (5, " ".join(toks[:9])),           # ties 3 at 0.9 -> lower id wins
+        (0, " ".join(toks[:9]) + " y0"),   # incoming
+    ]
+    got = _run(spark, rows)
+    status, match, j = got["0"]
+    assert (status, match, j) == ("near_dup", "3", 0.9)
+
+
+def test_exact_dup_takes_lowest_historical_id(spark):
+    rows = [
+        (1, BASE),
+        (3, BASE),
+        (0, BASE),
+    ]
+    got = _run(spark, rows)
+    assert got["0"] == ("exact_dup", "1", 1.0)
+
+
+def test_matches_oracle_semantics_on_corpus(spark, sf_dir):
+    """Corpus smoke: every incoming doc gets exactly one row and every
+    match_id is historical."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = (F.col("doc_id").cast("bigint") % 5) != 0
+    rows = incremental_dedup(docs, pred, 0.9).collect()
+    inc_ids = {str(r["doc_id"]) for r in
+               docs.filter(~pred).select("doc_id").collect()}
+    assert {r["doc_id"] for r in rows} == inc_ids
+    assert len(rows) == len(inc_ids)
+    for r in rows:
+        if r["match_id"] is not None:
+            assert int(r["match_id"]) % 5 != 0
+        assert (r["status"] == "unique") == (r["match_id"] is None)
