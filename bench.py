@@ -59,6 +59,8 @@ EXTRA = [
     "mm_mp4_frames",         # MP4 sample-table demux + per-frame decode
     "mm_jpeg_420",           # 4:2:0 subsampled color JPEG
     "text_heavy_hitters_exact",  # two-pass Misra-Gries + exact verify
+    "dedup_incremental",     # ingest batch vs historical fingerprints
+    "sim_semdedup",          # cluster-then-prune semantic dedup
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

@@ -222,6 +222,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_topk(docs, k=TOP_K, n_queries=N_QUERIES)
 
 
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.similarity.semdedup;
+    Abbas et al. 2023): deterministic Lloyd clusters, in-cluster cosine
+    comparisons only, drop every vector with an above-threshold neighbor
+    nearer (then lower-id) to the shared centroid.  The oracle replays
+    the whole pipeline — Lloyd chain, assignment, rounded centroid
+    distances, the precedence pairs, the 6-dp cosine filter — in SQL, so
+    a green row certifies the exact keep/drop set."""
+    from ..operators.similarity import semdedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return semdedup(em, k=KMEANS_K, iters=KMEANS_ITERS,
+                    threshold=COSINE_DUP_THRESHOLD)
+
+
 QUERIES = {
     "sim_ivfpq_topk": q_ivfpq_topk,
     "sim_pq_topk": q_pq_topk,
@@ -237,6 +254,7 @@ QUERIES = {
     "sim_cosine_banded": q_cosine_banded,
     "sim_cosine_top_pairs_scaled": q_cosine_top_pairs_scaled,
     "sim_cosine_near_dups_banded": q_cosine_near_dups_banded,
+    "sim_semdedup": q_semdedup,
 }
 
 # Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.
@@ -581,6 +599,37 @@ cand AS (
   FROM pb a JOIN pb b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id)"""
 
+
+def _semdedup_oracle() -> str:
+    """Replays semdedup end-to-end: Lloyd chain, final assignment,
+    rounded squared centroid distance, pairwise-precedence drop rule
+    under the 6-dp-rounded cosine threshold."""
+    cfin = f"c{KMEANS_ITERS}"
+    return f"""
+WITH {_VECS},
+{_lloyd_cte_chain()},
+asg AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {_sq_dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN {cfin} c) WHERE rn = 1),
+dist AS MATERIALIZED (
+  SELECT a.vec_id, a.v, a.cid,
+         round({_sq_dist('a.v', 'c.v')}, 6) AS cdist
+  FROM asg a JOIN {cfin} c USING (cid)),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM dist a JOIN dist b ON a.cid = b.cid
+       AND (b.cdist < a.cdist
+            OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))
+  WHERE round({_COS.strip()}, 6) >= {COSINE_DUP_THRESHOLD})
+SELECT d.vec_id, CAST(d.cid AS INTEGER) AS list_id, d.cdist,
+       dr.vec_id IS NULL AS keep
+FROM dist d LEFT JOIN dropped dr ON dr.vec_id = d.vec_id
+"""
+
+
 ORACLES = {
     "sim_tfidf_topk": f"""
 WITH {_TOKENS_CTE},
@@ -612,6 +661,7 @@ WHERE rank <= {TOP_K}
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
     "sim_kmeans_assign": _kmeans_oracle(),
+    "sim_semdedup": _semdedup_oracle(),
     "sim_quantize_int8": f"""
 WITH {_VECS},
 s AS (SELECT vec_id, v,

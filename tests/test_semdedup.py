@@ -1,0 +1,76 @@
+"""SemDeDup-style semantic dedup (operators/similarity.py r9): planted
+duplicates, precedence semantics, and corpus invariants."""
+
+from __future__ import annotations
+
+import math
+
+from big_data_assignment_2_spark.operators.similarity import semdedup
+
+DIM = 8
+
+
+def _vec(seed, scale=1.0):
+    return [round(math.sin(seed * 13 + d * 7) * scale, 3)
+            for d in range(DIM)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_planted_duplicate_dropped_keeps_nearest_centroid(spark):
+    """Two colinear vectors (cosine 1.0) land in one cluster; the one
+    farther from the centroid must drop, the nearer one survives."""
+    base = _vec(1)
+    far = [x * 3.0 for x in base]         # same direction, farther out
+    rows = [(0, base), (1, far),
+            (2, _vec(9)), (3, _vec(17)), (4, _vec(25))]
+    out = {r["vec_id"]: r for r in
+           semdedup(_df(spark, rows), k=2, iters=1, threshold=0.95,
+                    dim=DIM).collect()}
+    assert len(out) == 5
+    zero, one = out[0], out[1]
+    if zero["list_id"] == one["list_id"]:
+        # exactly one of the colinear pair survives
+        assert zero["keep"] != one["keep"]
+        survivor = zero if zero["keep"] else one
+        loser = one if zero["keep"] else zero
+        assert survivor["cdist"] <= loser["cdist"]
+
+
+def test_cross_cluster_duplicates_not_compared(spark):
+    """Identical vectors forced into different clusters are both kept —
+    SemDeDup only dedups within a cluster by design."""
+    a = [1.0] * DIM
+    b = [-1.0] * DIM
+    rows = [(0, a), (1, b), (2, a), (3, b)]
+    # k=2, init = two lowest ids (a, b) -> clusters split by sign; the
+    # copies land with their twins, so each cluster has an identical pair.
+    out = {r["vec_id"]: r for r in
+           semdedup(_df(spark, rows), k=2, iters=1, threshold=0.99,
+                    dim=DIM).collect()}
+    assert out[0]["keep"] and out[1]["keep"]          # cluster heads
+    assert not out[2]["keep"] and not out[3]["keep"]  # in-cluster twins
+    assert out[0]["list_id"] == out[2]["list_id"]
+    assert out[1]["list_id"] == out[3]["list_id"]
+
+
+def test_determinism_and_schema(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r1 = sorted(map(tuple, semdedup(em, k=4, iters=1, threshold=0.4,
+                                    dim=64).collect()))
+    r2 = sorted(map(tuple, semdedup(em, k=4, iters=1, threshold=0.4,
+                                    dim=64).collect()))
+    assert r1 == r2
+    assert len(r1) == em.count()
+    kept = sum(1 for t in r1 if t[3])
+    assert 0 < kept <= len(r1)
+
+
+def test_threshold_one_keeps_non_identical(spark):
+    """At threshold 1.0 only exact-direction duplicates drop."""
+    rows = [(i, _vec(i * 3 + 1)) for i in range(6)]
+    out = semdedup(_df(spark, rows), k=2, iters=1, threshold=1.0,
+                   dim=DIM).collect()
+    assert all(r["keep"] for r in out)
