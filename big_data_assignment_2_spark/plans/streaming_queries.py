@@ -311,7 +311,39 @@ def q_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("event_type") != "__FLUSH__"))
 
 
+
+
+def q_stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC LEFT ANTI join (r9): the incoming document stream
+    (doc_id % 5 == 0, the same ingest-batch split as the batch
+    ``dedup_incremental``) deduped against a STATIC historical
+    fingerprint relation — only documents whose token-set key is absent
+    from history survive, the streaming half of the daily-ingest dedup
+    shape.  Left-anti is one of the stream-static join types the
+    micro-batch engine executes with NO state store: the static side
+    plans as an ordinary batch broadcast against every micro-batch, so
+    history size never grows streaming state.  Output is the surviving
+    new-content stream (doc_id, source) in append mode."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokenset_key
+    from ..streaming.windows import docs_stream, run_stream_to_df
+
+    hist = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id").cast("bigint") % 5) != 0)
+            .select(tokenset_key("text").alias("__k"))
+            .distinct())
+    inc = (docs_stream(spark, sf_dir)
+           .filter((F.col("doc_id").cast("bigint") % 5) == 0)
+           .withColumn("__k", tokenset_key("text")))
+    fresh = (inc.join(F.broadcast(hist), "__k", "left_anti")
+             .select(F.col("doc_id").cast("string").alias("doc_id"),
+                     "source"))
+    return run_stream_to_df(spark, fresh, output_mode="append")
+
+
 QUERIES = {
+    "stream_dedup_history": q_stream_dedup_history,
     "stream_restart_recovery": q_restart_recovery,
     "stream_stateful_totals": q_stateful_totals,
     "stream_stateful_totals_v2": q_stateful_totals_v2,
@@ -331,6 +363,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Stream-static anti join: batch semantics are exactly "incoming docs
+    # whose token-set key has no historical twin" (same key formula as
+    # pipeline_decontaminate / dedup_incremental).
+    "stream_dedup_history": """
+WITH keyed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(doc_id AS BIGINT) AS nid,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(
+                 regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'),
+                 '\\s+'), t -> t <> ''))), ' ')) AS k
+  FROM documents),
+hist AS (SELECT DISTINCT k FROM keyed WHERE nid % 5 <> 0)
+SELECT ky.doc_id, ky.source
+FROM keyed ky LEFT JOIN hist h ON h.k = ky.k
+WHERE ky.nid % 5 = 0 AND h.k IS NULL
+""",
     # Restart recovery: the two-run drained sink must equal the one-shot
     # batch aggregate over ALL events — state lost on restart zeroes the
     # midpoint window, checkpoint ignored duplicates run-1 windows.

@@ -206,3 +206,16 @@ def run_stream_to_df(spark: SparkSession, stream_df: DataFrame,
     name = f"__stream_sink_{next(_MEMSINK_SEQ)}"
     stream_to_memory(stream_df, name, output_mode)
     return spark.table(name)
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (same single-file /
+    Spark-written-directory handling as :func:`events_stream`)."""
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(f"{sf_dir}/documents.parquet"):
+        return reader.parquet(f"{sf_dir}/documents.parquet")
+    return (reader.option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))

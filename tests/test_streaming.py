@@ -162,3 +162,25 @@ def test_stream_static_enrichment_parity(spark, sf_dir):
     got = _rows(spark.table("t_enrich_static"))
     want = _rows(shape(load_table(spark, sf_dir, "events")))
     assert got == want
+
+
+def test_stream_dedup_history_matches_batch_anti_join(spark, sf_dir):
+    """stream_dedup_history (r9): the streamed left-anti result must
+    equal the batch anti-join of incoming keys vs historical keys."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.dedup import tokenset_key
+    from big_data_assignment_2_spark.plans.streaming_queries import \
+        q_stream_dedup_history
+
+    got = {(r["doc_id"], r["source"])
+           for r in q_stream_dedup_history(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("__k", tokenset_key("text")) \
+        .withColumn("__nid", F.col("doc_id").cast("bigint"))
+    hist = docs.filter("__nid % 5 <> 0").select("__k").distinct()
+    want = {(str(r["doc_id"]), r["source"]) for r in
+            docs.filter("__nid % 5 = 0")
+            .join(hist, "__k", "left_anti")
+            .select("doc_id", "source").collect()}
+    assert got == want and want
