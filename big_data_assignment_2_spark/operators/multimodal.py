@@ -1393,14 +1393,17 @@ def _mp4_find(buf: bytes, start: int, end: int, path: list[bytes]):
 
 
 def mp4_mjpeg_bytes(frames: list[bytes], width: int, height: int,
-                    fps: int = 10, frames_per_chunk: int = 0) -> bytes:
+                    fps: int = 10, frames_per_chunk: int = 0,
+                    use_co64: bool = False) -> bytes:
     """A valid ISO BMFF file with ONE video track of MJPEG samples
     ('jpeg' sample entry): ftyp + mdat(frames) + moov(mvhd + trak(tkhd +
     mdia(mdhd + hdlr + minf(vmhd + dinf + stbl(stsd stts stsc stsz
     stco))))).  mdat precedes moov so every chunk offset is known without
     patching (the layout every camera writes).  ``frames_per_chunk`` = 0
     puts all samples in one chunk; any other value exercises the
-    multi-chunk stsc/stco path."""
+    multi-chunk stsc/stco path.  ``use_co64`` writes 64-bit chunk
+    offsets (the >4 GiB-file table) so the demuxer's co64 branch is
+    testable."""
     import struct
 
     def box(typ: bytes, payload: bytes) -> bytes:
@@ -1468,8 +1471,12 @@ def mp4_mjpeg_bytes(frames: list[bytes], width: int, height: int,
                + b"".join(struct.pack(">III", *e) for e in stsc_entries))
     stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
                + b"".join(struct.pack(">I", s) for s in sizes))
-    stco = box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", n_chunks)
-               + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    if use_co64:
+        stco = box(b"co64", b"\x00\x00\x00\x00" + struct.pack(">I", n_chunks)
+                   + b"".join(struct.pack(">Q", o) for o in chunk_offsets))
+    else:
+        stco = box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", n_chunks)
+                   + b"".join(struct.pack(">I", o) for o in chunk_offsets))
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = box(b"minf", vmhd + dinf + stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)

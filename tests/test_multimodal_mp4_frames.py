@@ -102,3 +102,15 @@ def test_demux_on_spark(spark, sf_dir):
     got = {(r["media_id"], r["frame_idx"]):
            (r["width"], r["height"], r["pix_sum"]) for r in rows}
     assert got == expected
+
+
+def test_demux_co64_offsets():
+    """64-bit chunk-offset tables (co64, the >4 GiB layout) must demux
+    byte-identically to stco."""
+    frames = _frames(23)
+    px = jpeg_flat_blocks_frame(23, 0)
+    for fpc in (0, 2):
+        payload = mp4_mjpeg_bytes(frames, px.shape[1], px.shape[0],
+                                  frames_per_chunk=fpc, use_co64=True)
+        assert b"co64" in payload and b"stco" not in payload
+        assert demux_mp4_frames(payload) == frames
