@@ -75,13 +75,80 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs(F.col("z")) >= Z_CUTOFF))
 
 
+
+
+SESSION_GAP_US = 1_800_000_000    # 30 min inactivity splits a session
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized user-journey PATH MINING: per-user events are split
+    into sessions at >30-min inactivity gaps (lag + cumulative-flag —
+    the classic gap-sessionization window pattern, complementing the
+    streaming ``session_window`` rows), each session's ordered
+    event-type sequence becomes a '>'-joined path, and paths are counted
+    across the corpus with their distinct-user reach — the product-
+    analytics "what journeys do users actually take" report.
+
+    Scale shape: every window is partitioned by user_id (well
+    distributed, no global window), the session agg carries sorted
+    structs in-row, and the final path rollup is an ordinary hash agg.
+    Gap arithmetic is exact integer microseconds (unix_micros /
+    epoch_us) so both engines sessionize identically; ordering ties
+    break on event_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .alias("__us"))
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    gap = F.col("__us") - F.lag("__us").over(w)
+    sess = (ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        .otherwise(0))
+        .withColumn("session_no", F.sum("__new").over(w)))
+    paths = (sess.groupBy("user_id", "session_no")
+             .agg(F.array_join(F.transform(
+                 F.sort_array(F.collect_list(
+                     F.struct("__us", "event_id", "event_type"))),
+                 lambda s: s["event_type"]), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 QUERIES = {
+    "events_paths": q_event_paths,
     "events_funnel": q_funnel,
     "events_retention": q_retention,
     "events_zscore_outliers": q_zscore_outliers,
 }
 
 ORACLES = {
+    # Gap sessionization replayed with the same integer-microsecond
+    # arithmetic and (ts, event_id) tie-break; string_agg ORDER BY is the
+    # sorted-struct transform's twin.
+    "events_paths": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT *, us - lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS gap
+  FROM e),
+s AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM l),
+p AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM s GROUP BY user_id, session_no)
+SELECT path, count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users
+FROM p GROUP BY path
+""",
     "events_zscore_outliers": f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
