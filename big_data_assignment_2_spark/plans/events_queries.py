@@ -117,14 +117,79 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("n_users")))
 
 
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION COUNTS over the sessionized event
+    stream: within each session (same gap sessionization as
+    ``events_paths``), count (from_event -> to_event) adjacent pairs and
+    report each transition's share of its from-state's outgoing edges —
+    the transition-matrix view of user behavior (next-step prediction,
+    journey-graph weighting).
+
+    Same scale shape as the path query: user-partitioned windows only,
+    then one hash agg on (from_event, to_event) and a broadcast-sized
+    per-from rollup joined back for the share."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"))
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    gap = F.col("__us") - F.lag("__us").over(w)
+    sess = (ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        .otherwise(0))
+        .withColumn("session_no", F.sum("__new").over(w)))
+    ws = Window.partitionBy("user_id", "session_no")         .orderBy("__us", "event_id")
+    steps = (sess
+             .withColumn("to_event", F.lead("event_type").over(ws))
+             .filter(F.col("to_event").isNotNull())
+             .select(F.col("event_type").alias("from_event"), "to_event"))
+    counts = (steps.groupBy("from_event", "to_event")
+              .agg(F.count(F.lit(1)).alias("n")))
+    outgoing = counts.groupBy("from_event")         .agg(F.sum("n").alias("__out"))
+    return (counts.join(F.broadcast(outgoing), "from_event")
+            .select("from_event", "to_event", "n",
+                    F.round(F.col("n") / F.col("__out"), 6).alias("share")))
+
+
 QUERIES = {
     "events_paths": q_event_paths,
+    "events_transitions": q_event_transitions,
     "events_funnel": q_funnel,
     "events_retention": q_retention,
     "events_zscore_outliers": q_zscore_outliers,
 }
 
 ORACLES = {
+    # Same sessionization CTEs as events_paths; lead() within session,
+    # transition counts + per-from share.
+    "events_transitions": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (
+  SELECT *, us - lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS gap
+  FROM e),
+s AS (
+  SELECT *, sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM l),
+t AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id, session_no
+                                ORDER BY us, event_id) AS to_event
+  FROM s),
+c AS (SELECT from_event, to_event, count(*) AS n
+      FROM t WHERE to_event IS NOT NULL GROUP BY from_event, to_event),
+o AS (SELECT from_event, sum(n) AS outn FROM c GROUP BY from_event)
+SELECT c.from_event, c.to_event, c.n,
+       round(CAST(c.n AS DOUBLE) / o.outn, 6) AS share
+FROM c JOIN o USING (from_event)
+""",
     # Gap sessionization replayed with the same integer-microsecond
     # arithmetic and (ts, event_id) tie-break; string_agg ORDER BY is the
     # sorted-struct transform's twin.
