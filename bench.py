@@ -61,6 +61,8 @@ EXTRA = [
     "text_heavy_hitters_exact",  # two-pass Misra-Gries + exact verify
     "dedup_incremental",     # ingest batch vs historical fingerprints
     "sim_semdedup",          # cluster-then-prune semantic dedup
+    "events_paths",          # gap sessionization + journey path mining
+    "stream_dedup_history",  # stream-static anti-join dedup
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single
