@@ -36,14 +36,12 @@ HEADLINE = [
 # Timed like HEADLINE but excluded from the suite total so `value` stays
 # comparable with BASELINE.md round over round (these queries postdate it).
 EXTRA = [
-    # NOTE: the FIXED-width LSH rows (sim_cosine_top_pairs, and the gate's
-    # sim_cosine_near_dups / sim_cosine_banded) are kept for
-    # round-over-round continuity only — their fixed bucket space admits a
-    # fixed fraction of all N² pairs (measured 30x candidate blowup at a
-    # 10x scale-up).  The 100 TB near-dup path is the width-ADAPTIVE pair:
-    # sim_cosine_top_pairs_scaled / sim_cosine_near_dups_banded.
-    "sim_cosine_top_pairs",  # LSH-bucket candidate pair join (no all-pairs)
-    "sim_cosine_banded",     # banded sign-LSH (width-tunable scale path)
+    # CHANGELOG (round 10, per VERDICT r9 #6): the FIXED-width LSH rows
+    # (sim_cosine_top_pairs, sim_cosine_banded) are RETIRED from the bench
+    # (~7 s/round) — their scale verdict is settled (fixed bucket space
+    # admits a fixed fraction of all N² pairs; the width-ADAPTIVE twins
+    # below are the certified 100 TB path).  Both stay registered as
+    # sf0.01/sf0.1 gate artifacts for correctness continuity.
     "sim_cosine_top_pairs_scaled",  # width sized from corpus (100 TB form)
     "sim_cosine_near_dups_banded",  # certified default near-dup (adaptive)
     "sim_tfidf_topk",        # sparse TF-IDF cosine via inverted-index join
@@ -76,9 +74,19 @@ COLD_ALSO = ["dedup_minhash_near", "dedup_clusters"]
 # Fixed-width LSH rows dropped from sweeps at sf >= ~1: their fixed bucket
 # space admits a fixed FRACTION of all N² pairs (measured 84-87 s each at
 # sf1, 30x candidate blowup per 10x data — the cliff SCALE.md documents).
-# The adaptive pair stays timed at every scale; one fixed-width gate row
-# remains oracle-certified at sf0.01/sf0.1 for continuity.
+# Since round 10 they are out of EXTRA entirely (settled verdict); the set
+# stays as a guard should either row ever be re-added.
 FIXED_WIDTH_LSH = {"sim_cosine_top_pairs", "sim_cosine_banded"}
+
+# Sub-2 s rows get extra repeats (5 total instead of 3): two rounds running
+# the driver's official number drifted ~+12% on PLANS THAT DID NOT CHANGE
+# (co-tenant noise, confirmed by min-of-3 re-runs both times — VERDICT r9
+# #3).  More repeats tighten min-of-N exactly where noise swamps signal,
+# and the per-query MEDIAN is emitted alongside the min so drift is
+# diagnosable from the JSON alone: plan regressions move min and median
+# together; co-tenant noise moves the median while the min holds.
+EXTRA_REPEATS_UNDER_SEC = 2.0
+EXTRA_REPEATS = 2
 
 
 def main() -> None:
@@ -117,6 +125,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     # HEADLINE first, cold-heavies LAST: round 3 showed the 10s+ cold dedup
     # runs (exploded token state, GC debt) executing before the headline
     # loop can inflate an unchanged query's min-of-3 several-fold.  Timing
@@ -130,10 +139,19 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        # min, not median: the metric is the engine's cost, and min-of-N is
-        # the estimator least contaminated by co-tenant machine load.
+        if min(runs) < EXTRA_REPEATS_UNDER_SEC:
+            # cheap rows, noisy minima: buy precision where it's cheap
+            for _ in range(EXTRA_REPEATS):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+        # min, not median, is the headline: the metric is the engine's
+        # cost, and min-of-N is the estimator least contaminated by
+        # co-tenant machine load.  The median rides along (see
+        # EXTRA_REPEATS_UNDER_SEC) for drift diagnosis.
         (timings if name in HEADLINE else extra_timings)[name] = \
             round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
     for name in COLD_ALSO:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -162,11 +180,42 @@ def main() -> None:
         write_index(build_index(load_table(spark, sf_dir, "documents")), ixdir)
         timings["index_build_persist"] = round(time.perf_counter() - t0, 3)
         runs = []
-        for _ in range(REPEATS):
+        for _ in range(REPEATS + EXTRA_REPEATS):
             t0 = time.perf_counter()
             materialize(bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY))
             runs.append(time.perf_counter() - t0)
         timings["search_bm25_probe_persisted"] = round(min(runs), 3)
+        medians["search_bm25_probe_persisted"] = \
+            round(sorted(runs)[len(runs) // 2], 3)
+
+    # ANN serving path (round 10, VERDICT r9 #1): train the IVF+PQ index
+    # ONCE (timed as the build row), then time PROBES against the persisted
+    # codes — the amortized serving latency that matters at 100 TB, where
+    # the in-flight sim_ivfpq_topk row deliberately keeps billing Lloyd
+    # training to every run as its certification cost.
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_probe_persisted, write_ivfpq)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qdf = em.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    with tempfile.TemporaryDirectory() as anndir:
+        t0 = time.perf_counter()
+        write_ivfpq(em, anndir, n_centroids=4, coarse_iters=1,
+                    m=4, ks=8, pq_iters=1)
+        extra_timings["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
+        materialize(ivfpq_probe_persisted(spark, anndir, qdf, k=10, nprobe=2))
+        runs = []
+        for _ in range(REPEATS + EXTRA_REPEATS):
+            t0 = time.perf_counter()
+            materialize(ivfpq_probe_persisted(spark, anndir, qdf,
+                                              k=10, nprobe=2))
+            runs.append(time.perf_counter() - t0)
+        extra_timings["sim_ivfpq_probe_persisted"] = round(min(runs), 3)
+        medians["sim_ivfpq_probe_persisted"] = \
+            round(sorted(runs)[len(runs) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -178,6 +227,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {**timings, **extra_timings},
+        # per-query MEDIAN alongside the min: a real plan regression moves
+        # both; co-tenant noise moves the median while the min holds — so
+        # round-over-round drift is diagnosable from this JSON alone.
+        "queries_median": medians,
         "sf": sf_val,
     }
     print(json.dumps(out))

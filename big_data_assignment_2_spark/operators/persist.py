@@ -147,6 +147,103 @@ def probe_ivf_lists(spark: SparkSession, path: str,
     return spark.read.parquet(path).filter(F.col("list_id").isin(list_ids))
 
 
+def write_ivfpq(vectors: DataFrame, base_path: str, n_centroids: int = 4,
+                coarse_iters: int = 1, m: int = 4, ks: int = 8,
+                pq_iters: int = 1, dim: int = 64,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Train the IVF+PQ index ONCE and persist everything a query needs:
+
+    - ``coarse/``   — (cid, centroid double[dim]) coarse centroids
+    - ``books/``    — (subspace, cid, centroid double[dim/m]) sub-codebooks
+    - ``codes/``    — (neighbor_id, c0..c{m-1}) PARTITIONED BY list_id
+
+    This is the production ANN shape the in-flight ``ivfpq_topk``
+    deliberately is not: at 100 TB the index is built once and probed
+    millions of times, so Lloyd training must never be billed to a
+    query.  The codes layout mirrors ``write_ivf`` — a probe's nprobe
+    lists prune to their partition directories before any row is read —
+    and the codebooks are a few KB of parquet the serving session
+    collects once (the same bounded-driver-collect contract as
+    broadcasting IVF centroids).  Doubles round-trip parquet exactly, so
+    the persisted index probes BIT-IDENTICALLY to the in-flight query
+    (asserted in tests/test_ivfpq_persist.py)."""
+    from .similarity import ivfpq_train
+
+    spark = vectors.sparkSession
+    cent, books, codes, cached = ivfpq_train(
+        vectors, n_centroids, coarse_iters, m, ks, pq_iters, dim,
+        vec_col, id_col)
+    try:
+        codes.write.mode("overwrite").partitionBy("list_id") \
+            .parquet(f"{base_path}/codes")
+    finally:
+        for df in cached:
+            df.unpersist()
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cent)],
+        "cid INT, centroid ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{base_path}/coarse")
+    spark.createDataFrame(
+        [(s, i, list(c)) for s, book in enumerate(books)
+         for i, c in enumerate(book)],
+        "subspace INT, cid INT, centroid ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{base_path}/books")
+
+
+def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
+                          queries: DataFrame, k: int = 10, nprobe: int = 2,
+                          dim: int = 64, vec_col: str = "embedding",
+                          q_id_col: str = "query_id") -> DataFrame:
+    """Serve ANN queries from a PERSISTED IVF+PQ index — the mirror of
+    :func:`bm25_probe_persisted` for vectors: read the (tiny) codebooks
+    once, select each query's nprobe lists, scan ONLY those lists'
+    partition directories of the m-byte code relation, ADC-score, rank.
+    No training anywhere on the query path.
+
+    The probed-list pruning filter is built from one bounded driver
+    collect of the queries' nprobe list ids (|Q|·nprobe ints — the same
+    contract as ``probe_postings``'s driver-side term buckets); scoring
+    itself stays fully distributed via :func:`similarity.ivfpq_score`,
+    so the result is column-for-column identical to the in-flight
+    ``ivfpq_topk`` on the same parameters."""
+    from .similarity import as_double, ivfpq_score
+
+    crows = sorted(spark.read.parquet(f"{base_path}/coarse").collect(),
+                   key=lambda r: r["cid"])
+    cent = [list(r["centroid"]) for r in crows]
+    brows = spark.read.parquet(f"{base_path}/books").collect()
+    n_sub = max(r["subspace"] for r in brows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in sorted(brows, key=lambda r: (r["subspace"], r["cid"])):
+        books[r["subspace"]].append(list(r["centroid"]))
+
+    # Which lists will be probed: evaluate the probe-selection expression
+    # on the (small) query relation and collect the distinct list ids —
+    # the literals a partition-pruned scan needs.
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       as_double(vec_col).alias("q"))
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cent])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    ranked = F.array_sort(F.zip_with(
+        dists, F.sequence(F.lit(0), F.lit(len(cent) - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cid"))))
+    probed = (q.select(F.explode(
+        F.transform(F.slice(ranked, 1, nprobe),
+                    lambda s: s.getField("cid"))).alias("list_id"))
+        .distinct().collect())
+    list_ids = sorted(r["list_id"] for r in probed)
+
+    codes = spark.read.parquet(f"{base_path}/codes") \
+        .filter(F.col("list_id").isin(list_ids))
+    return ivfpq_score(codes, queries, cent, books, k=k, nprobe=nprobe,
+                       dim=dim, vec_col=vec_col, q_id_col=q_id_col)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 8, sort_col: str | None = None,
                    path: str | None = None) -> None:

