@@ -771,13 +771,14 @@ def decode_mp4(payload: bytes) -> dict:
 
 
 # --- JPEG (ITU T.81 baseline) codec — fifth REAL codec ---------------------
-# Baseline sequential DCT, grayscale, stdlib+numpy only: real marker
-# structure (SOI/DQT/SOF0/DHT/SOS/EOI), real Huffman entropy coding (the
+# Baseline sequential DCT, stdlib+numpy only: real marker structure
+# (SOI/DQT/SOF0/DHT/DRI/SOS/EOI), real Huffman entropy coding (the
 # decoder builds its tables FROM the file's DHT segments, so it is not
 # tied to this encoder's table choice), zigzag + (run,size) RLE with
-# ZRL/EOB, byte stuffing, DC prediction, FDCT/IDCT.  What stays out of
-# scope (and raises): chroma subsampling, progressive scans, restart
-# markers — none of which baseline grayscale needs.
+# ZRL/EOB, byte stuffing, DC prediction, FDCT/IDCT.  Grayscale, 4:4:4
+# color, 4:2:0 subsampled (r9), and DRI restart intervals (r10) are in
+# scope; what stays out (and raises): progressive scans, 4:2:2, 16-bit
+# quant tables.
 #
 # Exactness contract for the oracle: with a UNITY quantization table a
 # flat 8x8 block round-trips BIT-EXACTLY (its FDCT is a single DC
@@ -849,6 +850,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)   # pad with 1s per T.81
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align (1-padding, T.81 F.1.2.3) then emit RSTn — markers
+        are raw two-byte codes, never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_mag_bits(v: int) -> tuple[int, int]:
     """(size, value-bits) for a DC diff / AC coefficient per T.81 F.1.2."""
@@ -897,11 +906,16 @@ def _encode_block(bw_writer: "_BitWriter", blk, qmat, dc_tab, ac_tab,
     return prev_dc
 
 
-def jpeg_bytes(pixels, quant=None) -> bytes:
+def jpeg_bytes(pixels, quant=None, restart_interval: int = 0) -> bytes:
     """Encode a grayscale uint8 array (h, w) as a baseline JPEG.  ``quant``
     is the 64-entry quantization table in natural order (default all
     ones — see the exactness contract above).  Dimensions need not be
-    multiples of 8; partial blocks are edge-replicated."""
+    multiples of 8; partial blocks are edge-replicated.
+
+    ``restart_interval`` > 0 (r10) writes a DRI segment and emits RSTn
+    markers every that-many MCUs (byte-aligned, modulo-8 sequence, DC
+    predictor reset) — the resync layout camera JPEGs use, and the
+    variant a real-world corpus hits first beyond plain baseline."""
     import struct
 
     import numpy as np
@@ -920,6 +934,10 @@ def jpeg_bytes(pixels, quant=None) -> bytes:
     qmat = q.reshape(8, 8)
     for by in range(bh):
         for bx in range(bw):
+            mcu = by * bw + bx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.restart_marker(mcu // restart_interval - 1)
+                prev_dc = 0
             blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
             prev_dc = _encode_block(bw_writer, blk, qmat, dc_tab, ac_tab,
                                     prev_dc)
@@ -934,12 +952,15 @@ def jpeg_bytes(pixels, quant=None) -> bytes:
         return bytes([(cls << 4) | tid] + counts + symbols)
 
     zz_q = q[_JPEG_ZIGZAG]            # DQT body is in zigzag order
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     out = (b"\xff\xd8"                                            # SOI
            + seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_q))  # DQT
            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
                  + bytes([1, 0x11, 0]))                           # SOF0
            + seg(0xFFC4, dht(0, 0, _JPEG_DC_SYMBOLS, 4))          # DHT DC
            + seg(0xFFC4, dht(1, 0, _JPEG_AC_SYMBOLS, 9))          # DHT AC
+           + dri                                                  # DRI
            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))           # SOS
            + data + b"\xff\xd9")                                  # EOI
     return out
@@ -1017,7 +1038,8 @@ def jpeg_bytes_color(pixels, quant_luma=None, quant_chroma=None) -> bytes:
             + data + b"\xff\xd9")                                 # EOI
 
 
-def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
+def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None,
+                   restart_interval: int = 0) -> bytes:
     """Encode an RGB uint8 array (h, w, 3) as a baseline 4:2:0
     chroma-SUBSAMPLED JPEG (r9, one notch past :func:`jpeg_bytes_color`):
     luma sampling 0x22 against chroma 0x11, 16x16 macroblock MCUs of 4 Y
@@ -1028,7 +1050,11 @@ def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
     constant), so under unity quant tables they round-trip bit-exactly
     through the full subsampled path — the oracle for ``mm_jpeg_420``.
     True color loses chroma detail by design; tolerance tests pin the
-    envelope."""
+    envelope.
+
+    ``restart_interval`` > 0 (r10) emits DRI + per-interval RSTn markers
+    over the 16x16-macroblock MCUs — 4:2:0 with restarts is the typical
+    camera-output layout."""
     import struct
 
     import numpy as np
@@ -1061,6 +1087,10 @@ def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
     prev = [0, 0, 0]
     for my in range(mbh):
         for mx in range(mbw):
+            mcu = my * mbw + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.restart_marker(mcu // restart_interval - 1)
+                prev = [0, 0, 0]
             for vy in range(2):
                 for hx in range(2):
                     y0, x0 = my * 16 + vy * 8, mx * 16 + hx * 8
@@ -1082,6 +1112,8 @@ def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
         return bytes([(cls << 4) | tid] + counts + symbols)
 
     zz_ql, zz_qc = ql[_JPEG_ZIGZAG], qc[_JPEG_ZIGZAG]
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (b"\xff\xd8"                                           # SOI
             + seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_ql))
             + seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in zz_qc))
@@ -1091,6 +1123,7 @@ def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None) -> bytes:
             + seg(0xFFC4, dht(1, 0, _JPEG_AC_SYMBOLS, 9))
             + seg(0xFFC4, dht(0, 1, _JPEG_DC_SYMBOLS, 4))
             + seg(0xFFC4, dht(1, 1, _JPEG_AC_SYMBOLS, 9))
+            + dri                                                 # DRI
             + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
             + data + b"\xff\xd9")                                 # EOI
 
@@ -1118,6 +1151,19 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         return v
 
+    def restart(self) -> int:
+        """Byte-align, discard the pad bits, and consume the next RSTn
+        marker (T.81 E.2.4).  Returns the marker's modulo-8 index so the
+        caller can verify the restart sequence."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.buf) or self.buf[self.pos] != 0xFF \
+                or not (0xD0 <= self.buf[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        n = self.buf[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _huff_decode(reader: "_BitReader", table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -1139,8 +1185,10 @@ def decode_jpeg(payload: bytes) -> dict:
     """REAL stdlib+numpy baseline JPEG decoder: marker walk, DHT-driven
     Huffman entropy decode (byte unstuffing, DC prediction, magnitude
     extend, ZRL/EOB), dezigzag, dequantize, separable float IDCT,
-    level shift + clamp.  Grayscale baseline sequential only —
-    multi-component, progressive, or restart-marker streams raise.
+    level shift + clamp.  Baseline sequential: grayscale, 4:4:4 color,
+    4:2:0 subsampled, and DRI restart intervals (r10 — RSTn sequence
+    verified, DC predictors reset per T.81 E.2.4); progressive, 4:2:2,
+    and 16-bit quant tables raise.
 
     Returns {width, height, n_channels, pixels} with ``pixels`` the
     recovered (height, width) uint8 array."""
@@ -1155,6 +1203,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
     data = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         (marker, length) = struct.unpack_from(">HH", payload, pos)
         body = payload[pos + 4: pos + 2 + length]
@@ -1199,8 +1248,8 @@ def decode_jpeg(payload: bytes) -> dict:
                     code <<= 1
                 huff[(cls, tid)] = table
                 off += 17 + sum(counts)
-        elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xFFDD:                    # DRI (r10)
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:                    # SOS
             scan_tabs = {}      # component id -> (dc table id, ac table id)
             for ci in range(body[0]):
@@ -1247,6 +1296,23 @@ def decode_jpeg(payload: bytes) -> dict:
         S = S.reshape(8, 8) * qmat
         return C.T @ S @ C + 128.0, prev_dc
 
+    def at_mcu_boundary(mcu_idx: int) -> None:
+        """Before MCU ``mcu_idx``: if a DRI interval is in force and this
+        index starts a new restart interval, consume the RSTn marker
+        (byte-aligned), verify its modulo-8 sequence number, and reset
+        every component's DC predictor (T.81 E.2.4) — the resync
+        mechanism camera JPEGs emit so bit errors stay local."""
+        if restart_interval and mcu_idx \
+                and mcu_idx % restart_interval == 0:
+            expected = (mcu_idx // restart_interval - 1) % 8
+            n = reader.restart()
+            if n != expected:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{n}, "
+                    f"expected RST{expected}")
+            for i in range(len(prev)):
+                prev[i] = 0
+
     if subsampled:
         # 4:2:0 interleaved MCU = 4 luma blocks (left-to-right then next
         # row) + 1 Cb + 1 Cr at half resolution.
@@ -1256,6 +1322,7 @@ def decode_jpeg(payload: bytes) -> dict:
                   np.zeros((mbh * 8, mbw * 8), dtype=np.float64)]
         for my in range(mbh):
             for mx in range(mbw):
+                at_mcu_boundary(my * mbw + mx)
                 qmat, dc_tab, ac_tab = comp_info[0]
                 for vy in range(2):
                     for hx in range(2):
@@ -1278,6 +1345,7 @@ def decode_jpeg(payload: bytes) -> dict:
                   for _ in comp_info]
         for by in range(bh):
             for bx in range(bw):
+                at_mcu_boundary(by * bw + bx)
                 for ci, (qmat, dc_tab, ac_tab) in enumerate(comp_info):
                     blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
                                                  prev[ci])
@@ -1335,6 +1403,34 @@ def generate_media_jpeg(docs: DataFrame, batch_size: int = 256) -> DataFrame:
                 "media_id": [str(i) for i in ids],
                 "media_type": ["image"] * len(ids),
                 "payload": [jpeg_bytes(jpeg_flat_blocks(i)) for i in ids],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_media_jpeg_dri(docs: DataFrame,
+                            batch_size: int = 256) -> DataFrame:
+    """JPEG media table with RESTART INTERVALS (r10): the same flat-block
+    fixture as :func:`generate_media_jpeg` but every payload carries a
+    DRI segment with interval 1 + doc_id % 3 MCUs and the matching RSTn
+    markers (byte-aligned, modulo-8 sequence, DC predictors reset) —
+    the camera-output layout.  The fixture's geometry (up to 5x4 = 20
+    MCUs) guarantees multiple restarts at every interval choice, and
+    DRI never changes decoded pixels, so the mm_jpeg_decode arithmetic
+    oracle applies unchanged."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": [jpeg_bytes(jpeg_flat_blocks(i),
+                                       restart_interval=1 + i % 3)
+                            for i in ids],
             })
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"

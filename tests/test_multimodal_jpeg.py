@@ -122,3 +122,73 @@ def test_spark_pipeline_arrow_batches(spark):
         r = out[str(did)]
         assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
         assert r["pix_sum"] == int(px.sum())
+
+
+# --- DRI restart intervals (r10) -------------------------------------------
+
+def test_dri_roundtrip_bit_exact_all_intervals():
+    """DRI never changes decoded pixels: flat-block fixtures round-trip
+    bit-exactly at every restart interval, and the stream really carries
+    the DRI segment + RSTn markers."""
+    from big_data_assignment_2_spark.operators.multimodal import decode_jpeg
+
+    for did in (3, 17, 42):
+        px = jpeg_flat_blocks(did)
+        for ri in (1, 2, 3, 7):
+            payload = jpeg_bytes(px, restart_interval=ri)
+            assert b"\xff\xdd" in payload          # DRI segment present
+            n_mcus = (px.shape[0] // 8) * (px.shape[1] // 8)
+            if n_mcus > ri:
+                sos = payload.find(b"\xff\xda")
+                assert payload.find(b"\xff\xd0", sos) > 0  # RST0 emitted
+            out = decode_jpeg(payload)
+            assert (out["pixels"] == px).all()
+
+
+def test_dri_marker_sequence_verified():
+    """A restart marker with the wrong modulo-8 index raises — the decoder
+    checks the RSTn sequence, it does not just skip two bytes."""
+    from big_data_assignment_2_spark.operators.multimodal import decode_jpeg
+
+    payload = bytearray(jpeg_bytes(jpeg_flat_blocks(9), restart_interval=1))
+    idx = payload.find(b"\xff\xd0", payload.find(b"\xff\xda"))
+    assert idx > 0
+    payload[idx + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(payload))
+
+
+def test_dri_420_color_roundtrip():
+    """4:2:0 + DRI (the typical camera layout): gray-content 16x16
+    macroblocks stay bit-exact through subsampling AND restarts."""
+    import numpy as np
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        decode_jpeg, jpeg_bytes_420)
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(2, 3))
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    for my in range(2):
+        for mx in range(3):
+            img[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16, :] = \
+                vals[my, mx]
+    payload = jpeg_bytes_420(img, restart_interval=2)
+    assert b"\xff\xdd" in payload
+    out = decode_jpeg(payload)
+    assert out["n_channels"] == 3
+    assert (out["pixels"] == img).all()
+
+
+def test_dri_predictor_reset_matters():
+    """The encoder resets DC predictors at restarts; a decoder that kept
+    predicting across the boundary would decode DIFFERENT pixels unless
+    every DC diff were zero — use a gradient fixture so diffs are
+    non-zero, then check equality (proving both sides reset)."""
+    from big_data_assignment_2_spark.operators.multimodal import decode_jpeg
+
+    px = jpeg_flat_blocks(42)       # a=venough blocks with varying values
+    assert len(set(px[::8, ::8].flatten().tolist())) > 1
+    with_dri = decode_jpeg(jpeg_bytes(px, restart_interval=1))
+    without = decode_jpeg(jpeg_bytes(px))
+    assert (with_dri["pixels"] == without["pixels"]).all()
