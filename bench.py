@@ -61,6 +61,7 @@ EXTRA = [
     "sim_semdedup",          # cluster-then-prune semantic dedup
     "events_paths",          # gap sessionization + journey path mining
     "stream_dedup_history",  # stream-static anti-join dedup
+    "stream_dedup_near_live",  # near-dup band probe vs persisted store
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

@@ -799,26 +799,47 @@ def incremental_dedup(docs: DataFrame, historical: Column,
               .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
               .join(base.select("doc_id", "__nid", "__hist"), "doc_id")
               .persist(StorageLevel.MEMORY_AND_DISK))
-    bands = lsh_band_keys(minhash_signatures_from_arrays(arrays))
-    bands = bands.join(base.select("doc_id", "__nid", "__hist"), "doc_id")
-    probe = (bands.join(inc.filter(F.col("__exact_nid").isNull())
-                        .select("doc_id"), "doc_id")
-             .select(F.col("doc_id").alias("inc_id"), "band_id", "band_key"))
-    build = (bands.filter("__hist")
-             .select(F.col("doc_id").alias("hist_id"),
-                     F.col("__nid").alias("hist_nid"),
-                     "band_id", "band_key"))
-    cand = (probe.join(build, ["band_id", "band_key"])
-            .select("inc_id", "hist_id", "hist_nid").distinct())
+    hist_bands = (lsh_band_keys(
+        minhash_signatures_from_arrays(arrays.filter("__hist")))
+        .join(arrays.filter("__hist").select("doc_id", "__nid"), "doc_id")
+        .select(F.col("__nid").alias("hist_nid"), "band_id", "band_key"))
+    hist_arrays = (arrays.filter("__hist")
+                   .select(F.col("__nid").alias("hist_nid"), "__toks",
+                           F.size("__toks").alias("__sz")))
+    return _flag_against_history(
+        inc.select("doc_id", "__nid", "__exact_nid"),
+        arrays.filter(~F.col("__hist")).select("doc_id", "__toks"),
+        hist_bands, hist_arrays, threshold)
 
-    arr = arrays.select("doc_id", "__toks", F.size("__toks").alias("__sz"))
+
+def _flag_against_history(inc: DataFrame, inc_arrays: DataFrame,
+                          hist_bands: DataFrame, hist_arrays: DataFrame,
+                          threshold: float) -> DataFrame:
+    """The shared PROBE plan of :func:`incremental_dedup` (batch
+    certification) and :func:`flag_batch_against_store` (streaming
+    serving): one-sided band probe for the not-exact incoming remainder,
+    in-row Jaccard verify against the historical token arrays, best-match
+    agg, status render.  ``inc`` = (doc_id, __nid, __exact_nid) incoming
+    rows already exact-key-joined; ``inc_arrays`` = (doc_id, __toks);
+    history relations may be in-flight or parquet reads — identical plan
+    either way, which is what makes the streaming flagger equal to the
+    batch flagger by construction."""
+    inc_bands = lsh_band_keys(minhash_signatures_from_arrays(inc_arrays))
+    probe = (inc_bands.join(inc.filter(F.col("__exact_nid").isNull())
+                            .select("doc_id"), "doc_id")
+             .select(F.col("doc_id").alias("inc_id"), "band_id", "band_key"))
+    cand = (probe.join(hist_bands, ["band_id", "band_key"])
+            .select("inc_id", "hist_nid").distinct())
+
     verified = (cand
-                .join(arr.select(F.col("doc_id").alias("inc_id"),
-                                 F.col("__toks").alias("__ta"),
-                                 F.col("__sz").alias("__sa")), "inc_id")
-                .join(arr.select(F.col("doc_id").alias("hist_id"),
-                                 F.col("__toks").alias("__tb"),
-                                 F.col("__sz").alias("__sb")), "hist_id")
+                .join(inc_arrays.select(F.col("doc_id").alias("inc_id"),
+                                        F.col("__toks").alias("__ta"),
+                                        F.size("__toks").alias("__sa")),
+                      "inc_id")
+                .join(hist_arrays.select("hist_nid",
+                                         F.col("__toks").alias("__tb"),
+                                         F.col("__sz").alias("__sb")),
+                      "hist_nid")
                 .filter(F.least("__sa", "__sb")
                         >= F.lit(threshold) * F.greatest("__sa", "__sb"))
                 .withColumn("__ni", F.size(F.array_intersect("__ta", "__tb")))
@@ -847,3 +868,81 @@ def incremental_dedup(docs: DataFrame, historical: Column,
                F.when(F.col("__exact_nid").isNotNull(), F.lit(1.0))
                .otherwise(F.col("__near_j")).alias("jaccard")))
     return out
+
+
+def write_fingerprint_store(docs: DataFrame, base_path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Persist the HISTORICAL fingerprint relations a daily ingest-dedup
+    job keeps between runs — exactly the three history-side inputs of
+    :func:`_flag_against_history`:
+
+    - ``keys/``   — (__k, __exact_nid): token-set md5 key → lowest
+      historical doc id (the exact-dup probe relation)
+    - ``bands/``  — (hist_nid, band_id, band_key): MinHash LSH band keys
+      (the near-dup candidate probe relation)
+    - ``arrays/`` — (hist_nid, __toks, __sz): sorted distinct token
+      arrays (the in-row Jaccard verify relation)
+
+    At 100 TB these are the tables the nightly batch job appends to and
+    every streaming micro-batch probes; here they are recomputed per run
+    for certification, same plan shape."""
+    from pyspark import StorageLevel
+
+    num_id = F.col(id_col).cast("bigint")
+    base = (docs.select(num_id.alias("__nid"),
+                        F.col(text_col).alias("__text"))
+            .withColumn("doc_id", F.col("__nid").cast("string"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        (base.select(tokenset_key("__text").alias("__k"), "__nid")
+         .groupBy("__k").agg(F.min("__nid").alias("__exact_nid"))
+         .write.mode("overwrite").parquet(f"{base_path}/keys"))
+        arrays = (doc_tokensets(base, "__text", "doc_id")
+                  .groupBy("doc_id")
+                  .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
+                  .join(base.select("doc_id", "__nid"), "doc_id")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            (lsh_band_keys(minhash_signatures_from_arrays(arrays))
+             .join(arrays.select("doc_id", "__nid"), "doc_id")
+             .select(F.col("__nid").alias("hist_nid"), "band_id", "band_key")
+             .write.mode("overwrite").parquet(f"{base_path}/bands"))
+            (arrays.select(F.col("__nid").alias("hist_nid"), "__toks",
+                           F.size("__toks").alias("__sz"))
+             .write.mode("overwrite").parquet(f"{base_path}/arrays"))
+        finally:
+            arrays.unpersist()
+    finally:
+        base.unpersist()
+
+
+def flag_batch_against_store(batch: DataFrame, base_path: str,
+                             threshold: float = 0.9,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Flag ONE incoming batch against a persisted fingerprint store —
+    the ``foreachBatch`` body of the streaming near-dup dedup
+    (plans/streaming_queries.q_stream_dedup_near_live): exact token-set
+    key left-join plus the one-sided MinHash band probe + Jaccard
+    verify, all against the store's parquet relations only.  No
+    incoming×incoming work, so a document's status is independent of
+    micro-batch boundaries — the drained streaming sink equals the batch
+    flagger on the same split, which is why the batch oracle applies
+    verbatim."""
+    spark = batch.sparkSession
+    num_id = F.col(id_col).cast("bigint")
+    base = (batch.select(num_id.alias("__nid"),
+                         F.col(text_col).alias("__text"))
+            .withColumn("doc_id", F.col("__nid").cast("string")))
+    hist_keys = spark.read.parquet(f"{base_path}/keys")
+    inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
+           .join(hist_keys, "__k", "left")
+           .select("doc_id", "__nid", "__exact_nid"))
+    inc_arrays = (doc_tokensets(base, "__text", "doc_id")
+                  .groupBy("doc_id")
+                  .agg(F.sort_array(F.collect_list("term")).alias("__toks")))
+    return _flag_against_history(
+        inc, inc_arrays,
+        spark.read.parquet(f"{base_path}/bands"),
+        spark.read.parquet(f"{base_path}/arrays"), threshold)

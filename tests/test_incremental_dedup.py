@@ -93,3 +93,58 @@ def test_matches_oracle_semantics_on_corpus(spark, sf_dir):
         if r["match_id"] is not None:
             assert int(r["match_id"]) % 5 != 0
         assert (r["status"] == "unique") == (r["match_id"] is None)
+
+
+# --- streaming near-dup vs batch flagger parity (r10) ----------------------
+
+def test_stream_flagger_equals_batch_flagger(spark, sf_dir):
+    """The foreachBatch body (flag_batch_against_store over a persisted
+    fingerprint store) must produce EXACTLY the batch incremental_dedup
+    output on the same split — statuses, match ids, and jaccards."""
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        flag_batch_against_store, write_fingerprint_store)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_pred = (F.col("doc_id").cast("bigint") % 5) != 0
+    batch_rows = sorted(
+        (tuple(r) for r in incremental_dedup(docs, hist_pred, 0.9).collect()))
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        write_fingerprint_store(docs.filter(hist_pred), store)
+        stream_rows = sorted(
+            (tuple(r) for r in
+             flag_batch_against_store(docs.filter(~hist_pred), store, 0.9)
+             .collect()))
+    assert batch_rows == stream_rows
+    assert len(batch_rows) > 0
+
+
+def test_stream_flagger_batch_boundary_independent(spark, sf_dir):
+    """Splitting the incoming batch in two and flagging each half against
+    the same store yields the union of rows — the property that makes
+    the drained streaming sink equal the one-shot batch answer."""
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        flag_batch_against_store, write_fingerprint_store)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_pred = (F.col("doc_id").cast("bigint") % 5) != 0
+    inc = docs.filter(~hist_pred)
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        write_fingerprint_store(docs.filter(hist_pred), store)
+        whole = sorted(tuple(r) for r in
+                       flag_batch_against_store(inc, store, 0.9).collect())
+        half_a = inc.filter((F.col("doc_id").cast("bigint") % 2) == 0)
+        half_b = inc.filter((F.col("doc_id").cast("bigint") % 2) == 1)
+        split = sorted(
+            [tuple(r) for r in
+             flag_batch_against_store(half_a, store, 0.9).collect()]
+            + [tuple(r) for r in
+               flag_batch_against_store(half_b, store, 0.9).collect()])
+    assert whole == split
