@@ -1164,6 +1164,86 @@ class _BitReader:
         self.pos += 2
         return n
 
+    def peek(self, n: int) -> int:
+        """The next ``n`` bits WITHOUT consuming them, virtually 1-padded
+        past the end of the entropy segment / at a marker boundary (the
+        encoder's own padding rule, so the padding can only ever extend
+        a final code's unused low bits).  Fills the accumulator through
+        the same unstuffing as :meth:`read` but STOPS at a marker
+        instead of raising — the LUT decode peeks a fixed 16 bits, which
+        near a restart marker extends past the real data."""
+        while self.nbits < n and self.pos < len(self.buf):
+            byte = self.buf[self.pos]
+            if byte == 0xFF:
+                if self.pos + 1 >= len(self.buf) \
+                        or self.buf[self.pos + 1] != 0x00:
+                    break                         # marker: stop filling
+                self.pos += 2                     # unstuff
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        pad = n - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        """Consume ``n`` already-peeked bits (n must not exceed the real
+        buffered bits — a code that needed the virtual padding means the
+        stream was truncated)."""
+        if n > self.nbits:
+            raise ValueError("truncated JPEG entropy data")
+        self.nbits -= n
+
+
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(table: dict[tuple[int, int], int]):
+    """16-bit-prefix lookup table for one DHT table: entry i holds the
+    (symbol, code length) of the unique code that prefixes the 16-bit
+    string i, or symbol -1 if no code does.  Built with numpy SLICE
+    assignments (one per symbol — each code owns a contiguous
+    2^(16-len) index range), so construction is ~174 vectorized fills
+    instead of 65k Python loop steps.  Turns the per-symbol decode from
+    up-to-16 (read-1-bit + dict probe) Python steps into one peek(16) +
+    two array indexings.
+
+    MEMOIZED on the table contents: a corpus's files overwhelmingly
+    share identical DHT tables (this repo's generators emit one
+    canonical pair; real encoders ship the Annex K tables), so each
+    worker builds a given LUT once and every subsequent file decodes
+    against the cached arrays — without the memo, per-file build cost
+    exceeds the decode savings on small images (measured on the
+    flat-block fixture corpus)."""
+    import numpy as np
+
+    key = tuple(sorted(table.items()))
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        sym[lo:lo + (1 << (16 - length))] = s
+        ln[lo:lo + (1 << (16 - length))] = length
+    _HUFF_LUT_CACHE[key] = (sym, ln)
+    if len(_HUFF_LUT_CACHE) > 64:     # corpus-of-many-encoders bound
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
+    return sym, ln
+
+
+def _huff_decode_lut(reader: "_BitReader", lut) -> int:
+    sym, ln = lut
+    idx = reader.peek(16)
+    s = int(sym[idx])
+    if s < 0:
+        raise ValueError("invalid Huffman code")
+    reader.skip(int(ln[idx]))
+    return s
+
 
 def _huff_decode(reader: "_BitReader", table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -1262,11 +1342,18 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2 + length
     if h is None or data is None:
         raise ValueError("missing SOF0/SOS")
-    # Per-component decode state in SOF (= interleave) order.
+    # Per-component decode state in SOF (= interleave) order; each DHT
+    # table used by the scan becomes a 16-bit-prefix LUT (see _huff_lut)
+    # so the hot loop decodes one symbol per peek instead of walking the
+    # code tree bit by bit.
+    luts: dict[tuple[int, int], object] = {}
     comp_info = []
     for cid, qid, _samp in comps:
         dc_id, ac_id = scan_tabs[cid]
-        comp_info.append((quant[qid], huff[(0, dc_id)], huff[(1, ac_id)]))
+        for key in ((0, dc_id), (1, ac_id)):
+            if key not in luts:
+                luts[key] = _huff_lut(huff[key])
+        comp_info.append((quant[qid], luts[(0, dc_id)], luts[(1, ac_id)]))
     C = _dct_matrix()
     subsampled = samps == [0x22, 0x11, 0x11]
     reader = _BitReader(data)
@@ -1274,12 +1361,12 @@ def decode_jpeg(payload: bytes) -> dict:
 
     def decode_block(qmat, dc_tab, ac_tab, prev_dc):
         zz = np.zeros(64, dtype=np.int64)
-        size = _huff_decode(reader, dc_tab)
+        size = _huff_decode_lut(reader, dc_tab)
         prev_dc += _jpeg_extend(reader.read(size), size)
         zz[0] = prev_dc
         i = 1
         while i < 64:
-            sym = _huff_decode(reader, ac_tab)
+            sym = _huff_decode_lut(reader, ac_tab)
             if sym == 0x00:                   # EOB
                 break
             if sym == 0xF0:                   # ZRL
