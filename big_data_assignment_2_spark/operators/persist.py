@@ -190,6 +190,40 @@ def write_ivfpq(vectors: DataFrame, base_path: str, n_centroids: int = 4,
         .coalesce(1).write.mode("overwrite").parquet(f"{base_path}/books")
 
 
+def _read_ivfpq_codebooks(spark: SparkSession, base_path: str):
+    """Collect the (tiny) persisted coarse centroids + sub-codebooks —
+    the serving session's one bounded driver read, shared by the probe
+    and the append path."""
+    crows = sorted(spark.read.parquet(f"{base_path}/coarse").collect(),
+                   key=lambda r: r["cid"])
+    cent = [list(r["centroid"]) for r in crows]
+    brows = spark.read.parquet(f"{base_path}/books").collect()
+    n_sub = max(r["subspace"] for r in brows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in sorted(brows, key=lambda r: (r["subspace"], r["cid"])):
+        books[r["subspace"]].append(list(r["centroid"]))
+    return cent, books
+
+
+def ivfpq_append(vectors: DataFrame, base_path: str, dim: int = 64,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Incrementally ADD vectors to a persisted IVF+PQ index — the FAISS
+    ``add()`` maintenance path a production corpus runs daily: encode
+    the new vectors against the FROZEN stored codebooks (one map-side
+    projection, :func:`similarity.ivfpq_encode` — no retraining, no
+    shuffle) and append the code rows into the list_id-partitioned
+    store.  Probes immediately see old + new rows; codebook drift is a
+    periodic REBUILD decision (write_ivfpq again), exactly as with
+    FAISS."""
+    from .similarity import ivfpq_encode
+
+    spark = vectors.sparkSession
+    cent, books = _read_ivfpq_codebooks(spark, base_path)
+    (ivfpq_encode(vectors, cent, books, dim, vec_col, id_col)
+     .write.mode("append").partitionBy("list_id")
+     .parquet(f"{base_path}/codes"))
+
+
 def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
                           queries: DataFrame, k: int = 10, nprobe: int = 2,
                           dim: int = 64, vec_col: str = "embedding",
@@ -208,14 +242,7 @@ def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
     ``ivfpq_topk`` on the same parameters."""
     from .similarity import as_double, ivfpq_score
 
-    crows = sorted(spark.read.parquet(f"{base_path}/coarse").collect(),
-                   key=lambda r: r["cid"])
-    cent = [list(r["centroid"]) for r in crows]
-    brows = spark.read.parquet(f"{base_path}/books").collect()
-    n_sub = max(r["subspace"] for r in brows) + 1
-    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
-    for r in sorted(brows, key=lambda r: (r["subspace"], r["cid"])):
-        books[r["subspace"]].append(list(r["centroid"]))
+    cent, books = _read_ivfpq_codebooks(spark, base_path)
 
     # Which lists will be probed: evaluate the probe-selection expression
     # on the (small) query relation and collect the distinct list ids —

@@ -241,6 +241,50 @@ def q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=TOP_K, nprobe=IVFPQ_NPROBE)
 
 
+# Incremental append split: vec_id % 10 == 9 plays the day's new vectors.
+# The base keeps ids 0..8, so the lowest-id Lloyd inits (coarse k=4,
+# sub-codebooks ks=8) are identical to limit(k) on the base relation.
+APPEND_MOD = 10
+APPEND_REM = 9
+
+
+def q_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index MAINTENANCE (r10): build the persisted
+    IVF+PQ index from the BASE corpus (vec_id % {mod} != {rem}), then
+    ADD the remaining vectors by encoding them against the FROZEN stored
+    codebooks and appending to the list-partitioned code store
+    (persist.ivfpq_append — the FAISS add() path, one map-side
+    projection, no retraining), then answer the query set from the
+    grown index.  The oracle replays exactly that asymmetry: Lloyd
+    chains over the base rows only, assignment/codes/ADC over the full
+    corpus — a green row certifies that the persisted index absorbs new
+    data without retraining and serves old + new rows identically to
+    first principles."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (ivfpq_append, ivfpq_probe_persisted,
+                                     write_ivfpq)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    base = em.filter((nid % APPEND_MOD) != APPEND_REM)
+    new = em.filter((nid % APPEND_MOD) == APPEND_REM)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        f"ivfpq_append_{sf_tag}")
+    write_ivfpq(base, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    ivfpq_append(new, path)
+    return ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
+q_ivfpq_append_probe.__doc__ = q_ivfpq_append_probe.__doc__.format(
+    mod=APPEND_MOD, rem=APPEND_REM)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -269,6 +313,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
     "sim_pq_topk": q_pq_topk,
@@ -479,12 +524,21 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(base_pred: str | None = None) -> str:
     """Replays ivfpq_topk end-to-end: coarse Lloyd (k=IVFPQ_COARSE_K
     over the full 64-dim vectors), assignment + RESIDUALS, per-subspace
     sub-Lloyd codebooks trained on residual slices, argmin codes,
     per-query nprobe probe selection, per-list query residuals, and ADC
-    scoring via correlated joins to the sub-codebook CTEs."""
+    scoring via correlated joins to the sub-codebook CTEs.
+
+    ``base_pred`` (a SQL predicate on vec_id) splits TRAINING from
+    ENCODING for the incremental-append oracle: Lloyd chains (coarse +
+    sub-codebooks) see only the base rows, while assignment/codes/probe
+    cover the full corpus — exactly write_ivfpq(base) followed by
+    ivfpq_append(new).  ``None`` trains on everything (the in-flight
+    sim_ivfpq_topk semantics).  The base predicate must keep vec_ids
+    0..max(kc,ks)-1 so the lowest-id Lloyd inits match the operator's
+    ``limit(k)`` on the base relation."""
     kc, ci, np_ = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
     m, ks, pqi, sub = PQ_M, PQ_KS, PQ_ITERS, 64 // PQ_M
 
@@ -492,8 +546,11 @@ def _ivfpq_oracle() -> str:
         return (f"list_sum(list_transform(range(1, {n + 1}), "
                 f"d -> ({x} - {c}[d]) * ({x} - {c}[d])))")
 
-    ctes = [f"g0 AS MATERIALIZED (SELECT vec_id AS cid, v FROM vecs "
-            f"WHERE vec_id < {kc})"]
+    pred = base_pred if base_pred is not None else "TRUE"
+    ctes = [f"tvecs AS MATERIALIZED (SELECT vec_id, v FROM vecs "
+            f"WHERE {pred})"]
+    ctes.append(f"g0 AS MATERIALIZED (SELECT vec_id AS cid, v FROM tvecs "
+                f"WHERE vec_id < {kc})")
     for i in range(1, ci + 1):
         avg64 = ", ".join(f"round(avg(v[{d}]), 6)" for d in range(1, 65))
         ctes.append(f"""ga{i} AS (
@@ -501,7 +558,7 @@ def _ivfpq_oracle() -> str:
     SELECT x.vec_id, x.v, c.cid,
            row_number() OVER (PARTITION BY x.vec_id
              ORDER BY {sq_n('x.v[d]', 'c.v', 64)} ASC, c.cid ASC) AS rn
-    FROM vecs x CROSS JOIN g{i - 1} c) WHERE rn = 1)""")
+    FROM tvecs x CROSS JOIN g{i - 1} c) WHERE rn = 1)""")
         ctes.append(f"gn{i} AS (SELECT cid, [{avg64}] AS v "
                     f"FROM ga{i} GROUP BY cid)")
         ctes.append(f"g{i} AS MATERIALIZED (SELECT p.cid, "
@@ -521,8 +578,10 @@ def _ivfpq_oracle() -> str:
         lo = s * sub
         ctes.append(f"rs{s} AS MATERIALIZED (SELECT vec_id, "
                     f"rv[{lo + 1}:{lo + sub}] AS v FROM res)")
+        ctes.append(f"trs{s} AS MATERIALIZED (SELECT r.vec_id, r.v "
+                    f"FROM rs{s} r JOIN tvecs t USING (vec_id))")
         ctes.append(f"s{s}c0 AS MATERIALIZED (SELECT vec_id AS cid, v "
-                    f"FROM rs{s} WHERE vec_id < {ks})")
+                    f"FROM trs{s} WHERE vec_id < {ks})")
         for i in range(1, pqi + 1):
             avgs = ", ".join(f"round(avg(v[{d}]), 6)"
                              for d in range(1, sub + 1))
@@ -531,7 +590,7 @@ def _ivfpq_oracle() -> str:
     SELECT x.vec_id, x.v, c.cid,
            row_number() OVER (PARTITION BY x.vec_id
              ORDER BY {sq_n('x.v[d]', 'c.v', sub)} ASC, c.cid ASC) AS rn
-    FROM rs{s} x CROSS JOIN s{s}c{i - 1} c) WHERE rn = 1)""")
+    FROM trs{s} x CROSS JOIN s{s}c{i - 1} c) WHERE rn = 1)""")
             ctes.append(f"s{s}n{i} AS (SELECT cid, [{avgs}] AS v "
                         f"FROM s{s}a{i} GROUP BY cid)")
             ctes.append(f"s{s}c{i} AS MATERIALIZED (SELECT p.cid, "
@@ -697,6 +756,10 @@ WHERE rank <= {TOP_K}
     # the persist→probe cycle against first principles, not against the
     # files it wrote.
     "sim_ivfpq_probe_persisted": _ivfpq_oracle(),
+    # Train-on-base / encode-everything: the SQL twin of
+    # write_ivfpq(base) + ivfpq_append(new) + probe.
+    "sim_ivfpq_append_probe": _ivfpq_oracle(
+        f"vec_id % {APPEND_MOD} <> {APPEND_REM}"),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),
     "sim_quantize_int8": f"""

@@ -85,3 +85,67 @@ def test_index_layout(spark, index_dir):
     sub = 64 // PARAMS["m"]
     row = books.first()
     assert len(row["centroid"]) == sub
+
+
+# --- incremental append (FAISS add() path, r10) ----------------------------
+
+def test_append_equals_inflight_encode(spark, embeddings):
+    """Appended code rows must equal in-flight encoding of the new
+    vectors against the base-trained codebooks, and probes over the
+    grown index must equal scoring the union of base+new codes."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.persist import (
+        _read_ivfpq_codebooks, ivfpq_append)
+    from big_data_assignment_2_spark.operators.similarity import (
+        ivfpq_encode, ivfpq_score, ivfpq_train)
+
+    nid = F.col("vec_id").cast("bigint")
+    base = embeddings.filter((nid % 10) != 9)
+    new = embeddings.filter((nid % 10) == 9)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ivfpq")
+        write_ivfpq(base, path, **PARAMS)
+        ivfpq_append(new, path)
+        cent, books = _read_ivfpq_codebooks(spark, path)
+        stored = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/codes")
+            .select("neighbor_id", "list_id", "c0", "c1", "c2", "c3")
+            .collect())
+        # in-flight twin: train on base, encode everyone with those books
+        cent2, books2, codes_base, cached = ivfpq_train(base, **PARAMS)
+        assert cent == cent2 and books == books2   # parquet exactness
+        inflight = sorted(
+            tuple(r) for r in
+            codes_base.unionByName(ivfpq_encode(new, cent2, books2))
+            .select("neighbor_id", "list_id", "c0", "c1", "c2", "c3")
+            .collect())
+        for df in cached:
+            df.unpersist()
+        assert stored == inflight
+        assert len(stored) == embeddings.count()
+
+
+def test_append_probe_sees_new_vectors(spark, embeddings, queries_df):
+    """A probe after append can return appended neighbors (the grown
+    index genuinely serves old + new): force it by appending a clone of
+    a query vector — it must surface at rank 1 by ADC distance 0-ish."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_append, ivfpq_probe_persisted)
+
+    nid = F.col("vec_id").cast("bigint")
+    base = embeddings.filter((nid % 10) != 9)
+    clone_id = 1_000_000_009
+    clone = (embeddings.filter(F.col("vec_id") == 0)
+             .select(F.lit(clone_id).cast("long").alias("vec_id"),
+                     "embedding"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ivfpq")
+        write_ivfpq(base, path, **PARAMS)
+        ivfpq_append(clone, path)
+        out = ivfpq_probe_persisted(spark, path, queries_df, k=10, nprobe=2)
+        top_q0 = [r for r in out.collect()
+                  if r["query_id"] == 0 and r["rank"] == 1]
+        assert top_q0 and top_q0[0]["neighbor_id"] == clone_id
