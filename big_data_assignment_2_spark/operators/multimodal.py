@@ -776,9 +776,10 @@ def decode_mp4(payload: bytes) -> dict:
 # decoder builds its tables FROM the file's DHT segments, so it is not
 # tied to this encoder's table choice), zigzag + (run,size) RLE with
 # ZRL/EOB, byte stuffing, DC prediction, FDCT/IDCT.  Grayscale, 4:4:4
-# color, 4:2:0 subsampled (r9), and DRI restart intervals (r10) are in
-# scope; what stays out (and raises): progressive scans, 4:2:2, 16-bit
-# quant tables.
+# color, 4:2:0 subsampled (r9), DRI restart intervals (r10), and the
+# whole {1,2}-factor sampling family incl. 4:2:2 via a generic
+# interleaved-MCU loop (r10) are in scope; what stays out (and raises):
+# progressive scans, sampling factors > 2, 16-bit quant tables.
 #
 # Exactness contract for the oracle: with a UNITY quantization table a
 # flat 8x8 block round-trips BIT-EXACTLY (its FDCT is a single DC
@@ -1128,6 +1129,89 @@ def jpeg_bytes_420(pixels, quant_luma=None, quant_chroma=None,
             + data + b"\xff\xd9")                                 # EOI
 
 
+def jpeg_bytes_422(pixels, quant_luma=None, quant_chroma=None,
+                   restart_interval: int = 0) -> bytes:
+    """Encode an RGB uint8 array (h, w, 3) as a baseline 4:2:2 JPEG
+    (r10, completing the {1,2}-factor sampling family): luma 0x21
+    against chroma 0x11 — chroma halved HORIZONTALLY only, the video /
+    broadcast intermediate format — 16x8 MCUs of 2 Y blocks + 1 Cb +
+    1 Cr, chroma downsampled by exact 1x2 horizontal box average.
+
+    Exactness contract: gray flat 8-row x 16-col blocks keep every Y
+    block flat and Cb=Cr exactly 128, so under unity quant tables they
+    round-trip bit-exactly through the subsampled path (the oracle for
+    ``mm_jpeg_422``).  ``restart_interval`` composes as in
+    :func:`jpeg_bytes_420`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_bytes_422 expects an (h, w, 3) RGB array")
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    mbh, mbw = -(-h // 8), -(-w // 16)
+    pad = ((0, mbh * 8 - h), (0, mbw * 16 - w))
+    Y, Cb, Cr = (np.pad(p, pad, mode="edge") for p in (Y, Cb, Cr))
+    # Exact 1x2 horizontal box-average chroma downsample (rows kept).
+    Cb = (Cb[:, 0::2] + Cb[:, 1::2]) / 2.0
+    Cr = (Cr[:, 0::2] + Cr[:, 1::2]) / 2.0
+    ql = np.ones(64, dtype=np.int64) if quant_luma is None else \
+        np.asarray(quant_luma, dtype=np.int64).reshape(64)
+    qc = np.ones(64, dtype=np.int64) if quant_chroma is None else \
+        np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    qy, qm = ql.reshape(8, 8), qc.reshape(8, 8)
+    dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tab = _huff_canonical(_JPEG_AC_SYMBOLS, 9)
+    bw_writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mbh):
+        for mx in range(mbw):
+            mcu = my * mbw + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.restart_marker(mcu // restart_interval - 1)
+                prev = [0, 0, 0]
+            for hx in range(2):
+                y0, x0 = my * 8, mx * 16 + hx * 8
+                blk = Y[y0:y0 + 8, x0:x0 + 8] - 128.0
+                prev[0] = _encode_block(bw_writer, blk, qy,
+                                        dc_tab, ac_tab, prev[0])
+            for ci, plane in ((1, Cb), (2, Cr)):
+                blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - 128.0
+                prev[ci] = _encode_block(bw_writer, blk, qm,
+                                         dc_tab, ac_tab, prev[ci])
+    data = bw_writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, symbols: list[int], length: int) -> bytes:
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return bytes([(cls << 4) | tid] + counts + symbols)
+
+    zz_ql, zz_qc = ql[_JPEG_ZIGZAG], qc[_JPEG_ZIGZAG]
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8"                                           # SOI
+            + seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_ql))
+            + seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in zz_qc))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]))  # SOF0
+            + seg(0xFFC4, dht(0, 0, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 0, _JPEG_AC_SYMBOLS, 9))
+            + seg(0xFFC4, dht(0, 1, _JPEG_DC_SYMBOLS, 4))
+            + seg(0xFFC4, dht(1, 1, _JPEG_AC_SYMBOLS, 9))
+            + dri                                                 # DRI
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            + data + b"\xff\xd9")                                 # EOI
+
+
 class _BitReader:
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
@@ -1265,10 +1349,11 @@ def decode_jpeg(payload: bytes) -> dict:
     """REAL stdlib+numpy baseline JPEG decoder: marker walk, DHT-driven
     Huffman entropy decode (byte unstuffing, DC prediction, magnitude
     extend, ZRL/EOB), dezigzag, dequantize, separable float IDCT,
-    level shift + clamp.  Baseline sequential: grayscale, 4:4:4 color,
-    4:2:0 subsampled, and DRI restart intervals (r10 — RSTn sequence
-    verified, DC predictors reset per T.81 E.2.4); progressive, 4:2:2,
-    and 16-bit quant tables raise.
+    level shift + clamp.  Baseline sequential: grayscale and any
+    {1,2}-factor sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0 — one generic
+    interleaved-MCU loop, r10), plus DRI restart intervals (RSTn
+    sequence verified, DC predictors reset per T.81 E.2.4);
+    progressive, factors > 2, and 16-bit quant tables raise.
 
     Returns {width, height, n_channels, pixels} with ``pixels`` the
     recovered (height, width) uint8 array."""
@@ -1307,9 +1392,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append((cid, qid, samp))
             samps = [samp for _, _, samp in comps]
-            if samps not in ([0x11], [0x11] * 3, [0x22, 0x11, 0x11]):
+            if any((s >> 4) not in (1, 2) or (s & 0xF) not in (1, 2)
+                   for s in samps):
                 raise NotImplementedError(
-                    f"sampling {samps}: only 4:4:4 and 4:2:0 supported")
+                    f"sampling {samps}: factors must be 1 or 2 "
+                    "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("non-baseline JPEG scan")
         elif marker == 0xFFC4:                    # DHT
@@ -1355,7 +1442,6 @@ def decode_jpeg(payload: bytes) -> dict:
                 luts[key] = _huff_lut(huff[key])
         comp_info.append((quant[qid], luts[(0, dc_id)], luts[(1, ac_id)]))
     C = _dct_matrix()
-    subsampled = samps == [0x22, 0x11, 0x11]
     reader = _BitReader(data)
     prev = [0] * len(comp_info)
 
@@ -1400,43 +1486,36 @@ def decode_jpeg(payload: bytes) -> dict:
             for i in range(len(prev)):
                 prev[i] = 0
 
-    if subsampled:
-        # 4:2:0 interleaved MCU = 4 luma blocks (left-to-right then next
-        # row) + 1 Cb + 1 Cr at half resolution.
-        mbh, mbw = -(-h // 16), -(-w // 16)
-        planes = [np.zeros((mbh * 16, mbw * 16), dtype=np.float64),
-                  np.zeros((mbh * 8, mbw * 8), dtype=np.float64),
-                  np.zeros((mbh * 8, mbw * 8), dtype=np.float64)]
-        for my in range(mbh):
-            for mx in range(mbw):
-                at_mcu_boundary(my * mbw + mx)
-                qmat, dc_tab, ac_tab = comp_info[0]
-                for vy in range(2):
-                    for hx in range(2):
-                        blk, prev[0] = decode_block(qmat, dc_tab, ac_tab,
-                                                    prev[0])
-                        y0, x0 = my * 16 + vy * 8, mx * 16 + hx * 8
-                        planes[0][y0:y0 + 8, x0:x0 + 8] = blk
-                for ci in (1, 2):
-                    qmat, dc_tab, ac_tab = comp_info[ci]
-                    blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
-                                                 prev[ci])
-                    planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
-        # Chroma upsample 2x2 (box replicate) to luma resolution.
-        planes[1] = np.repeat(np.repeat(planes[1], 2, 0), 2, 1)
-        planes[2] = np.repeat(np.repeat(planes[2], 2, 0), 2, 1)
-    else:
-        # 4:4:4 (or grayscale) interleaved MCU = one block per component.
-        bh, bw = -(-h // 8), -(-w // 8)
-        planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-                  for _ in comp_info]
-        for by in range(bh):
-            for bx in range(bw):
-                at_mcu_boundary(by * bw + bx)
-                for ci, (qmat, dc_tab, ac_tab) in enumerate(comp_info):
-                    blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
-                                                 prev[ci])
-                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    # Generic interleaved-MCU loop (T.81 A.2.3, r10): component ci with
+    # sampling factors (h_i, v_i) contributes v_i x h_i blocks per MCU
+    # (row-major), an MCU covers 8*hmax x 8*vmax luma pixels, and each
+    # chroma plane is replicate-upsampled by (vmax/v_i, hmax/h_i)
+    # afterwards.  Subsumes grayscale, 4:4:4 (all 1x1), 4:2:0 (luma
+    # 2x2), 4:2:2 (luma 2x1), and 4:4:0 (luma 1x2) in one loop —
+    # factors are whitelisted to {1,2} at SOF parse.
+    factors = [((s >> 4), (s & 0xF)) for s in samps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mbw, mbh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [np.zeros((mbh * 8 * vi, mbw * 8 * hi), dtype=np.float64)
+              for hi, vi in factors]
+    for my in range(mbh):
+        for mx in range(mbw):
+            at_mcu_boundary(my * mbw + mx)
+            for ci, (qmat, dc_tab, ac_tab) in enumerate(comp_info):
+                hi, vi = factors[ci]
+                for vy in range(vi):
+                    for hx in range(hi):
+                        blk, prev[ci] = decode_block(qmat, dc_tab, ac_tab,
+                                                     prev[ci])
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + hx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    for ci, (hi, vi) in enumerate(factors):
+        if vi != vmax:
+            planes[ci] = np.repeat(planes[ci], vmax // vi, 0)
+        if hi != hmax:
+            planes[ci] = np.repeat(planes[ci], hmax // hi, 1)
     if len(planes) == 1:
         pixels = np.clip(np.round(planes[0][:h, :w]), 0, 255) \
             .astype(np.uint8)
@@ -1911,6 +1990,48 @@ def jpeg_flat_macroblocks(doc_id: int):
     by = np.arange(bh, dtype=np.int64)
     vals = (a * bx[None, :] + b * by[:, None] + d) % 256
     return np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1).astype(np.uint8)
+
+
+def jpeg_flat_rects_422(doc_id: int):
+    """8-row x 16-col flat-rectangle variant of :func:`jpeg_flat_blocks`
+    for the 4:2:2 path: each rectangle spans one MCU, so every luma
+    block AND every horizontally-subsampled chroma block is flat
+    (bit-exact round-trip contract of :func:`jpeg_bytes_422`)."""
+    import numpy as np
+
+    i = int(doc_id)
+    bw, bh = 1 + i % 5, 1 + i % 4
+    a, b, d = 5 + i % 7, 3 + i % 5, i % 256
+    bx = np.arange(bw, dtype=np.int64)
+    by = np.arange(bh, dtype=np.int64)
+    vals = (a * bx[None, :] + b * by[:, None] + d) % 256
+    return np.repeat(np.repeat(vals, 8, axis=0), 16, axis=1).astype(np.uint8)
+
+
+def generate_media_jpeg_422(docs: DataFrame,
+                            batch_size: int = 256) -> DataFrame:
+    """Synthesize 4:2:2 chroma-subsampled JPEGs from the gray
+    flat-rectangle fixture replicated to R=G=B (bit-exact contract)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                g = jpeg_flat_rects_422(i)
+                payloads.append(jpeg_bytes_422(
+                    np.repeat(g[..., None], 3, axis=-1)))
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": payloads,
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def generate_media_jpeg_420(docs: DataFrame,

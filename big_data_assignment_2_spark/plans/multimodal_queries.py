@@ -203,6 +203,23 @@ def q_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_jpeg_color(generate_media_jpeg_420(docs))
 
 
+def q_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 chroma-subsampled JPEG end-to-end (r10 — the broadcast /
+    video-intermediate sampling, closing the last {1,2}-factor gap):
+    luma 0x21 vs chroma 0x11, 16x8 three-block-plus-chroma MCUs, exact
+    1x2 horizontal box chroma downsample, decoded by the generic
+    factor-driven MCU loop.  Gray flat 8x16 rectangles keep every
+    (sub)block flat, so the round trip is bit-exact and the oracle is
+    pure arithmetic (3 channels x 128 px per rectangle).  Docs sampled
+    1-in-3 (same predicate in the oracle) like the 4:2:0 row."""
+    from ..operators.multimodal import (decode_media_jpeg_color,
+                                        generate_media_jpeg_422)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 3) == 1))
+    return decode_media_jpeg_color(generate_media_jpeg_422(docs))
+
+
 def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4 frame DEMUX end-to-end (the stub closed in r9): synthesize an
     MJPEG-track ISO BMFF file per document — 1 + doc_id % 3 frames, each
@@ -264,6 +281,7 @@ def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mm_jpeg_422": q_jpeg_422,
     "mm_jpeg_420": q_jpeg_420,
     "mm_jpeg_color": q_jpeg_color,
     "mm_mp4_frames": q_mp4_frames,
@@ -284,6 +302,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # 4:2:2 JPEG: gray flat 8-row x 16-col rectangles round-trip
+    # bit-exactly through the horizontally-subsampled path; sum = 3
+    # channels x 128 px x value.  1-in-3 doc sample (remainder 1, so the
+    # row exercises different docs than mm_jpeg_420's remainder 0).
+    "mm_jpeg_422": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
+  FROM documents WHERE doc_id % 3 = 1),
+px AS (
+  SELECT doc_id, bw, bh,
+         3 * 128 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(16 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
     # 4:2:0 JPEG: gray flat 16x16 MACROblocks round-trip bit-exactly
     # through the subsampled path; sum = 3 channels x 256 px x value.
     "mm_jpeg_420": """

@@ -133,8 +133,8 @@ def test_420_subsampling_really_happens():
 
 
 def test_unsupported_sampling_raises():
-    """A 4:2:2-style sampling byte must still raise — only 4:4:4 and
-    4:2:0 are in scope."""
+    """Sampling factors beyond {1,2} must still raise — the r10 generic
+    MCU loop covers 4:4:4/4:2:0/4:2:2/4:4:0, not 4:1:1-style factors."""
     from big_data_assignment_2_spark.operators.multimodal import \
         jpeg_bytes_420
 
@@ -143,7 +143,7 @@ def test_unsupported_sampling_raises():
     i = payload.index(b"\xff\xc0")          # SOF0: ...ncomp, then comps
     patched = bytearray(payload)
     assert patched[i + 11] == 0x22
-    patched[i + 11] = 0x21                  # luma 2x1 -> 4:2:2
+    patched[i + 11] = 0x41                  # luma 4x1 -> 4:1:1
     with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(patched))
 
@@ -161,3 +161,72 @@ def test_420_on_spark(spark, sf_dir):
         g = jpeg_flat_macroblocks(int(r["media_id"]))
         assert (r["width"], r["height"]) == (g.shape[1], g.shape[0])
         assert r["pix_sum"] == 3 * int(g.astype(np.int64).sum())
+
+
+# --- 4:2:2 (r10) -----------------------------------------------------------
+
+def test_422_flat_rect_bit_exact():
+    """Gray flat 8x16 rectangles round-trip bit-exactly through the
+    horizontally-subsampled path under unity quant tables."""
+    from big_data_assignment_2_spark.operators.multimodal import (
+        jpeg_bytes_422, jpeg_flat_rects_422)
+
+    for did in (0, 11, 37):
+        g = jpeg_flat_rects_422(did)
+        img = np.repeat(g[..., None], 3, axis=-1)
+        out = decode_jpeg(jpeg_bytes_422(img))
+        assert out["n_channels"] == 3
+        assert (out["pixels"] == img).all()
+
+
+def test_422_preserves_vertical_chroma_detail():
+    """4:2:2 halves chroma horizontally ONLY: color varying by ROW
+    (vertical detail) survives exactly on flat-rect content, while the
+    same detail varying by COLUMN is averaged away — the axis asymmetry
+    that distinguishes it from 4:2:0."""
+    from big_data_assignment_2_spark.operators.multimodal import \
+        jpeg_bytes_422
+
+    # per-ROW alternating color: every 1x2 horizontal chroma box is
+    # constant, so 4:2:2 loses nothing beyond DCT rounding…
+    img_v = np.zeros((16, 16, 3), dtype=np.uint8)
+    img_v[0::2] = (255, 0, 0)
+    img_v[1::2] = (0, 0, 255)
+    out_v = decode_jpeg(jpeg_bytes_422(img_v))["pixels"]
+    err_v = np.abs(out_v.astype(int) - img_v.astype(int)).mean()
+
+    # …while per-COLUMN alternation straddles every box: chroma averages
+    # away and the error must be clearly larger.
+    img_h = np.zeros((16, 16, 3), dtype=np.uint8)
+    img_h[:, 0::2] = (255, 0, 0)
+    img_h[:, 1::2] = (0, 0, 255)
+    out_h = decode_jpeg(jpeg_bytes_422(img_h))["pixels"]
+    err_h = np.abs(out_h.astype(int) - img_h.astype(int)).mean()
+    assert err_h > 4 * max(err_v, 1e-9)
+
+
+def test_422_payload_smaller_than_444_bigger_than_420():
+    """Block budget sanity: per 16x16 area 4:4:4 writes 12 blocks, 4:2:2
+    writes 8, 4:2:0 writes 6 — payload sizes must order accordingly on
+    identical dense content."""
+    from big_data_assignment_2_spark.operators.multimodal import (
+        jpeg_bytes_420, jpeg_bytes_422, jpeg_bytes_color)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    n444 = len(jpeg_bytes_color(img))
+    n422 = len(jpeg_bytes_422(img))
+    n420 = len(jpeg_bytes_420(img))
+    assert n420 < n422 < n444
+
+
+def test_422_with_dri_roundtrip():
+    from big_data_assignment_2_spark.operators.multimodal import (
+        jpeg_bytes_422, jpeg_flat_rects_422)
+
+    g = jpeg_flat_rects_422(42)
+    img = np.repeat(g[..., None], 3, axis=-1)
+    payload = jpeg_bytes_422(img, restart_interval=2)
+    assert b"\xff\xdd" in payload
+    out = decode_jpeg(payload)
+    assert (out["pixels"] == img).all()
