@@ -917,6 +917,50 @@ def write_fingerprint_store(docs: DataFrame, base_path: str,
         base.unpersist()
 
 
+def append_fingerprints(docs: DataFrame, base_path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Append a batch's fingerprints to a persisted store — the daily
+    MAINTENANCE write after flagging: the day's surviving (unique) docs
+    become history for tomorrow's batch.  The keys relation is an
+    append-only log of per-batch (key, min id) rows; the probe
+    re-aggregates min at read time (``flag_batch_against_store``), so
+    appends never need read-modify-write — at 100 TB this is an atomic
+    partition append plus an optional periodic compaction, never an
+    update-in-place.
+
+    The batch is EAGERLY localCheckpoint'ed first: the natural caller
+    derives it FROM this very store (the day's flags pick the uniques),
+    and Spark's post-append ``refreshByPath`` invalidates both the
+    store's cached file listing and every cached plan that reads it —
+    so after the first (keys) append, the later bands/arrays writes
+    would silently re-evaluate the batch against the half-grown store
+    and see each doc as an exact dup of ITSELF (found the hard way:
+    zero day-1 fingerprints landed in bands/arrays).  Truncating the
+    lineage up front makes appending a store-derived relation safe by
+    contract, not by caller discipline."""
+    num_id = F.col(id_col).cast("bigint")
+    base = (docs.select(num_id.alias("__nid"),
+                        F.col(text_col).alias("__text"))
+            .withColumn("doc_id", F.col("__nid").cast("string"))
+            .localCheckpoint())
+    (base.select(tokenset_key("__text").alias("__k"), "__nid")
+     .groupBy("__k").agg(F.min("__nid").alias("__exact_nid"))
+     .write.mode("append").parquet(f"{base_path}/keys"))
+    arrays = (doc_tokensets(base, "__text", "doc_id")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
+              .join(base.select("doc_id", "__nid"), "doc_id")
+              .localCheckpoint())
+    (lsh_band_keys(minhash_signatures_from_arrays(arrays))
+     .join(arrays.select("doc_id", "__nid"), "doc_id")
+     .select(F.col("__nid").alias("hist_nid"), "band_id", "band_key")
+     .write.mode("append").parquet(f"{base_path}/bands"))
+    (arrays.select(F.col("__nid").alias("hist_nid"), "__toks",
+                   F.size("__toks").alias("__sz"))
+     .write.mode("append").parquet(f"{base_path}/arrays"))
+
+
 def flag_batch_against_store(batch: DataFrame, base_path: str,
                              threshold: float = 0.9,
                              text_col: str = "text",
@@ -935,7 +979,13 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     base = (batch.select(num_id.alias("__nid"),
                          F.col(text_col).alias("__text"))
             .withColumn("doc_id", F.col("__nid").cast("string")))
-    hist_keys = spark.read.parquet(f"{base_path}/keys")
+    # Re-aggregate min per key at read time: the store's keys relation is
+    # an append-only log (see append_fingerprints), so a key ingested on
+    # several days has several rows — min recovers the global earliest id
+    # and guarantees one row per key into the left join.
+    hist_keys = (spark.read.parquet(f"{base_path}/keys")
+                 .groupBy("__k").agg(F.min("__exact_nid")
+                                     .alias("__exact_nid")))
     inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
            .join(hist_keys, "__k", "left")
            .select("doc_id", "__nid", "__exact_nid"))

@@ -198,6 +198,52 @@ q_incremental_dedup.__doc__ = q_incremental_dedup.__doc__.format(
     thr=JACCARD_THRESHOLD)
 
 
+def q_store_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DAY fingerprint-store maintenance loop (r10) — the piece that
+    turns the one-shot ``dedup_incremental`` into a running pipeline:
+
+    1. build the store from the initial history (doc_id % 5 in 1..3);
+    2. DAY 1: flag the % 5 == 4 batch against the store, then APPEND the
+       day's UNIQUE docs' fingerprints (``dedup.append_fingerprints`` —
+       append-only log, min-per-key re-aggregated at probe time, never
+       read-modify-write);
+    3. DAY 2: flag the % 5 == 0 batch against the GROWN store.
+
+    Returned rows are day 2's flags: a day-2 doc must now flag as a dup
+    of a day-1 UNIQUE twin (which yesterday's store did not contain) —
+    exactly what the oracle replays from first principles (day-1
+    flagging, the unique set, the union history, day-2 flagging).  A
+    green row certifies the store's append semantics end-to-end."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (append_fingerprints,
+                                   flag_batch_against_store,
+                                   write_fingerprint_store)
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    for stale in glob.glob(os.path.join(scratch, "fp_rollover_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    store = os.path.join(scratch, f"fp_rollover_{os.getpid()}")
+
+    write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
+    day1 = docs.filter((nid % 5) == 4)
+    flags1 = flag_batch_against_store(day1, store, JACCARD_THRESHOLD)
+    uniq1 = (day1.join(
+        flags1.filter(F.col("status") == "unique")
+        .select(F.col("doc_id").cast("bigint").alias("__uid")),
+        nid == F.col("__uid")).drop("__uid"))
+    append_fingerprints(uniq1, store)
+    return flag_batch_against_store(docs.filter((nid % 5) == 0), store,
+                                    JACCARD_THRESHOLD)
+
+
 QUERIES = {
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
@@ -218,6 +264,7 @@ QUERIES = {
     "dedup_clusters": q_near_dup_clusters,
     "dedup_keep_best": q_keep_best,
     "dedup_incremental": q_incremental_dedup,
+    "dedup_store_rollover": q_store_rollover,
 }
 
 
@@ -408,8 +455,75 @@ SELECT e.doc_id,
 FROM exact e LEFT JOIN best b ON b.inc_id = e.doc_id AND b.rn = 1
 """.format(mod=INC_DEDUP_MOD, thr=JACCARD_THRESHOLD))
 
+def _day_flag_ctes(sfx: str, hist_cte: str, inc_pred: str,
+                   thr: float) -> str:
+    """One day of incremental flagging as a CTE block (suffix ``sfx``):
+    exact keys from ``hist_cte`` (doc_id, nid rows), band candidates
+    restricted to that history, Jaccard verify, best match.  Emits CTEs
+    hk{sfx}, e{sfx}, cand{sfx}, inter{sfx}, ver{sfx}, best{sfx} — the
+    same machinery as _INC_SQL with the history RELATION as a
+    parameter, so a multi-day store-rollover oracle can chain days."""
+    return f"""hk{sfx} AS (SELECT k, min(ky.nid) AS exact_nid
+  FROM keys ky JOIN {hist_cte} h ON h.doc_id = ky.doc_id GROUP BY k),
+e{sfx} AS MATERIALIZED (SELECT ky.doc_id, ky.nid, hk{sfx}.exact_nid
+  FROM keys ky LEFT JOIN hk{sfx} USING (k) WHERE {inc_pred}),
+cand{sfx} AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id AS inc_id, hb.doc_id AS hist_id,
+         CAST(hb.doc_id AS BIGINT) AS hist_nid
+  FROM e{sfx} e
+  JOIN bands ib ON ib.doc_id = e.doc_id
+  JOIN bands hb ON hb.band_id = ib.band_id AND hb.band_key = ib.band_key
+  JOIN {hist_cte} h ON h.doc_id = hb.doc_id
+  WHERE e.exact_nid IS NULL),
+inter{sfx} AS (
+  SELECT c.inc_id, c.hist_nid, count(*) AS n_inter,
+         sa.sz AS sa, sb.sz AS sb
+  FROM cand{sfx} c
+  JOIN ts x ON x.doc_id = c.inc_id
+  JOIN ts y ON y.doc_id = c.hist_id AND y.term = x.term
+  JOIN sizes sa ON sa.doc_id = c.inc_id
+  JOIN sizes sb ON sb.doc_id = c.hist_id
+  GROUP BY c.inc_id, c.hist_nid, sa.sz, sb.sz),
+ver{sfx} AS (SELECT inc_id, hist_nid,
+        round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 6) AS j
+  FROM inter{sfx}
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 6) >= {thr}),
+best{sfx} AS (SELECT inc_id, hist_nid, j,
+        row_number() OVER (PARTITION BY inc_id
+                           ORDER BY j DESC, hist_nid) AS rn
+  FROM ver{sfx})"""
+
+
+_ROLLOVER_SQL = (
+    f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
+    f"""ids AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS nid FROM docs),
+keys AS (SELECT d.doc_id, i.nid,
+                md5(array_to_string(list_sort(list_distinct(d.toks)), ' '))
+                    AS k
+         FROM docs d JOIN ids i USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ts GROUP BY doc_id),
+h1 AS (SELECT doc_id, nid FROM ids WHERE nid % 5 IN (1, 2, 3)),
+{_day_flag_ctes('1', 'h1', 'ky.nid % 5 = 4', JACCARD_THRESHOLD)},
+u1 AS (SELECT e.doc_id, e.nid
+  FROM e1 e LEFT JOIN best1 b ON b.inc_id = e.doc_id AND b.rn = 1
+  WHERE e.exact_nid IS NULL AND b.hist_nid IS NULL),
+h2 AS (SELECT * FROM h1 UNION ALL SELECT doc_id, nid FROM u1),
+{_day_flag_ctes('2', 'h2', 'ky.nid % 5 = 0', JACCARD_THRESHOLD)}
+SELECT e.doc_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 'exact_dup'
+            WHEN b.hist_nid IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       CASE WHEN e.exact_nid IS NOT NULL THEN CAST(e.exact_nid AS VARCHAR)
+            WHEN b.hist_nid IS NOT NULL THEN CAST(b.hist_nid AS VARCHAR)
+            END AS match_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 1.0 ELSE b.j END AS jaccard
+FROM e2 e LEFT JOIN best2 b ON b.inc_id = e.doc_id AND b.rn = 1
+""")
+
+
 ORACLES = {
     "dedup_incremental": _INC_SQL,
+    "dedup_store_rollover": _ROLLOVER_SQL,
     "dedup_edit_verify": f"""
 WITH pre AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                     substr(text, 1, {EDIT_PREFIX}) AS pre FROM documents),

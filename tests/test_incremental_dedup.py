@@ -148,3 +148,50 @@ def test_stream_flagger_batch_boundary_independent(spark, sf_dir):
             + [tuple(r) for r in
                flag_batch_against_store(half_b, store, 0.9).collect()])
     assert whole == split
+
+
+def test_append_fingerprints_store_derived_batch_is_safe(spark, sf_dir):
+    """Appending a batch whose lineage READS the store it appends to must
+    not self-contaminate: Spark's post-append refreshByPath invalidates
+    cached plans over the store, so without eager lineage truncation the
+    bands/arrays writes re-evaluate the batch against the half-grown
+    store (every doc flags as an exact dup of itself) and append NOTHING
+    — the bug found building dedup_store_rollover.  All three relations
+    must receive every unique day-1 doc."""
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        append_fingerprints, flag_batch_against_store,
+        write_fingerprint_store)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nid = F.col("doc_id").cast("bigint")
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
+        day1 = docs.filter((nid % 5) == 4)
+        flags1 = flag_batch_against_store(day1, store, 0.9)
+        uniq_ids = {int(r["doc_id"]) for r in
+                    flags1.filter(F.col("status") == "unique")
+                    .select("doc_id").collect()}
+        assert uniq_ids
+        # the store-derived batch: day-1 docs joined with their OWN flags
+        uniq1 = day1.join(
+            flags1.filter(F.col("status") == "unique")
+            .select(F.col("doc_id").cast("bigint").alias("__uid")),
+            nid == F.col("__uid")).drop("__uid")
+        append_fingerprints(uniq1, store)
+        got_keys = {r["__exact_nid"] for r in
+                    spark.read.parquet(f"{store}/keys")
+                    .filter((F.col("__exact_nid") % 5) == 4).collect()}
+        got_bands = {r["hist_nid"] for r in
+                     spark.read.parquet(f"{store}/bands")
+                     .filter((F.col("hist_nid") % 5) == 4)
+                     .select("hist_nid").distinct().collect()}
+        got_arrays = {r["hist_nid"] for r in
+                      spark.read.parquet(f"{store}/arrays")
+                      .filter((F.col("hist_nid") % 5) == 4).collect()}
+        assert got_bands == uniq_ids
+        assert got_arrays == uniq_ids
+        assert got_keys <= uniq_ids and got_keys  # min-per-key subset
