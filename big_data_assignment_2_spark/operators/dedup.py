@@ -26,7 +26,7 @@ of doc_id where possible, else lexicographic — stated per function.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, minhash_sig_aggs, minhash_term_hash
@@ -959,6 +959,29 @@ def append_fingerprints(docs: DataFrame, base_path: str,
     (arrays.select(F.col("__nid").alias("hist_nid"), "__toks",
                    F.size("__toks").alias("__sz"))
      .write.mode("append").parquet(f"{base_path}/arrays"))
+
+
+def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
+    """Compact the store's append-only keys log into a min-per-key
+    snapshot — the periodic maintenance job that keeps probe-time
+    re-aggregation cheap after many daily appends.  Result-invariant by
+    construction: the probe aggregates min per key anyway, and
+    min(snapshot) == min(log).  Written to a sibling directory then
+    swapped in (Spark cannot overwrite a path mid-read; the atomic
+    directory swap is the same recipe a lakehouse OPTIMIZE uses)."""
+    import os
+    import shutil
+    import uuid
+
+    keys = f"{base_path}/keys"
+    tmp = f"{base_path}/keys_compact_{uuid.uuid4().hex[:8]}"
+    (spark.read.parquet(keys)
+     .groupBy("__k").agg(F.min("__exact_nid").alias("__exact_nid"))
+     .coalesce(1).write.mode("overwrite").parquet(tmp))
+    old = f"{base_path}/keys_old_{uuid.uuid4().hex[:8]}"
+    os.rename(keys, old)
+    os.rename(tmp, keys)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def flag_batch_against_store(batch: DataFrame, base_path: str,

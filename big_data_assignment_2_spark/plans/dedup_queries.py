@@ -214,6 +214,23 @@ def q_store_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the oracle replays from first principles (day-1
     flagging, the unique set, the union history, day-2 flagging).  A
     green row certifies the store's append semantics end-to-end."""
+    return _rollover_flow(spark, sf_dir, compact=False)
+
+
+def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollover flow with a COMPACTION between the days
+    (``dedup.compact_fingerprint_store``): the append-only keys log is
+    rewritten to its min-per-key snapshot (atomic directory swap) after
+    day 1's append, and day 2 probes the compacted store.  Compaction
+    is result-invariant by construction (the probe min-aggregates the
+    log anyway), so the oracle is the SAME two-day replay as
+    dedup_store_rollover — a green row certifies the maintenance
+    rewrite loses nothing."""
+    return _rollover_flow(spark, sf_dir, compact=True)
+
+
+def _rollover_flow(spark: SparkSession, sf_dir: str,
+                   compact: bool) -> DataFrame:
     import glob
     import os
     import shutil
@@ -222,15 +239,17 @@ def q_store_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (append_fingerprints,
+                                   compact_fingerprint_store,
                                    flag_batch_against_store,
                                    write_fingerprint_store)
 
     docs = load_table(spark, sf_dir, "documents")
     nid = F.col("doc_id").cast("bigint")
+    tag = "cmp" if compact else "app"
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-    for stale in glob.glob(os.path.join(scratch, "fp_rollover_*")):
+    for stale in glob.glob(os.path.join(scratch, f"fp_rollover_{tag}_*")):
         shutil.rmtree(stale, ignore_errors=True)
-    store = os.path.join(scratch, f"fp_rollover_{os.getpid()}")
+    store = os.path.join(scratch, f"fp_rollover_{tag}_{os.getpid()}")
 
     write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
     day1 = docs.filter((nid % 5) == 4)
@@ -240,6 +259,8 @@ def q_store_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("__uid")),
         nid == F.col("__uid")).drop("__uid"))
     append_fingerprints(uniq1, store)
+    if compact:
+        compact_fingerprint_store(spark, store)
     return flag_batch_against_store(docs.filter((nid % 5) == 0), store,
                                     JACCARD_THRESHOLD)
 
@@ -265,6 +286,7 @@ QUERIES = {
     "dedup_keep_best": q_keep_best,
     "dedup_incremental": q_incremental_dedup,
     "dedup_store_rollover": q_store_rollover,
+    "dedup_store_compact": q_store_compact,
 }
 
 
@@ -524,6 +546,10 @@ FROM e2 e LEFT JOIN best2 b ON b.inc_id = e.doc_id AND b.rn = 1
 ORACLES = {
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
+    # Compaction is result-invariant (min over snapshot == min over log):
+    # same two-day replay; the green row's information is that the
+    # rewrite+swap lost nothing.
+    "dedup_store_compact": _ROLLOVER_SQL,
     "dedup_edit_verify": f"""
 WITH pre AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                     substr(text, 1, {EDIT_PREFIX}) AS pre FROM documents),

@@ -195,3 +195,37 @@ def test_append_fingerprints_store_derived_batch_is_safe(spark, sf_dir):
         assert got_bands == uniq_ids
         assert got_arrays == uniq_ids
         assert got_keys <= uniq_ids and got_keys  # min-per-key subset
+
+
+def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
+    """Compacting the keys log (min-per-key snapshot + directory swap)
+    must shrink or keep the row count and leave flagging output
+    byte-identical."""
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        append_fingerprints, compact_fingerprint_store,
+        flag_batch_against_store, write_fingerprint_store)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nid = F.col("doc_id").cast("bigint")
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        write_fingerprint_store(docs.filter((nid % 5).isin(1, 2)), store)
+        # two appends -> keys log has duplicate-key rows across batches
+        append_fingerprints(docs.filter((nid % 5) == 3), store)
+        append_fingerprints(docs.filter((nid % 5) == 4), store)
+        probe = docs.filter((nid % 5) == 0)
+        before_rows = spark.read.parquet(f"{store}/keys").count()
+        before = sorted(tuple(r) for r in
+                        flag_batch_against_store(probe, store, 0.9).collect())
+        compact_fingerprint_store(spark, store)
+        after_rows = spark.read.parquet(f"{store}/keys").count()
+        after = sorted(tuple(r) for r in
+                       flag_batch_against_store(probe, store, 0.9).collect())
+        assert after == before
+        assert after_rows <= before_rows
+        distinct_keys = spark.read.parquet(f"{store}/keys") \
+            .select("__k").distinct().count()
+        assert after_rows == distinct_keys   # exactly one row per key now
