@@ -62,6 +62,9 @@ EXTRA = [
     "events_paths",          # gap sessionization + journey path mining
     "stream_dedup_history",  # stream-static anti-join dedup
     "stream_dedup_near_live",  # near-dup band probe vs persisted store
+    "mm_jpeg_dri",           # restart-interval JPEG (camera layout)
+    "mm_jpeg_422",           # 4:2:2 via the generic MCU loop
+    "dedup_store_rollover",  # two-day store maintenance loop
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single
