@@ -705,6 +705,8 @@ asg AS MATERIALIZED (
     FROM vecs x CROSS JOIN {cfin} c) WHERE rn = 1),
 dist AS MATERIALIZED (
   SELECT a.vec_id, a.v, a.cid,
+         list_transform(a.v, x -> x / sqrt(list_sum(
+             list_transform(a.v, y -> y * y)))) AS vn,
          round({_sq_dist('a.v', 'c.v')}, 6) AS cdist
   FROM asg a JOIN {cfin} c USING (cid)),
 dropped AS (
@@ -712,7 +714,9 @@ dropped AS (
   FROM dist a JOIN dist b ON a.cid = b.cid
        AND (b.cdist < a.cdist
             OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))
-  WHERE round({_COS.strip()}, 6) >= {COSINE_DUP_THRESHOLD})
+  WHERE round(list_sum(list_transform(range(1, 65),
+                                      i -> a.vn[i] * b.vn[i])), 6)
+        >= {COSINE_DUP_THRESHOLD})
 SELECT d.vec_id, CAST(d.cid AS INTEGER) AS list_id, d.cdist,
        dr.vec_id IS NULL AS keep
 FROM dist d LEFT JOIN dropped dr ON dr.vec_id = d.vec_id
