@@ -975,9 +975,13 @@ def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
 
     keys = f"{base_path}/keys"
     tmp = f"{base_path}/keys_compact_{uuid.uuid4().hex[:8]}"
+    # No coalesce(1): the key set is corpus-distinct-content sized —
+    # billions of rows at 100 TB — so the snapshot keeps the groupBy's
+    # shuffle partitioning (file count scales with the cluster, and AQE
+    # coalesces small outputs on its own).
     (spark.read.parquet(keys)
      .groupBy("__k").agg(F.min("__exact_nid").alias("__exact_nid"))
-     .coalesce(1).write.mode("overwrite").parquet(tmp))
+     .write.mode("overwrite").parquet(tmp))
     old = f"{base_path}/keys_old_{uuid.uuid4().hex[:8]}"
     os.rename(keys, old)
     os.rename(tmp, keys)
