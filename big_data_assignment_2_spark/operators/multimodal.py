@@ -1329,16 +1329,6 @@ def _huff_decode_lut(reader: "_BitReader", lut) -> int:
     return s
 
 
-def _huff_decode(reader: "_BitReader", table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | reader.read(1)
-        length += 1
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code")
-
-
 def _jpeg_extend(bits: int, size: int) -> int:
     if size == 0:
         return 0
