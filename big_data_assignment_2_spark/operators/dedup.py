@@ -966,11 +966,19 @@ def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
     snapshot — the periodic maintenance job that keeps probe-time
     re-aggregation cheap after many daily appends.  Result-invariant by
     construction: the probe aggregates min per key anyway, and
-    min(snapshot) == min(log).  Written to a sibling directory then
-    swapped in (Spark cannot overwrite a path mid-read; the atomic
-    directory swap is the same recipe a lakehouse OPTIMIZE uses)."""
-    import os
-    import shutil
+    min(snapshot) == min(log).
+
+    Concurrency contract: run in a MAINTENANCE WINDOW (no concurrent
+    probes/appends on the same store).  The swap is two sequential
+    renames — a probe landing between them would see no ``keys/``
+    directory at all (fail-loud, never silent wrong answers), and an
+    append landing between them would be lost by the second rename.
+    A true atomic directory exchange does not exist portably across
+    the filesystems Spark targets (HDFS/S3A have no RENAME_EXCHANGE),
+    so the window requirement is documented rather than half-hidden.
+    The renames/deletes go through Hadoop's FileSystem API — the same
+    abstraction as the store's parquet writes — so the store works on
+    any Spark-supported URI, not just a local POSIX disk."""
     import uuid
 
     keys = f"{base_path}/keys"
@@ -983,9 +991,31 @@ def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
      .groupBy("__k").agg(F.min("__exact_nid").alias("__exact_nid"))
      .write.mode("overwrite").parquet(tmp))
     old = f"{base_path}/keys_old_{uuid.uuid4().hex[:8]}"
-    os.rename(keys, old)
-    os.rename(tmp, keys)
-    shutil.rmtree(old, ignore_errors=True)
+    _hadoop_rename(spark, keys, old)
+    _hadoop_rename(spark, tmp, keys)
+    _hadoop_delete(spark, old)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    resolves the correct filesystem for any URI scheme Spark can write
+    (file://, hdfs://, s3a://...), unlike ``os.rename``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, hsrc = _hadoop_fs(spark, src)
+    hdst = _hadoop_fs(spark, dst)[1]
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
 
 
 def flag_batch_against_store(batch: DataFrame, base_path: str,

@@ -1233,6 +1233,11 @@ class _BitReader:
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # Drop the consumed high bits: without this the accumulator grows
+        # with stream position and every shift/mask above becomes
+        # O(position) — quadratic total decode time on long non-DRI scans
+        # (DRI streams were only saved by restart() zeroing acc).
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def restart(self) -> int:
@@ -1279,6 +1284,7 @@ class _BitReader:
         if n > self.nbits:
             raise ValueError("truncated JPEG entropy data")
         self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1         # see read(): keep acc small
 
 
 _HUFF_LUT_CACHE: dict = {}

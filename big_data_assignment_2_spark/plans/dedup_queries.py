@@ -16,7 +16,7 @@ from ..operators.dedup import (BAND_SIZE, NUM_BANDS, SIMHASH_BITS,
                                minhash_signatures, doc_tokensets,
                                ngram_jaccard_pairs, simhash,
                                simhash_near_dups, tokenset_key)
-from ..sources.io import load_table
+from ..sources.io import cleanup_stale_scratch, load_table
 from .search_queries import _TOKENS_CTE
 
 JACCARD_THRESHOLD = 0.9
@@ -247,9 +247,8 @@ def _rollover_flow(spark: SparkSession, sf_dir: str,
     nid = F.col("doc_id").cast("bigint")
     tag = "cmp" if compact else "app"
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-    for stale in glob.glob(os.path.join(scratch, f"fp_rollover_{tag}_*")):
-        shutil.rmtree(stale, ignore_errors=True)
     store = os.path.join(scratch, f"fp_rollover_{tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"fp_rollover_{tag}_*", keep=store)
 
     write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
     day1 = docs.filter((nid % 5) == 4)

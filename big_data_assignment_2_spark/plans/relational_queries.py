@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join
-from ..sources.io import load_table
+from ..sources.io import cleanup_stale_scratch, load_table
 
 
 def _dec(col, scale: int = 4):
@@ -849,10 +849,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .source_queries import _PROCESS_UID
     run = uuid.uuid4().hex[:8]
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-    for stale in glob.glob(os.path.join(scratch, "bucketed_join_*")):
-        if f"bucketed_join_{_PROCESS_UID}_" not in stale:
-            shutil.rmtree(stale, ignore_errors=True)
     base = os.path.join(scratch, f"bucketed_join_{_PROCESS_UID}_{run}")
+    cleanup_stale_scratch(scratch, "bucketed_join_*", keep=base)
     write_bucketed(li, f"bj_lineitem_{run}", "l_orderkey", n_buckets=8,
                    sort_col="l_orderkey", path=os.path.join(base, "lineitem"))
     write_bucketed(o, f"bj_orders_{run}", "o_orderkey", n_buckets=8,

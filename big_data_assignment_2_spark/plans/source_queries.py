@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, md5_hash64_sql
-from ..sources.io import (load_table, read_jsonl, read_tsv, write_jsonl,
+from ..sources.io import (cleanup_stale_scratch, load_table, read_jsonl,
+                          read_tsv, write_jsonl,
                           write_parquet, write_tsv)
 
 # Deterministic scratch root: overwrite-mode rewrites keep reruns clean.
@@ -207,9 +208,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     path = os.path.join(_SCRATCH, f"orc_events_{_PROCESS_UID}")
-    for stale in glob.glob(os.path.join(_SCRATCH, "orc_events_*")):
-        if stale != path:
-            shutil.rmtree(stale, ignore_errors=True)
+    cleanup_stale_scratch(_SCRATCH, "orc_events_*", keep=path)
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     # Timestamps checksum as epoch MICROS (unix_micros / epoch_us) — an
@@ -251,9 +250,7 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     path = os.path.join(_SCRATCH, f"zorder_orders_{_PROCESS_UID}")
-    for stale in glob.glob(os.path.join(_SCRATCH, "zorder_orders_*")):
-        if stale != path:
-            shutil.rmtree(stale, ignore_errors=True)
+    cleanup_stale_scratch(_SCRATCH, "zorder_orders_*", keep=path)
     days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
     write_zorder(o.withColumn("__days", days), path, "o_custkey", "__days")
     back = spark.read.parquet(path)

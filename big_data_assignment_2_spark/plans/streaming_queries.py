@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.io import load_table
+from ..sources.io import cleanup_stale_scratch, load_table
 from ..streaming.windows import (dedup_keys, events_stream, interval_join,
                                  run_stream_to_df, session_agg, sliding_agg,
                                  topk_types_per_window, tumbling_agg)
@@ -268,8 +268,7 @@ def q_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     base = os.path.join(scratch, f"restart_{os.getpid()}_{next(_MEMSINK_SEQ)}")
-    for stale in glob.glob(os.path.join(scratch, "restart_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    cleanup_stale_scratch(scratch, "restart_*", keep=base)
     src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -376,8 +375,7 @@ def q_stream_dedup_near_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     base = os.path.join(scratch,
                         f"near_dedup_{os.getpid()}_{next(_MEMSINK_SEQ)}")
-    for stale in glob.glob(os.path.join(scratch, "near_dedup_*")):
-        shutil.rmtree(stale, ignore_errors=True)
+    cleanup_stale_scratch(scratch, "near_dedup_*", keep=base)
     store, sink = os.path.join(base, "store"), os.path.join(base, "sink")
     write_fingerprint_store(
         load_table(spark, sf_dir, "documents")

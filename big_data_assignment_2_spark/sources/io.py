@@ -98,3 +98,50 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def cleanup_stale_scratch(scratch: str, pattern: str,
+                          keep: str | None = None,
+                          max_age_s: int = 1800) -> None:
+    """Best-effort removal of STALE sibling scratch dirs only — never a
+    directory a concurrently-running process may still be using.  The
+    per-process scratch paths embed either the owning pid
+    (``near_dedup_{pid}_{seq}``) or a process uuid; a dir is deleted
+    only if (a) an embedded decimal token is a pid that is no longer
+    alive, or (b) no token parses as a pid AND the dir's mtime is older
+    than ``max_age_s``.  Anything that might belong to a live process
+    (its pid is alive, or it is younger than the age gate) is left
+    alone — a concurrent gate + bench run must never have its store or
+    sink deleted mid-query."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    def pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except OSError:
+            return True       # exists under another uid / can't tell: keep
+
+    now = time.time()
+    for stale in glob.glob(os.path.join(scratch, pattern)):
+        if keep is not None and os.path.abspath(stale) == os.path.abspath(keep):
+            continue
+        tokens = [t for t in os.path.basename(stale).split("_") if t.isdigit()]
+        # Floor of 300 keeps small sequence counters (near_dedup_{pid}_{seq},
+        # seq starts at 0) from false-matching live low-numbered system pids.
+        pids = [int(t) for t in tokens if 300 <= int(t) < 2 ** 22]
+        if pids:
+            if any(pid_alive(p) for p in pids):
+                continue                           # owner may still run
+        else:
+            try:
+                if now - os.path.getmtime(stale) < max_age_s:
+                    continue                       # too young to judge
+            except OSError:
+                continue
+        shutil.rmtree(stale, ignore_errors=True)

@@ -60,16 +60,39 @@ def test_probe_scan_is_partition_pruned(spark, queries_df, index_dir):
     """The code scan reads only the probed lists' partition directories:
     the pushed partition filter appears in the physical plan, and the
     isin list is a strict subset of all lists when nprobe < n_centroids."""
-    probe = ivfpq_probe_persisted(spark, index_dir, queries_df,
+    # ONE query at nprobe=1: the probed-list set is a single list, so the
+    # strict-subset and result-containment assertions below have teeth
+    # (five spread-out queries at nprobe=1 probe every list — no pruning
+    # to observe).
+    one_query = queries_df.filter(F.col("query_id") == 0)
+    probe = ivfpq_probe_persisted(spark, index_dir, one_query,
                                   k=10, nprobe=1)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "list_id" in plan
-    # the probe honored its contract: results only from probed lists
     all_lists = {r["list_id"] for r in
                  spark.read.parquet(f"{index_dir}/codes")
                  .select("list_id").distinct().collect()}
     assert len(all_lists) > 1  # data-adaptive: more than one list in use
+    # Recompute the nprobe=1 list selection independently (argmin squared
+    # distance to the stored coarse centroids) and assert the probe's
+    # RESULTS honor it — a pruning regression that still mentions the
+    # filter in the plan string can no longer pass.
+    cent = {r["cid"]: list(r["centroid"]) for r in
+            spark.read.parquet(f"{index_dir}/coarse").collect()}
+    probed_lists = set()
+    for q in one_query.collect():
+        v = list(q["embedding"])
+        probed_lists.add(min(
+            cent, key=lambda c: sum((a - b) ** 2
+                                    for a, b in zip(v, cent[c]))))
+    assert probed_lists < all_lists      # strict subset: pruning possible
+    allowed_ids = {r["neighbor_id"] for r in
+                   spark.read.parquet(f"{index_dir}/codes")
+                   .filter(F.col("list_id").isin(sorted(probed_lists)))
+                   .select("neighbor_id").collect()}
+    got_ids = {r["neighbor_id"] for r in probe.collect()}
+    assert got_ids and got_ids <= allowed_ids
 
 
 def test_index_layout(spark, index_dir):
