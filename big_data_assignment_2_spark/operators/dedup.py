@@ -450,6 +450,74 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.9,
                     (F.col("__nid") == F.col("component")).alias("is_survivor")))
 
 
+def exact_substring_spans(docs: DataFrame, length: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """EXACT repeated-substring detection — the ExactSubstr dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as sorted-shingle runs instead of a monolithic
+    suffix array: find every maximal token span of ≥ ``length`` tokens
+    that occurs at two or more (doc, position) sites corpus-wide
+    (within-doc repeats count, as in the paper), and emit the per-doc
+    remove-span list a training pipeline cuts out (boilerplate, licenses,
+    quoted headers).  The complement of :func:`winnow_fingerprints`:
+    winnowing *samples* shared runs probabilistically; this finds them
+    exactly.
+
+    Suffix-array ≈ sorted shingles: a repeated span of T ≥ L tokens is
+    exactly a run of T−L+1 consecutive positions whose length-L shingles
+    are each duplicated somewhere in the corpus, so
+
+    1. per-doc token array (single tokenize), length-L shingle hash at
+       every start position — IN-ROW ``transform`` over the position
+       sequence, no explode-then-window shuffle (md5-derived hashes so
+       the DuckDB oracle replays them bit-for-bit);
+    2. duplicated-shingle set = hash-groupBy count ≥ 2 (map-side partial
+       agg; one shuffle on a well-distributed 60-bit key);
+    3. per-doc duplicated start positions → maximal spans by
+       gaps-and-islands: starts p < q belong to one span iff q ≤ p + L
+       (their covered ranges [p, p+L−1], [q, q+L−1] touch or overlap);
+       the window partitions BY DOC, never globally.
+
+    Scale (100 TB): shingle volume ≈ token volume (one row per token
+    position); the duplicated-set join is a two-relation equi-join on the
+    hash (AQE skew-split covers a boilerplate shingle shared by millions
+    of docs); no stage is quadratic — unlike pair-forming dedups this one
+    never materializes doc pairs at all.
+
+    Returns (doc_id string, span_start int, span_end int, n_tokens int):
+    inclusive 0-based token-index bounds of each maximal duplicated span.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col)
+    sh = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(
+            F.when(F.size(toks) >= length, F.transform(
+                F.sequence(F.lit(0), F.size(toks) - length),
+                lambda i: md5_hash64(F.concat_ws(
+                    " ", F.slice(toks, i + 1, length)))))
+            .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
+    dup = sh.groupBy("h").agg(F.count("*").alias("__c")) \
+        .filter(F.col("__c") >= 2).select("h")
+    dpos = sh.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dpos
+           .withColumn("__prev", F.lag("pos").over(w))
+           .withColumn("__new", F.when(
+               F.col("__prev").isNull()
+               | (F.col("pos") > F.col("__prev") + length), 1).otherwise(0))
+           .withColumn("__island", F.sum("__new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "__island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + length - 1).cast("int").alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("int").alias("n_tokens")))
+
+
 def winnow_fingerprints(docs: DataFrame, n: int = 3, window: int = 4,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD '03) document fingerprints:

@@ -120,6 +120,20 @@ def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_members"))
 
 
+EXSUB_LEN = 8           # minimum duplicated-span length in tokens
+
+
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2022 ExactSubstr shape,
+    r11): every maximal token run of >= EXSUB_LEN tokens occurring at two
+    or more (doc, position) sites corpus-wide, as per-doc remove-span
+    lists — the exact complement of the probabilistic winnowing rows."""
+    from ..operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, length=EXSUB_LEN)
+
+
 EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
 EDIT_SIM_MIN = 0.6
 
@@ -265,6 +279,7 @@ def _rollover_flow(spark: SparkSession, sf_dir: str,
 
 
 QUERIES = {
+    "dedup_exact_substring": q_exact_substring,
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
     "dedup_edit_verify": q_edit_verify,
@@ -373,6 +388,39 @@ fp AS (
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
   FROM hashes)
 """
+
+# Exact-substring oracle: lead-built length-L shingles (same space-joined
+# string the Spark side hashes via concat_ws over a slice), duplicated-site
+# count, per-doc gaps-and-islands span merge.
+_EXSUB_SHINGLE = " || ' ' || ".join(
+    ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, EXSUB_LEN)])
+_EXSUB_SQL = f"""
+WITH {_TOKENS_CTE},
+led AS (
+  SELECT doc_id, position AS pos,
+         {_EXSUB_SHINGLE} AS shingle,
+         lead(term, {EXSUB_LEN - 1}) OVER w AS t_last
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY position)),
+sh AS (SELECT doc_id, pos, {md5_hash64_sql('shingle')} AS h
+       FROM led WHERE t_last IS NOT NULL),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+isl AS (SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NULL OR pos > prev + {EXSUB_LEN}
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dpos))
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {EXSUB_LEN} - 1 AS INTEGER) AS span_end,
+       CAST(max(pos) - min(pos) + {EXSUB_LEN} AS INTEGER) AS n_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
 
 _CC_ROUNDS = 8  # hop+jump per round ⇒ exact for any diameter ≤ ~2^8
 
@@ -543,6 +591,7 @@ FROM e2 e LEFT JOIN best2 b ON b.inc_id = e.doc_id AND b.rn = 1
 
 
 ORACLES = {
+    "dedup_exact_substring": _EXSUB_SQL,
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
     # Compaction is result-invariant (min over snapshot == min over log):
@@ -696,6 +745,7 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # ambiguous token) raise at import, so drift is an error, not a silent
 # semantic change.
 _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
+    "dedup_exact_substring": ("docs", "tokens", "sh", "dup", "dpos"),
     "dedup_tokenset": ("docs", "tokens"),
     "dedup_minhash_sig": ("docs", "tokens", "ts", "h", "sig"),
     "dedup_minhash_near": ("docs", "tokens", "ts", "h", "sig", "bands",
