@@ -945,12 +945,21 @@ def write_fingerprint_store(docs: DataFrame, base_path: str,
     job keeps between runs — exactly the three history-side inputs of
     :func:`_flag_against_history`:
 
-    - ``keys/``   — (__k, __exact_nid): token-set md5 key → lowest
-      historical doc id (the exact-dup probe relation)
+    - ``keys/``   — (__k, __exact_nid): PER-DOC token-set md5 key rows
+      (the exact-dup probe relation; the probe min-aggregates per key)
     - ``bands/``  — (hist_nid, band_id, band_key): MinHash LSH band keys
       (the near-dup candidate probe relation)
     - ``arrays/`` — (hist_nid, __toks, __sz): sorted distinct token
       arrays (the in-row Jaccard verify relation)
+
+    The keys relation is deliberately per-doc, not min-per-key (changed
+    r11 for the tombstone path): with one row per (key, doc),
+    :func:`delete_fingerprints` is EXACT — removing a deleted doc's row
+    uncovers the next-lowest doc holding the same key, whereas a
+    min-folded log forgets the secondary ids and a delete of the
+    survivor would falsely report the key gone while non-deleted twins
+    remain in the corpus.  Row count is bounded by doc count — the same
+    order as ``arrays``, so per-doc granularity costs nothing extra.
 
     At 100 TB these are the tables the nightly batch job appends to and
     every streaming micro-batch probes; here they are recomputed per run
@@ -963,8 +972,8 @@ def write_fingerprint_store(docs: DataFrame, base_path: str,
             .withColumn("doc_id", F.col("__nid").cast("string"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     try:
-        (base.select(tokenset_key("__text").alias("__k"), "__nid")
-         .groupBy("__k").agg(F.min("__nid").alias("__exact_nid"))
+        (base.select(tokenset_key("__text").alias("__k"),
+                     F.col("__nid").alias("__exact_nid"))
          .write.mode("overwrite").parquet(f"{base_path}/keys"))
         arrays = (doc_tokensets(base, "__text", "doc_id")
                   .groupBy("doc_id")
@@ -991,7 +1000,8 @@ def append_fingerprints(docs: DataFrame, base_path: str,
     """Append a batch's fingerprints to a persisted store — the daily
     MAINTENANCE write after flagging: the day's surviving (unique) docs
     become history for tomorrow's batch.  The keys relation is an
-    append-only log of per-batch (key, min id) rows; the probe
+    append-only log of PER-DOC (key, id) rows (r11 — exact tombstone
+    deletes, see ``write_fingerprint_store``); the probe
     re-aggregates min at read time (``flag_batch_against_store``), so
     appends never need read-modify-write — at 100 TB this is an atomic
     partition append plus an optional periodic compaction, never an
@@ -1012,8 +1022,8 @@ def append_fingerprints(docs: DataFrame, base_path: str,
                         F.col(text_col).alias("__text"))
             .withColumn("doc_id", F.col("__nid").cast("string"))
             .localCheckpoint())
-    (base.select(tokenset_key("__text").alias("__k"), "__nid")
-     .groupBy("__k").agg(F.min("__nid").alias("__exact_nid"))
+    (base.select(tokenset_key("__text").alias("__k"),
+                 F.col("__nid").alias("__exact_nid"))
      .write.mode("append").parquet(f"{base_path}/keys"))
     arrays = (doc_tokensets(base, "__text", "doc_id")
               .groupBy("doc_id")
@@ -1029,39 +1039,106 @@ def append_fingerprints(docs: DataFrame, base_path: str,
      .write.mode("append").parquet(f"{base_path}/arrays"))
 
 
+def delete_fingerprints(spark: SparkSession, base_path: str,
+                        doc_ids) -> None:
+    """TOMBSTONE deleted documents — the takedown/GDPR path of the store
+    lifecycle (write → append → delete → compact): append the doc ids to
+    an append-only ``tombstones/`` relation.  Probes mask tombstoned
+    docs at read time (:func:`flag_batch_against_store` anti-joins all
+    three relations), and :func:`compact_fingerprint_store` removes
+    their rows PHYSICALLY and drops the tombstone log.  Like the append
+    path, a delete is a pure partition append — no read-modify-write —
+    so concurrent daily deletes compose at 100 TB.
+
+    Deletes are EXACT because the keys log is per-doc: removing doc X's
+    (key, X) row uncovers the next-lowest doc Y holding the same key, so
+    a future twin still flags as a dup of Y instead of silently passing
+    as unique.
+
+    ``doc_ids``: a DataFrame whose first column is the doc id (any
+    numeric/string castable to bigint), or a Python iterable of ints."""
+    if isinstance(doc_ids, DataFrame):
+        tomb = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("bigint").alias("__nid"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "__nid bigint")
+    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+
+
+def _store_tombstones(spark: SparkSession, base_path: str):
+    """The store's tombstoned doc ids as a 1-column DataFrame, or None if
+    no delete has ever been issued (missing directory — checked through
+    the Hadoop FS API, same abstraction as the writes)."""
+    path = f"{base_path}/tombstones"
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path).select("__nid").distinct()
+
+
+def _anti_tombstones(df: DataFrame, tomb, nid_col: str) -> DataFrame:
+    """Mask tombstoned docs out of a store relation (no-op if tomb is
+    None).  Broadcast-friendly anti join: the tombstone set is the
+    deleted-doc list — tiny relative to the store."""
+    if tomb is None:
+        return df
+    return df.join(tomb.withColumnRenamed("__nid", nid_col),
+                   nid_col, "left_anti")
+
+
 def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
-    """Compact the store's append-only keys log into a min-per-key
-    snapshot — the periodic maintenance job that keeps probe-time
-    re-aggregation cheap after many daily appends.  Result-invariant by
-    construction: the probe aggregates min per key anyway, and
-    min(snapshot) == min(log).
+    """Compact the store — the periodic maintenance job: physically
+    remove tombstoned docs' rows from ALL THREE relations, drop the
+    tombstone log, and rewrite the keys log distinct (duplicate per-doc
+    rows can only come from a replayed append; result-invariant since
+    the probe min-aggregates anyway).  After compaction no byte of a
+    deleted document's fingerprints remains on disk — the property a
+    takedown pipeline must certify, and tested by
+    tests/test_store_tombstones.py.
+
+    The keys snapshot deliberately stays PER-DOC (no min-per-key fold):
+    folding would forget the secondary ids holding each key, so a LATER
+    delete of the surviving id would falsely erase the key while
+    non-deleted twins remain in the corpus.  Row count is doc-bounded
+    (same order as ``arrays``), so the fold would buy little anyway.
 
     Concurrency contract: run in a MAINTENANCE WINDOW (no concurrent
-    probes/appends on the same store).  The swap is two sequential
-    renames — a probe landing between them would see no ``keys/``
-    directory at all (fail-loud, never silent wrong answers), and an
-    append landing between them would be lost by the second rename.
-    A true atomic directory exchange does not exist portably across
-    the filesystems Spark targets (HDFS/S3A have no RENAME_EXCHANGE),
-    so the window requirement is documented rather than half-hidden.
-    The renames/deletes go through Hadoop's FileSystem API — the same
-    abstraction as the store's parquet writes — so the store works on
-    any Spark-supported URI, not just a local POSIX disk."""
+    probes/appends on the same store).  Each swap is two sequential
+    renames — a probe landing between them would see no directory at
+    all (fail-loud, never silent wrong answers), and an append landing
+    between them would be lost by the second rename.  A true atomic
+    directory exchange does not exist portably across the filesystems
+    Spark targets (HDFS/S3A have no RENAME_EXCHANGE), so the window
+    requirement is documented rather than half-hidden.  The renames/
+    deletes go through Hadoop's FileSystem API — the same abstraction
+    as the store's parquet writes — so the store works on any
+    Spark-supported URI, not just a local POSIX disk."""
     import uuid
 
-    keys = f"{base_path}/keys"
-    tmp = f"{base_path}/keys_compact_{uuid.uuid4().hex[:8]}"
-    # No coalesce(1): the key set is corpus-distinct-content sized —
-    # billions of rows at 100 TB — so the snapshot keeps the groupBy's
-    # shuffle partitioning (file count scales with the cluster, and AQE
-    # coalesces small outputs on its own).
-    (spark.read.parquet(keys)
-     .groupBy("__k").agg(F.min("__exact_nid").alias("__exact_nid"))
-     .write.mode("overwrite").parquet(tmp))
-    old = f"{base_path}/keys_old_{uuid.uuid4().hex[:8]}"
-    _hadoop_rename(spark, keys, old)
-    _hadoop_rename(spark, tmp, keys)
-    _hadoop_delete(spark, old)
+    tomb = _store_tombstones(spark, base_path)
+
+    def rewrite(rel: str, df: DataFrame) -> None:
+        # No coalesce(1): relations are corpus-sized — billions of rows
+        # at 100 TB — so keep the plan's shuffle partitioning (file count
+        # scales with the cluster; AQE coalesces small outputs).
+        path = f"{base_path}/{rel}"
+        tmp = f"{base_path}/{rel}_compact_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{base_path}/{rel}_old_{uuid.uuid4().hex[:8]}"
+        _hadoop_rename(spark, path, old)
+        _hadoop_rename(spark, tmp, path)
+        _hadoop_delete(spark, old)
+
+    keys = spark.read.parquet(f"{base_path}/keys").distinct()
+    rewrite("keys", _anti_tombstones(keys, tomb, "__exact_nid"))
+    if tomb is not None:
+        # bands/arrays only need rewriting when there is something to
+        # remove; the no-delete compaction stays a keys-only job.
+        for rel, col in (("bands", "hist_nid"), ("arrays", "hist_nid")):
+            rewrite(rel, _anti_tombstones(
+                spark.read.parquet(f"{base_path}/{rel}"), tomb, col))
+        _hadoop_delete(spark, f"{base_path}/tombstones")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -1104,11 +1181,15 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     base = (batch.select(num_id.alias("__nid"),
                          F.col(text_col).alias("__text"))
             .withColumn("doc_id", F.col("__nid").cast("string")))
+    # Tombstoned docs are masked out of every relation at read time
+    # (delete_fingerprints); compaction later removes them physically.
+    tomb = _store_tombstones(spark, base_path)
     # Re-aggregate min per key at read time: the store's keys relation is
-    # an append-only log (see append_fingerprints), so a key ingested on
-    # several days has several rows — min recovers the global earliest id
-    # and guarantees one row per key into the left join.
-    hist_keys = (spark.read.parquet(f"{base_path}/keys")
+    # an append-only per-doc log (see append_fingerprints) — min recovers
+    # the earliest SURVIVING id per key and guarantees one row per key
+    # into the left join.
+    hist_keys = (_anti_tombstones(spark.read.parquet(f"{base_path}/keys"),
+                                  tomb, "__exact_nid")
                  .groupBy("__k").agg(F.min("__exact_nid")
                                      .alias("__exact_nid")))
     inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
@@ -1119,5 +1200,7 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
                   .agg(F.sort_array(F.collect_list("term")).alias("__toks")))
     return _flag_against_history(
         inc, inc_arrays,
-        spark.read.parquet(f"{base_path}/bands"),
-        spark.read.parquet(f"{base_path}/arrays"), threshold)
+        _anti_tombstones(spark.read.parquet(f"{base_path}/bands"),
+                         tomb, "hist_nid"),
+        _anti_tombstones(spark.read.parquet(f"{base_path}/arrays"),
+                         tomb, "hist_nid"), threshold)

@@ -243,23 +243,38 @@ def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollover_flow(spark, sf_dir, compact=True)
 
 
+DELETE_MODS = (1, 4)     # nid % 10 values tombstoned in the delete row
+
+
+def q_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollover flow with DELETIONS between the days (r11 —
+    ``dedup.delete_fingerprints``): after day 1's append, docs with
+    nid % 10 in {1, 4} are tombstoned ({1} ⊂ the initial history,
+    {4} ⊂ day-1 appended uniques; tombstones for day-1 DUPS are no-ops
+    since they were never appended), and day 2 probes the store with
+    the tombstones masked at read time.  The oracle replays day 2
+    against history MINUS the deleted ids — a deleted doc must never
+    flag a day-2 dup, and a day-2 doc whose only twin was deleted must
+    come out unique.  The takedown/GDPR path, certified end-to-end."""
+    return _rollover_flow(spark, sf_dir, compact=False, delete=True)
+
+
 def _rollover_flow(spark: SparkSession, sf_dir: str,
-                   compact: bool) -> DataFrame:
-    import glob
+                   compact: bool, delete: bool = False) -> DataFrame:
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (append_fingerprints,
                                    compact_fingerprint_store,
+                                   delete_fingerprints,
                                    flag_batch_against_store,
                                    write_fingerprint_store)
 
     docs = load_table(spark, sf_dir, "documents")
     nid = F.col("doc_id").cast("bigint")
-    tag = "cmp" if compact else "app"
+    tag = "del" if delete else ("cmp" if compact else "app")
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     store = os.path.join(scratch, f"fp_rollover_{tag}_{os.getpid()}")
     cleanup_stale_scratch(scratch, f"fp_rollover_{tag}_*", keep=store)
@@ -272,6 +287,10 @@ def _rollover_flow(spark: SparkSession, sf_dir: str,
         .select(F.col("doc_id").cast("bigint").alias("__uid")),
         nid == F.col("__uid")).drop("__uid"))
     append_fingerprints(uniq1, store)
+    if delete:
+        delete_fingerprints(
+            spark, store,
+            docs.filter((nid % 10).isin(*DELETE_MODS)).select("doc_id"))
     if compact:
         compact_fingerprint_store(spark, store)
     return flag_batch_against_store(docs.filter((nid % 5) == 0), store,
@@ -301,6 +320,7 @@ QUERIES = {
     "dedup_incremental": q_incremental_dedup,
     "dedup_store_rollover": q_store_rollover,
     "dedup_store_compact": q_store_compact,
+    "dedup_store_delete": q_store_delete,
 }
 
 
@@ -563,9 +583,13 @@ best{sfx} AS (SELECT inc_id, hist_nid, j,
   FROM ver{sfx})"""
 
 
-_ROLLOVER_SQL = (
-    f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
-    f"""ids AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS nid FROM docs),
+def _rollover_sql(h2_where: str = "") -> str:
+    """The two-day store-maintenance replay, with day-2's history
+    optionally filtered (the tombstone-delete oracle passes a WHERE
+    excluding the deleted ids)."""
+    return (
+        f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
+        f"""ids AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS nid FROM docs),
 keys AS (SELECT d.doc_id, i.nid,
                 md5(array_to_string(list_sort(list_distinct(d.toks)), ' '))
                     AS k
@@ -576,7 +600,8 @@ h1 AS (SELECT doc_id, nid FROM ids WHERE nid % 5 IN (1, 2, 3)),
 u1 AS (SELECT e.doc_id, e.nid
   FROM e1 e LEFT JOIN best1 b ON b.inc_id = e.doc_id AND b.rn = 1
   WHERE e.exact_nid IS NULL AND b.hist_nid IS NULL),
-h2 AS (SELECT * FROM h1 UNION ALL SELECT doc_id, nid FROM u1),
+h2 AS (SELECT * FROM (SELECT * FROM h1
+                      UNION ALL SELECT doc_id, nid FROM u1) {h2_where}),
 {_day_flag_ctes('2', 'h2', 'ky.nid % 5 = 0', JACCARD_THRESHOLD)}
 SELECT e.doc_id,
        CASE WHEN e.exact_nid IS NOT NULL THEN 'exact_dup'
@@ -590,14 +615,22 @@ FROM e2 e LEFT JOIN best2 b ON b.inc_id = e.doc_id AND b.rn = 1
 """)
 
 
+_ROLLOVER_SQL = _rollover_sql()
+_DELETE_SQL = _rollover_sql(
+    f"WHERE nid % 10 NOT IN {DELETE_MODS}")
+
+
 ORACLES = {
     "dedup_exact_substring": _EXSUB_SQL,
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
-    # Compaction is result-invariant (min over snapshot == min over log):
-    # same two-day replay; the green row's information is that the
-    # rewrite+swap lost nothing.
+    # Compaction is result-invariant (per-doc distinct minus tombstones;
+    # the probe min-aggregates anyway): same two-day replay; the green
+    # row's information is that the rewrite+swap lost nothing.
     "dedup_store_compact": _ROLLOVER_SQL,
+    # Day-2 replay against history MINUS the tombstoned ids — certifies
+    # the read-time tombstone masking of all three store relations.
+    "dedup_store_delete": _DELETE_SQL,
     "dedup_edit_verify": f"""
 WITH pre AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                     substr(text, 1, {EDIT_PREFIX}) AS pre FROM documents),

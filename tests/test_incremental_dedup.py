@@ -198,9 +198,11 @@ def test_append_fingerprints_store_derived_batch_is_safe(spark, sf_dir):
 
 
 def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
-    """Compacting the keys log (min-per-key snapshot + directory swap)
-    must shrink or keep the row count and leave flagging output
-    byte-identical."""
+    """Compacting the keys log (per-doc distinct + directory swap) must
+    shrink or keep the row count and leave flagging output
+    byte-identical.  Since r11 the log is PER-DOC (exact tombstone
+    deletes), so compaction dedups rows rather than min-folding keys —
+    one row per (key, doc) afterwards."""
     import os
     import tempfile
 
@@ -213,7 +215,8 @@ def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
     with tempfile.TemporaryDirectory() as d:
         store = os.path.join(d, "store")
         write_fingerprint_store(docs.filter((nid % 5).isin(1, 2)), store)
-        # two appends -> keys log has duplicate-key rows across batches
+        append_fingerprints(docs.filter((nid % 5) == 3), store)
+        # a REPLAYED append -> duplicate per-doc rows for compaction to fold
         append_fingerprints(docs.filter((nid % 5) == 3), store)
         append_fingerprints(docs.filter((nid % 5) == 4), store)
         probe = docs.filter((nid % 5) == 0)
@@ -225,7 +228,7 @@ def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
         after = sorted(tuple(r) for r in
                        flag_batch_against_store(probe, store, 0.9).collect())
         assert after == before
-        assert after_rows <= before_rows
-        distinct_keys = spark.read.parquet(f"{store}/keys") \
-            .select("__k").distinct().count()
-        assert after_rows == distinct_keys   # exactly one row per key now
+        assert after_rows < before_rows      # the replayed rows folded
+        distinct_rows = spark.read.parquet(f"{store}/keys") \
+            .select("__k", "__exact_nid").distinct().count()
+        assert after_rows == distinct_rows   # one row per (key, doc) now

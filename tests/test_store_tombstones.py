@@ -1,0 +1,85 @@
+"""Fingerprint-store tombstone deletes (r11): read-time masking, the
+exact next-twin uncover the per-doc keys log exists for, physical removal
+at compaction, and no-op deletes."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.dedup import (
+    compact_fingerprint_store, delete_fingerprints,
+    flag_batch_against_store, write_fingerprint_store)
+
+BASE = ("spark catalyst shuffle join broadcast partition codegen "
+        "arrow parquet vector")
+
+
+def _flags(spark, store, rows, thr=0.8):
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r["doc_id"]: (r["status"], r["match_id"])
+            for r in flag_batch_against_store(batch, store, thr).collect()}
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    """History: 1 and 3 share a token set (reordered), 5 is a near-dup of
+    them (9/10 tokens), 7 is unrelated."""
+    toks = BASE.split()
+    hist = spark.createDataFrame([
+        (1, " ".join(toks)),
+        (3, " ".join(reversed(toks))),          # same token SET as 1
+        (5, " ".join(toks[:9]) + " extra"),     # near-dup of 1/3 (J=0.818)
+        (7, "totally unrelated words live here"),
+    ], "doc_id bigint, text string")
+    path = os.path.join(str(tmp_path), "store")
+    write_fingerprint_store(hist, path)
+    return path
+
+
+def test_delete_uncovers_next_twin(spark, store):
+    """The case the per-doc keys log exists for: doc 0 is an exact dup of
+    BOTH 1 and 3; deleting 1 must re-point the match to 3, not erase the
+    key — a min-folded log would falsely report 0 unique."""
+    probe = [(0, BASE)]
+    assert _flags(spark, store, probe)["0"] == ("exact_dup", "1")
+    delete_fingerprints(spark, store, [1])
+    assert _flags(spark, store, probe)["0"] == ("exact_dup", "3")
+    delete_fingerprints(spark, store, [3])
+    # both exact twins gone: the near-dup 5 is uncovered via the bands
+    assert _flags(spark, store, probe)["0"] == ("near_dup", "5")
+    delete_fingerprints(spark, store, [5])
+    assert _flags(spark, store, probe)["0"] == ("unique", None)
+
+
+def test_delete_is_a_noop_for_absent_ids(spark, store):
+    before = _flags(spark, store, [(0, BASE)])
+    delete_fingerprints(spark, store, [999, 1000])
+    assert _flags(spark, store, [(0, BASE)]) == before
+
+
+def test_compaction_physically_removes(spark, store):
+    """After compaction no byte of a deleted doc remains in any relation,
+    the tombstone log itself is gone, and flags are unchanged."""
+    delete_fingerprints(spark, store, [1, 5])
+    before = _flags(spark, store, [(0, BASE)])
+    compact_fingerprint_store(spark, store)
+    after = _flags(spark, store, [(0, BASE)])
+    assert after == before == {"0": ("exact_dup", "3")}
+    keys_nids = {r[0] for r in spark.read.parquet(f"{store}/keys")
+                 .select("__exact_nid").collect()}
+    band_nids = {r[0] for r in spark.read.parquet(f"{store}/bands")
+                 .select("hist_nid").distinct().collect()}
+    arr_nids = {r[0] for r in spark.read.parquet(f"{store}/arrays")
+                .select("hist_nid").collect()}
+    assert keys_nids == band_nids == arr_nids == {3, 7}
+    assert not os.path.exists(f"{store}/tombstones")
+
+
+def test_dataframe_ids_accepted(spark, store):
+    ids = spark.createDataFrame([(1,), (3,)], "doc_id bigint")
+    delete_fingerprints(spark, store, ids)
+    assert _flags(spark, store, [(0, BASE)])["0"] == ("near_dup", "5")
