@@ -583,10 +583,22 @@ best{sfx} AS (SELECT inc_id, hist_nid, j,
   FROM ver{sfx})"""
 
 
-def _rollover_sql(h2_where: str = "") -> str:
+def _rollover_sql(h2_where: str = "", both_days: bool = False) -> str:
     """The two-day store-maintenance replay, with day-2's history
     optionally filtered (the tombstone-delete oracle passes a WHERE
-    excluding the deleted ids)."""
+    excluding the deleted ids).  ``both_days`` additionally emits day 1's
+    flags (the streaming rollover drains BOTH days into its sink)."""
+    day1_select = """
+SELECT e.doc_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 'exact_dup'
+            WHEN b.hist_nid IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       CASE WHEN e.exact_nid IS NOT NULL THEN CAST(e.exact_nid AS VARCHAR)
+            WHEN b.hist_nid IS NOT NULL THEN CAST(b.hist_nid AS VARCHAR)
+            END AS match_id,
+       CASE WHEN e.exact_nid IS NOT NULL THEN 1.0 ELSE b.j END AS jaccard
+FROM e1 e LEFT JOIN best1 b ON b.inc_id = e.doc_id AND b.rn = 1
+UNION ALL """ if both_days else ""
     return (
         f"WITH {_TOKENS_CTE}, {_sig_cte().strip()}, {_bands_cte()},\n"
         f"""ids AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS nid FROM docs),
@@ -603,7 +615,7 @@ u1 AS (SELECT e.doc_id, e.nid
 h2 AS (SELECT * FROM (SELECT * FROM h1
                       UNION ALL SELECT doc_id, nid FROM u1) {h2_where}),
 {_day_flag_ctes('2', 'h2', 'ky.nid % 5 = 0', JACCARD_THRESHOLD)}
-SELECT e.doc_id,
+{day1_select}SELECT e.doc_id,
        CASE WHEN e.exact_nid IS NOT NULL THEN 'exact_dup'
             WHEN b.hist_nid IS NOT NULL THEN 'near_dup'
             ELSE 'unique' END AS status,

@@ -395,7 +395,85 @@ def q_stream_dedup_near_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def q_stream_dedup_rollover_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CLOSE-THE-LOOP rollover (r11, VERDICT r10 #6): each
+    micro-batch both FLAGS against the persisted fingerprint store and
+    APPENDS its unique docs' fingerprints — the atomic flag→append a
+    real daily ingest pipeline runs, where today's survivors become
+    history for tomorrow.  Two "days" of documents (the rollover split:
+    %5==4 then %5==0) arrive as two source files drained one per
+    micro-batch (maxFilesPerTrigger=1, oldest first), so day 2 is
+    flagged against the store GROWN by day 1's uniques; the drained
+    sink holds BOTH days' flags and must equal the batch two-day
+    maintenance loop replayed from first principles by the oracle.
+
+    Batching contract: one micro-batch per ingest day (the append
+    happens after the whole batch is flagged against the store as of
+    batch start, so flags never see same-batch uniques — the same
+    no-incoming×incoming guarantee as the batch flagger).  The emit
+    guards the contract fail-loud: a micro-batch mixing the two day
+    splits raises instead of silently producing boundary-dependent
+    flags.  At 100 TB the "file" is a day's ingest partition; one
+    batch per partition is exactly how a foreachBatch maintenance job
+    is deployed."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (append_fingerprints,
+                                   flag_batch_against_store,
+                                   write_fingerprint_store)
+    from ..plans.dedup_queries import JACCARD_THRESHOLD
+    from ..streaming.windows import _MEMSINK_SEQ
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base = os.path.join(scratch,
+                        f"roll_live_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    cleanup_stale_scratch(scratch, "roll_live_*", keep=base)
+    store, src, sink = (os.path.join(base, d)
+                        for d in ("store", "src", "sink"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
+    # One source file per ingest day, written in day order (the file
+    # source drains oldest-first).  repartition(1) is certification
+    # plumbing: production would point the stream at per-day ingest
+    # partitions instead of squeezing a day into one file.
+    docs.filter((nid % 5) == 4).repartition(1) \
+        .write.mode("append").parquet(src)
+    docs.filter((nid % 5) == 0).repartition(1) \
+        .write.mode("append").parquet(src)
+
+    inc = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        mods = [r[0] for r in batch_df
+                .select((F.col("doc_id").cast("bigint") % 5).alias("m"))
+                .distinct().collect()]
+        if len(mods) > 1:
+            raise ValueError(
+                f"day-granularity batching violated: batch mixes day "
+                f"splits {sorted(mods)}")
+        flags = flag_batch_against_store(batch_df, store,
+                                         JACCARD_THRESHOLD).localCheckpoint()
+        flags.write.mode("append").parquet(sink)
+        uniq = batch_df.join(
+            flags.filter(F.col("status") == "unique")
+            .select(F.col("doc_id").cast("bigint").alias("__uid")),
+            F.col("doc_id").cast("bigint") == F.col("__uid")).drop("__uid")
+        append_fingerprints(uniq, store)
+
+    q = (inc.writeStream.outputMode("append").foreachBatch(emit)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 QUERIES = {
+    "stream_dedup_rollover_live": q_stream_dedup_rollover_live,
     "stream_dedup_near_live": q_stream_dedup_near_live,
     "stream_dedup_history": q_stream_dedup_history,
     "stream_restart_recovery": q_restart_recovery,
@@ -416,9 +494,13 @@ QUERIES = {
     "stream_session_30m": q_session,
 }
 
-from .dedup_queries import _INC_SQL  # noqa: E402
+from .dedup_queries import _INC_SQL, _rollover_sql  # noqa: E402
 
 ORACLES = {
+    # Both days' flags from the first-principles two-day replay: the
+    # foreachBatch flag→append loop (one micro-batch per ingest day) must
+    # reproduce the batch maintenance loop exactly.
+    "stream_dedup_rollover_live": _rollover_sql(both_days=True),
     # Streaming near-dup flagging is micro-batch-independent (every
     # incoming doc is flagged against the persisted HISTORY only, never
     # against other incoming docs), so the drained foreachBatch sink

@@ -197,6 +197,46 @@ def test_append_fingerprints_store_derived_batch_is_safe(spark, sf_dir):
         assert got_keys <= uniq_ids and got_keys  # min-per-key subset
 
 
+def test_stream_rollover_equals_batch_maintenance_loop(spark, sf_dir):
+    """The streaming flag→append foreachBatch loop (one micro-batch per
+    ingest day) must equal the batch maintenance loop driven directly
+    through the store API on the same day split — flags for BOTH days,
+    statuses, match ids, jaccards.  Day granularity is the batching
+    contract: within a day no doc sees same-day uniques (store read as
+    of batch start), across days the store has grown."""
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        append_fingerprints, flag_batch_against_store,
+        write_fingerprint_store)
+    from big_data_assignment_2_spark.plans.dedup_queries import (
+        JACCARD_THRESHOLD)
+    from big_data_assignment_2_spark.plans.streaming_queries import (
+        q_stream_dedup_rollover_live)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nid = F.col("doc_id").cast("bigint")
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
+        batch_rows = []
+        for day_mod in (4, 0):
+            day = docs.filter((nid % 5) == day_mod)
+            flags = flag_batch_against_store(
+                day, store, JACCARD_THRESHOLD).localCheckpoint()
+            batch_rows += [tuple(r) for r in flags.collect()]
+            uniq = day.join(
+                flags.filter(F.col("status") == "unique")
+                .select(F.col("doc_id").cast("bigint").alias("__uid")),
+                nid == F.col("__uid")).drop("__uid")
+            append_fingerprints(uniq, store)
+        stream_rows = [tuple(r) for r in
+                       q_stream_dedup_rollover_live(spark, sf_dir).collect()]
+    assert sorted(batch_rows) == sorted(stream_rows)
+    assert len(batch_rows) > 0
+
+
 def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
     """Compacting the keys log (per-doc distinct + directory swap) must
     shrink or keep the row count and leave flagging output
