@@ -61,10 +61,17 @@ EXTRA = [
     "sim_semdedup",          # cluster-then-prune semantic dedup
     "events_paths",          # gap sessionization + journey path mining
     "stream_dedup_history",  # stream-static anti-join dedup
-    "stream_dedup_near_live",  # near-dup band probe vs persisted store
     "mm_jpeg_dri",           # restart-interval JPEG (camera layout)
     "mm_jpeg_422",           # 4:2:2 via the generic MCU loop
-    "dedup_store_rollover",  # two-day store maintenance loop
+    "dedup_exact_substring",  # sorted-shingle maximal repeated spans
+    # CHANGELOG (round 11, per VERDICT r10 #2): dedup_store_rollover and
+    # stream_dedup_near_live are RETIRED from the bench — both rebuild
+    # their fingerprint store from scratch per run (certification shape;
+    # ~130 s of churn per sf1 sweep) and hid the serving cost.  The split
+    # rows below (fingerprint_store_build once + dedup_store_probe
+    # repeated) time what a production pipeline actually pays, mirroring
+    # the r10 ANN build/probe split.  Both stay registered as oracle gate
+    # rows for correctness continuity.
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single
@@ -220,6 +227,37 @@ def main() -> None:
         extra_timings["sim_ivfpq_probe_persisted"] = round(min(runs), 3)
         medians["sim_ivfpq_probe_persisted"] = \
             round(sorted(runs)[len(runs) // 2], 3)
+
+    # Fingerprint-store serving path (round 11, VERDICT r10 #2): build the
+    # historical store ONCE (timed as the build row — the nightly batch
+    # cost), then time flag_batch_against_store ALONE as the serving row —
+    # the per-ingest-batch latency a daily pipeline actually pays, which
+    # the retired rollover rows conflated with two store rebuilds.
+    from big_data_assignment_2_spark.operators.dedup import (
+        flag_batch_against_store, write_fingerprint_store)
+    from big_data_assignment_2_spark.plans.dedup_queries import (
+        INC_DEDUP_MOD, JACCARD_THRESHOLD)
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    with tempfile.TemporaryDirectory() as fpdir:
+        store = os.path.join(fpdir, "store")
+        t0 = time.perf_counter()
+        write_fingerprint_store(docs.filter((nid % INC_DEDUP_MOD) != 0),
+                                store)
+        extra_timings["fingerprint_store_build"] = \
+            round(time.perf_counter() - t0, 3)
+        batch = docs.filter((nid % INC_DEDUP_MOD) == 0)
+        materialize(flag_batch_against_store(batch, store,
+                                             JACCARD_THRESHOLD))
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            materialize(flag_batch_against_store(batch, store,
+                                                 JACCARD_THRESHOLD))
+            runs.append(time.perf_counter() - t0)
+        extra_timings["dedup_store_probe"] = round(min(runs), 3)
+        medians["dedup_store_probe"] = round(sorted(runs)[len(runs) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -388,13 +388,17 @@ def _sq_dist(x: str, c: str) -> str:
             f"d -> ({x}[d] - {c}[d]) * ({x}[d] - {c}[d])))")
 
 
-def _lloyd_cte_chain() -> str:
+def _lloyd_cte_chain(k: int = KMEANS_K) -> str:
     """Unrolled Lloyd iterations as chained CTEs (shared by the k-means and
     IVF oracles): assignment = row_number over a vecs × centroids cross
     join (k rows), update = per-dimension round(avg(), 6) — mirroring the
     Spark operator's argmin tie-break (lowest cid) and rounded-mean update
-    exactly.  Final centroids land in CTE ``c{KMEANS_ITERS}``."""
-    ctes = [f"c0 AS (SELECT vec_id AS cid, v FROM vecs WHERE vec_id < {KMEANS_K})"]
+    exactly.  Final centroids land in CTE ``c{KMEANS_ITERS}``.
+
+    The SQL size is k-INDEPENDENT (k appears only in the init filter), so
+    tools/selfcheck_semdedup_sf1.py can replay the k∝N production shape
+    at 10× scale by passing a scaled k."""
+    ctes = [f"c0 AS (SELECT vec_id AS cid, v FROM vecs WHERE vec_id < {k})"]
     for i in range(1, KMEANS_ITERS + 1):
         avg_list = ", ".join(f"round(avg(v[{d}]), 6)" for d in range(1, 65))
         ctes.append(f"""a{i} AS (
@@ -689,14 +693,16 @@ cand AS (
                      AND a.vec_id < b.vec_id)"""
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(k: int = KMEANS_K) -> str:
     """Replays semdedup end-to-end: Lloyd chain, final assignment,
     rounded squared centroid distance, pairwise-precedence drop rule
-    under the 6-dp-rounded cosine threshold."""
+    under the 6-dp-rounded cosine threshold.  ``k`` parameterizes the
+    Lloyd init only (SQL size is k-independent) — the sf1 selfcheck
+    replays the k∝N production shape with k=80."""
     cfin = f"c{KMEANS_ITERS}"
     return f"""
 WITH {_VECS},
-{_lloyd_cte_chain()},
+{_lloyd_cte_chain(k)},
 asg AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
     SELECT x.vec_id, x.v, c.cid,
