@@ -62,6 +62,7 @@ EXTRA = [
     "events_paths",          # gap sessionization + journey path mining
     "stream_dedup_history",  # stream-static anti-join dedup
     "mm_jpeg_dri",           # restart-interval JPEG (camera layout)
+    "mm_jpeg_progressive",   # SOF2 multi-scan progressive (web layout)
     "mm_jpeg_422",           # 4:2:2 via the generic MCU loop
     "dedup_exact_substring",  # sorted-shingle maximal repeated spans
     # CHANGELOG (round 11, per VERDICT r10 #2): dedup_store_rollover and

@@ -807,6 +807,13 @@ _JPEG_DC_SYMBOLS = list(range(12))
 _JPEG_AC_SYMBOLS = (
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+# Progressive AC scans additionally need the EOBn symbols (r<<4)|0 for
+# r = 0..14 (end-of-band runs of 2^r..2^(r+1)-1 blocks, T.81 G.1.2.2);
+# 0xF0 is (15<<4)|0 = ZRL.  176 symbols still fit one 9-bit canonical
+# table (176/512 < 1).
+_JPEG_AC_PROG_SYMBOLS = (
+    [(r << 4) for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)])
 
 
 _DCT_C = None
@@ -1212,6 +1219,296 @@ def jpeg_bytes_422(pixels, quant_luma=None, quant_chroma=None,
             + data + b"\xff\xd9")                                 # EOI
 
 
+# --- progressive JPEG encoder (r11) -----------------------------------------
+# Spectral selection + successive approximation (T.81 Annex G), the layout
+# most web JPEGs ship.  The coefficient math (FDCT, quantization, zigzag)
+# is identical to baseline — progressive only re-ORDERS the entropy coding
+# into multiple scans — so a progressive encode of the same pixels under
+# the same quant tables holds bit-identical coefficients, and decoding
+# both must give bit-identical pixels (pinned by tests).
+
+
+def _quantized_zz_blocks(plane, qmat, pby: int, pbx: int):
+    """Quantized ZIGZAG coefficient lists for every 8x8 block of an
+    already-padded, level-shifted plane: [pby*pbx] lists of 64 ints.
+
+    Per-block ``C @ blk @ C.T`` — the EXACT expression _encode_block
+    uses — not a batched einsum: a different float summation order can
+    flip np.round at a .5 boundary and desynchronize the progressive
+    coefficients from the baseline encoders' (found the hard way on
+    random-content round trips)."""
+    import numpy as np
+
+    C = _dct_matrix()
+    blocks = (plane.reshape(pby, 8, pbx, 8).transpose(0, 2, 1, 3)
+              .reshape(pby * pbx, 8, 8))
+    out = []
+    for blk in blocks:
+        Sq = np.round((C @ blk @ C.T) / qmat).astype(np.int64).reshape(64)
+        out.append(Sq[_JPEG_ZIGZAG].tolist())
+    return out
+
+
+class _ProgAcState:
+    """Cross-block state of one progressive AC scan: the end-of-band run
+    and (refinement only) the buffered correction bits that T.81 G.1.2.3
+    defers until the next EOBn / ZRL / newly-significant code."""
+
+    def __init__(self, bw: "_BitWriter", ac_tab) -> None:
+        self.bw = bw
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.corr = []          # deferred refinement correction bits
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, n = self.ac_tab[r << 4]
+            self.bw.write(code, n)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.flush_corr()
+
+    def flush_corr(self) -> None:
+        for b in self.corr:
+            self.bw.write(b, 1)
+        self.corr = []
+
+    def bump_eob(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF or len(self.corr) > 900:
+            self.emit_eobrun()
+
+
+def _enc_ac_first(st: "_ProgAcState", zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC FIRST scan (T.81 G.1.2.2): point transform =
+    magnitude shift (truncate toward zero), zero runs + EOBn runs."""
+    band = [(abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+            for k in range(ss, se + 1)]
+    last = max((i for i, v in enumerate(band) if v), default=-1)
+    if last < 0:
+        st.bump_eob()
+        return
+    st.emit_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, n = st.ac_tab[0xF0]
+            st.bw.write(code, n)
+            run -= 16
+        size, bits = _jpeg_mag_bits(v)
+        code, n = st.ac_tab[(run << 4) | size]
+        st.bw.write(code, n)
+        st.bw.write(bits, size)
+        run = 0
+    if last < se - ss:
+        st.bump_eob()
+
+
+def _enc_ac_refine(st: "_ProgAcState", zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC REFINEMENT scan (T.81 G.1.2.3): newly
+    significant coefficients as (run, 1)+sign codes where the run counts
+    only zero-HISTORY positions; already-significant coefficients emit
+    deferred correction bits; trailing zero history folds into EOBn."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    pend = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.emit_eobrun()
+            code, n = st.ac_tab[0xF0]
+            st.bw.write(code, n)
+            run -= 16
+            st.corr.extend(pend)
+            st.flush_corr()
+            pend = []
+        if t > 1:
+            pend.append(t & 1)    # history coefficient: correction bit
+            continue
+        st.emit_eobrun()
+        code, n = st.ac_tab[(run << 4) | 1]
+        st.bw.write(code, n)
+        st.bw.write(1 if zz[ss + i] > 0 else 0, 1)
+        st.corr.extend(pend)
+        st.flush_corr()
+        pend = []
+        run = 0
+    if run > 0 or pend:
+        st.corr.extend(pend)
+        st.bump_eob()
+
+
+def jpeg_bytes_progressive(pixels, quant_luma=None, quant_chroma=None) -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2, T.81 Annex G) — spectral
+    selection + successive approximation, the multi-scan layout most web
+    JPEGs use.  Grayscale for an (h, w) array; 4:2:0 color for an
+    (h, w, 3) RGB array (same BT.601 plane prep and exact 2x2 box chroma
+    downsample as :func:`jpeg_bytes_420`).
+
+    Scan scripts mirror the classic libjpeg progression: a DC-first scan
+    at Al=1 for all components, per-component AC-first scans with
+    successive-approximation low bits, AC refinement scans, and a DC
+    refinement scan — exercising EOBn runs, ZRL-in-refinement, deferred
+    correction bits, and interleaved-DC/non-interleaved-AC block order.
+    Quantized coefficients are bit-identical to the baseline encoders'
+    (same FDCT path), so progressive and baseline decodes of the same
+    pixels must agree bit-for-bit (tests/test_multimodal_jpeg_prog.py).
+    """
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ql = np.ones(64, dtype=np.int64) if quant_luma is None else \
+        np.asarray(quant_luma, dtype=np.int64).reshape(64)
+    qc = np.ones(64, dtype=np.int64) if quant_chroma is None else \
+        np.asarray(quant_chroma, dtype=np.int64).reshape(64)
+    if gray:
+        factors = [(1, 1)]
+        planes = [px.astype(np.float64)]
+        qids = [0]
+        quants = [ql]
+        # scans: (kind, comp indices, Ss, Se, Ah, Al)
+        script = [("dc", [0], 0, 0, 0, 1),
+                  ("ac", [0], 1, 5, 0, 2),
+                  ("ac", [0], 6, 63, 0, 2),
+                  ("ac", [0], 1, 63, 2, 1),
+                  ("ac", [0], 1, 63, 1, 0),
+                  ("dc", [0], 0, 0, 1, 0)]
+    else:
+        rgb = px.astype(np.float64)
+        R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        mh, mw = -(-h // 16), -(-w // 16)
+        pad = ((0, mh * 16 - h), (0, mw * 16 - w))
+        Y, Cb, Cr = (np.pad(p, pad, mode="edge") for p in (Y, Cb, Cr))
+        Cb = (Cb[0::2, 0::2] + Cb[0::2, 1::2]
+              + Cb[1::2, 0::2] + Cb[1::2, 1::2]) / 4.0
+        Cr = (Cr[0::2, 0::2] + Cr[0::2, 1::2]
+              + Cr[1::2, 0::2] + Cr[1::2, 1::2]) / 4.0
+        factors = [(2, 2), (1, 1), (1, 1)]
+        planes = [Y, Cb, Cr]
+        qids = [0, 1, 1]
+        quants = [ql, qc, qc]
+        script = [("dc", [0, 1, 2], 0, 0, 0, 1),
+                  ("ac", [0], 1, 5, 0, 2),
+                  ("ac", [1], 1, 63, 0, 1),
+                  ("ac", [2], 1, 63, 0, 1),
+                  ("ac", [0], 6, 63, 0, 2),
+                  ("ac", [0], 1, 63, 2, 1),
+                  ("dc", [0, 1, 2], 0, 0, 1, 0),
+                  ("ac", [1], 1, 63, 1, 0),
+                  ("ac", [2], 1, 63, 1, 0),
+                  ("ac", [0], 1, 63, 1, 0)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mbw, mbh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    coefs, grids, cgrids = [], [], []
+    for ci, ((hi, vi), plane, q) in enumerate(zip(factors, planes, quants)):
+        pby, pbx = mbh * vi, mbw * hi          # interleaved (MCU) grid
+        ph, pw = plane.shape
+        plane = np.pad(plane, ((0, pby * 8 - ph), (0, pbx * 8 - pw)),
+                       mode="edge") - 128.0
+        coefs.append(_quantized_zz_blocks(plane, q.reshape(8, 8), pby, pbx))
+        grids.append((pby, pbx))
+        # non-interleaved (component-dimension) grid, T.81 A.2.2
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        cgrids.append((-(-ch // 8), -(-cw // 8)))
+    dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
+    ac_tab = _huff_canonical(_JPEG_AC_PROG_SYMBOLS, 9)
+
+    scan_bytes = []
+    for kind, cis, ss, se, ah, al in script:
+        bw_writer = _BitWriter()
+        if kind == "dc":
+            prev = {ci: 0 for ci in cis}
+            if len(cis) > 1:
+                order = [(ci, by, bx)
+                         for my in range(mbh) for mx in range(mbw)
+                         for ci in cis
+                         for by in range(my * factors[ci][1],
+                                         my * factors[ci][1] + factors[ci][1])
+                         for bx in range(mx * factors[ci][0],
+                                         mx * factors[ci][0] + factors[ci][0])]
+            else:
+                ci = cis[0]
+                cby, cbx = cgrids[ci]
+                order = [(ci, by, bx)
+                         for by in range(cby) for bx in range(cbx)]
+            for ci, by, bx in order:
+                zz = coefs[ci][by * grids[ci][1] + bx]
+                if ah == 0:                    # DC first: shifted diff
+                    v = zz[0] >> al
+                    diff = v - prev[ci]
+                    prev[ci] = v
+                    size, bits = _jpeg_mag_bits(diff) if diff else (0, 0)
+                    code, n = dc_tab[size]
+                    bw_writer.write(code, n)
+                    if size:
+                        bw_writer.write(bits, size)
+                else:                          # DC refinement: raw bit
+                    bw_writer.write((zz[0] >> al) & 1, 1)
+        else:
+            ci = cis[0]
+            cby, cbx = cgrids[ci]
+            st = _ProgAcState(bw_writer, ac_tab)
+            for by in range(cby):
+                for bx in range(cbx):
+                    zz = coefs[ci][by * grids[ci][1] + bx]
+                    if ah == 0:
+                        _enc_ac_first(st, zz, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, zz, ss, se, al)
+            st.emit_eobrun()
+        comps_hdr = bytes(
+            b for ci in cis
+            for b in (ci + 1, (qids[ci] << 4) | qids[ci]))
+        sos = bytes([len(cis)]) + comps_hdr + bytes([ss, se, (ah << 4) | al])
+        scan_bytes.append((sos, bw_writer.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, symbols: list[int], length: int) -> bytes:
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return bytes([(cls << 4) | tid] + counts + symbols)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in ql[_JPEG_ZIGZAG]))
+    if not gray:
+        out += seg(0xFFDB, bytes([0x01])
+                   + bytes(int(v) for v in qc[_JPEG_ZIGZAG]))
+    sof_comps = b"".join(
+        bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], qids[ci]])
+        for ci in range(len(factors)))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, len(factors))
+               + sof_comps)                                        # SOF2
+    for tid in sorted(set(qids)):
+        out += seg(0xFFC4, dht(0, tid, _JPEG_DC_SYMBOLS, 4))
+        out += seg(0xFFC4, dht(1, tid, _JPEG_AC_PROG_SYMBOLS, 9))
+    for sos, data in scan_bytes:
+        out += seg(0xFFDA, sos) + data
+    out += b"\xff\xd9"                                             # EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
@@ -1341,15 +1638,241 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _dec_ac_first(reader, lut, zz, ss: int, se: int, al: int,
+                  eobrun: int) -> int:
+    """Decode one block of a progressive AC FIRST scan (T.81 G.2.2 /
+    libjpeg decode_mcu_AC_first): EOBn runs skip whole blocks; new
+    coefficients arrive at precision Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode_lut(reader, lut)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r < 15:                        # EOBn (current block counted)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16                           # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _jpeg_extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(reader, lut, zz, ss: int, se: int, al: int,
+                   eobrun: int) -> int:
+    """Decode one block of a progressive AC REFINEMENT scan (T.81
+    G.2.2 / libjpeg decode_mcu_AC_refine): runs count zero-HISTORY
+    positions only; every already-nonzero position passed reads one
+    correction bit; the EOB-run tail still carries correction bits."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode_lut(reader, lut)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break                     # tail handled below
+                s_val = 0                     # ZRL: 16 zero-history skips
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                s_val = p1 if reader.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                zz[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(h: int, w: int, comps, quant, huff,
+                             scans) -> dict:
+    """Progressive (SOF2) decode: accumulate coefficients scan by scan
+    (interleaved DC scans over the MCU grid, non-interleaved AC scans
+    over the component-dimension block grid per T.81 A.2.2), then one
+    vectorized dequantize + IDCT + upsample + color pass."""
+    import numpy as np
+
+    factors = [((s >> 4), (s & 0xF)) for _, _, s in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mbw, mbh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids = [(mbh * vi, mbw * hi) for hi, vi in factors]
+    cgrids = []                       # non-interleaved block grids
+    for hi, vi in factors:
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        cgrids.append((-(-ch // 8), -(-cw // 8)))
+    coefs = [[[0] * 64 for _ in range(pby * pbx)]
+             for pby, pbx in grids]
+    cid_to_idx = {cid: i for i, (cid, _, _) in enumerate(comps)}
+
+    for scan_tabs, ss, se, ah, al, ri, data in scans:
+        reader = _BitReader(data)
+        scan_cis = [cid_to_idx[cid] for cid in scan_tabs]
+
+        def at_restart(unit: int, state_reset) -> None:
+            if ri and unit and unit % ri == 0:
+                expected = (unit // ri - 1) % 8
+                n = reader.restart()
+                if n != expected:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{n}, "
+                        f"expected RST{expected}")
+                state_reset()
+
+        if ss == 0:                           # DC scan
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            preds = {ci: 0 for ci in scan_cis}
+            luts = {ci: _huff_lut(huff[(0, scan_tabs[comps[ci][0]][0])])
+                    for ci in scan_cis} if ah == 0 else {}
+            if len(scan_cis) > 1:             # interleaved MCU order
+                units = []
+                for my in range(mbh):
+                    for mx in range(mbw):
+                        blocks = []
+                        for ci in scan_cis:
+                            hi, vi = factors[ci]
+                            for vy in range(vi):
+                                for hx in range(hi):
+                                    blocks.append(
+                                        (ci, (my * vi + vy) * grids[ci][1]
+                                         + mx * hi + hx))
+                        units.append(blocks)
+            else:
+                ci = scan_cis[0]
+                cby, cbx = cgrids[ci]
+                units = [[(ci, by * grids[ci][1] + bx)]
+                         for by in range(cby) for bx in range(cbx)]
+            for ui, blocks in enumerate(units):
+                at_restart(ui, lambda: preds.update(
+                    {ci: 0 for ci in preds}))
+                for ci, bi in blocks:
+                    zz = coefs[ci][bi]
+                    if ah == 0:
+                        size = _huff_decode_lut(reader, luts[ci])
+                        preds[ci] += _jpeg_extend(reader.read(size), size)
+                        zz[0] = preds[ci] << al
+                    elif reader.read(1):
+                        zz[0] |= 1 << al
+        else:                                 # AC scan: one component
+            if len(scan_cis) != 1:
+                raise ValueError("interleaved progressive AC scan")
+            ci = scan_cis[0]
+            lut = _huff_lut(huff[(1, scan_tabs[comps[ci][0]][1])])
+            cby, cbx = cgrids[ci]
+            eobrun = 0
+            unit = 0
+            for by in range(cby):
+                for bx in range(cbx):
+                    if ri and unit and unit % ri == 0:
+                        expected = (unit // ri - 1) % 8
+                        n = reader.restart()
+                        if n != expected:
+                            raise ValueError("restart out of sequence")
+                        eobrun = 0
+                    zz = coefs[ci][by * grids[ci][1] + bx]
+                    if ah == 0:
+                        eobrun = _dec_ac_first(reader, lut, zz, ss, se,
+                                               al, eobrun)
+                    else:
+                        eobrun = _dec_ac_refine(reader, lut, zz, ss, se,
+                                                al, eobrun)
+                    unit += 1
+
+    C = _dct_matrix()
+    planes = []
+    for ci, (_cid, qid, _samp) in enumerate(comps):
+        pby, pbx = grids[ci]
+        qmat = quant[qid]
+        plane = np.zeros((pby * 8, pbx * 8), dtype=np.float64)
+        for bi, zz_list in enumerate(coefs[ci]):
+            # per-block C.T @ S @ C — the baseline decode_block expression
+            # exactly, so progressive and baseline decodes of identical
+            # coefficients give bit-identical pixels (round() boundaries).
+            S = np.zeros(64, dtype=np.float64)
+            S[_JPEG_ZIGZAG] = zz_list
+            blk = C.T @ (S.reshape(8, 8) * qmat) @ C + 128.0
+            by, bx = divmod(bi, pbx)
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+        planes.append(plane)
+    for ci, (hi, vi) in enumerate(factors):
+        if vi != vmax:
+            planes[ci] = np.repeat(planes[ci], vmax // vi, 0)
+        if hi != hmax:
+            planes[ci] = np.repeat(planes[ci], hmax // hi, 1)
+    if len(planes) == 1:
+        pixels = np.clip(np.round(planes[0][:h, :w]), 0, 255) \
+            .astype(np.uint8)
+        return {"width": int(w), "height": int(h), "n_channels": 1,
+                "pixels": pixels}
+    Y, Cb, Cr = (p[:h, :w] for p in planes)
+    rgb = np.stack([
+        Y + 1.402 * (Cr - 128.0),
+        Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0),
+        Y + 1.772 * (Cb - 128.0)], axis=-1)
+    pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": int(w), "height": int(h), "n_channels": 3,
+            "pixels": pixels}
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (not a stuffed 0x00, not RSTn)
+    after ``start`` — the end of one scan's entropy-coded segment."""
+    i = start
+    n = len(payload)
+    while i < n:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+    return n
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """REAL stdlib+numpy baseline JPEG decoder: marker walk, DHT-driven
+    """REAL stdlib+numpy JPEG decoder: marker walk, DHT-driven
     Huffman entropy decode (byte unstuffing, DC prediction, magnitude
     extend, ZRL/EOB), dezigzag, dequantize, separable float IDCT,
-    level shift + clamp.  Baseline sequential: grayscale and any
+    level shift + clamp.  Baseline sequential (SOF0): grayscale and any
     {1,2}-factor sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0 — one generic
     interleaved-MCU loop, r10), plus DRI restart intervals (RSTn
-    sequence verified, DC predictors reset per T.81 E.2.4);
-    progressive, factors > 2, and 16-bit quant tables raise.
+    sequence verified, DC predictors reset per T.81 E.2.4).
+    PROGRESSIVE (SOF2, r11): spectral selection + successive
+    approximation per T.81 Annex G — multi-scan coefficient
+    accumulation (interleaved DC scans, non-interleaved AC scans over
+    the component-dimension block grid), EOBn runs, refinement
+    correction bits, DRI restarts inside any scan.  Lossless/extended
+    (SOF1/SOF3), factors > 2, and 16-bit quant tables raise.
 
     Returns {width, height, n_channels, pixels} with ``pixels`` the
     recovered (height, width) uint8 array."""
@@ -1364,9 +1887,13 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
     data = None
+    progressive = False
+    scans = []        # progressive: (scan_tabs, ss, se, ah, al, ri, data)
     restart_interval = 0
     while pos + 4 <= len(payload):
         (marker, length) = struct.unpack_from(">HH", payload, pos)
+        if marker == 0xFFD9:                      # EOI
+            break
         body = payload[pos + 4: pos + 2 + length]
         if marker == 0xFFDB:                      # DQT
             off = 0
@@ -1379,7 +1906,8 @@ def decode_jpeg(payload: bytes) -> dict:
                     body[off + 1: off + 65], dtype=np.uint8).astype(np.int64)
                 quant[tq] = tbl.reshape(8, 8)
                 off += 65
-        elif marker == 0xFFC0:                    # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):          # SOF0 / SOF2 (r11)
+            progressive = marker == 0xFFC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
@@ -1393,7 +1921,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError(
                     f"sampling {samps}: factors must be 1 or 2 "
                     "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+        elif marker in (0xFFC1, 0xFFC3):
             raise NotImplementedError("non-baseline JPEG scan")
         elif marker == 0xFFC4:                    # DHT
             off = 0
@@ -1414,17 +1942,29 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xFFDD:                    # DRI (r10)
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:                    # SOS
+            ns = body[0]
             scan_tabs = {}      # component id -> (dc table id, ac table id)
-            for ci in range(body[0]):
+            for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
                 scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
-            data = payload[pos + 2 + length:]
-            end = data.rfind(b"\xff\xd9")
-            data = data[:end if end >= 0 else len(data)]
-            break
+            if not progressive:
+                data = payload[pos + 2 + length:]
+                end = data.rfind(b"\xff\xd9")
+                data = data[:end if end >= 0 else len(data)]
+                break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            dstart = pos + 2 + length
+            dend = _entropy_end(payload, dstart)
+            scans.append((dict(scan_tabs), ss, se, ahal >> 4, ahal & 0xF,
+                          restart_interval, payload[dstart:dend]))
+            pos = dend
+            continue
         pos += 2 + length
-    if h is None or data is None:
+    if h is None or (data is None and not scans):
         raise ValueError("missing SOF0/SOS")
+    if progressive:
+        return _decode_jpeg_progressive(h, w, comps, quant, huff, scans)
     # Per-component decode state in SOF (= interleave) order; each DHT
     # table used by the scan becomes a 16-bit-prefix LUT (see _huff_lut)
     # so the hot loop decodes one symbol per peek instead of walking the
@@ -1592,6 +2132,33 @@ def generate_media_jpeg_dri(docs: DataFrame,
                 "media_type": ["image"] * len(ids),
                 "payload": [jpeg_bytes(jpeg_flat_blocks(i),
                                        restart_interval=1 + i % 3)
+                            for i in ids],
+            })
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    docs.sparkSession.conf.set(conf_key, str(batch_size))
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def generate_media_jpeg_progressive(docs: DataFrame,
+                                    batch_size: int = 256) -> DataFrame:
+    """JPEG media table in PROGRESSIVE layout (r11): the flat-block
+    fixture through :func:`jpeg_bytes_progressive` — SOF2, six scans
+    (DC first at Al=1, spectral-selection AC firsts, AC refinements, DC
+    refinement).  Progression re-orders entropy coding without changing
+    coefficients, so the mm_jpeg_decode arithmetic oracle applies
+    unchanged; the AC machinery on non-trivial coefficients is pinned
+    bit-exactly against baseline decodes by
+    tests/test_multimodal_jpeg_prog.py."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "media_id": [str(i) for i in ids],
+                "media_type": ["image"] * len(ids),
+                "payload": [jpeg_bytes_progressive(jpeg_flat_blocks(i))
                             for i in ids],
             })
 

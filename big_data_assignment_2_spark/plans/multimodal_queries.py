@@ -169,6 +169,24 @@ def q_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_jpeg(generate_media_jpeg_dri(docs))
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG end-to-end (r11, VERDICT r10 #7 — the remaining
+    codec gap a scraped-image corpus hits at volume: most web JPEGs are
+    progressive): every payload is an SOF2 six-scan progressive file
+    (spectral selection + successive approximation — DC first at Al=1,
+    banded AC firsts with EOBn runs, AC refinements with correction
+    bits, DC refinement), decoded by the multi-scan coefficient-
+    accumulation path.  Progression never changes decoded pixels, so
+    the flat-block arithmetic oracle of mm_jpeg_decode applies verbatim;
+    the AC paths on dense coefficients are pinned bit-exactly against
+    baseline decodes in tests/test_multimodal_jpeg_prog.py."""
+    from ..operators.multimodal import (decode_media_jpeg,
+                                        generate_media_jpeg_progressive)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_jpeg(generate_media_jpeg_progressive(docs))
+
+
 def q_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:4:4 COLOR JPEG end-to-end (r9): the flat-block fixture
     replicated to R=G=B, encoded through the full three-component color
@@ -285,6 +303,7 @@ QUERIES = {
     "mm_jpeg_420": q_jpeg_420,
     "mm_jpeg_color": q_jpeg_color,
     "mm_mp4_frames": q_mp4_frames,
+    "mm_jpeg_progressive": q_jpeg_progressive,
     "mm_jpeg_dri": q_jpeg_dri,
     "mm_jpeg_decode": q_jpeg_decode,
     "mm_mp4_metadata": q_mp4_metadata,
@@ -400,6 +419,29 @@ FROM px
     # unity quant table the codec round-trips flat blocks bit-exactly, so
     # the decoded pixel sum is exactly 64 * sum of block values.
     "mm_jpeg_decode": """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+         5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
+  FROM documents),
+px AS (
+  SELECT doc_id, bw, bh,
+         64 * sum((a * x.i + b * y.i + d) % 256) AS s
+  FROM params,
+       unnest(generate_series(0, CAST(bw - 1 AS BIGINT))) AS x(i),
+       unnest(generate_series(0, CAST(bh - 1 AS BIGINT))) AS y(i)
+  GROUP BY doc_id, bw, bh)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8 * bw AS INTEGER) AS width, CAST(8 * bh AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(s AS BIGINT) AS pix_sum
+FROM px
+""",
+    # Progressive re-orders entropy coding without changing coefficients
+    # — the oracle is the mm_jpeg_decode arithmetic verbatim; the green
+    # row's information is that the multi-scan accumulation (DC first/
+    # refine, banded AC firsts, EOBn runs, refinement correction bits)
+    # reconstructs the identical image.
+    "mm_jpeg_progressive": """
 WITH params AS (
   SELECT doc_id, 1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
          5 + doc_id % 7 AS a, 3 + doc_id % 5 AS b, doc_id % 256 AS d
