@@ -518,6 +518,48 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
                     .cast("int").alias("n_tokens")))
 
 
+def remove_substring_spans(docs: DataFrame, length: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The CLEANING step of ExactSubstr dedup (Lee et al. 2022): cut the
+    maximal duplicated spans found by :func:`exact_substring_spans` out
+    of every document and return the cleaned corpus.  Removes ALL
+    occurrences of a duplicated run — the simpler policy the reference
+    implementation (google-research/deduplicate-text-datasets) defaults
+    to; keep-one-occurrence is a policy swap on the spans relation (drop
+    each run's first span), not a different operator.
+
+    Shape: the spans (tiny — only duplicated regions) are collected PER
+    DOC into one array by a single groupBy, left-joined back, and the
+    token filter runs IN-ROW: ``filter(toks, (t, i) -> no span covers
+    i)`` — positional higher-order function, whole-stage codegen, no
+    per-token range join.  Maximal spans are disjoint by construction,
+    so coverage tests never double-count.
+
+    Returns (doc_id string, clean_text, n_kept int, n_removed int)."""
+    spans = exact_substring_spans(docs, length, text_col, id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    toks = tokenize(text_col)
+    j = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                     toks.alias("__toks"))
+         .join(per_doc, "doc_id", "left"))
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"])))
+    return (j.withColumn("__kept", kept)
+            .select("doc_id",
+                    F.array_join("__kept", " ").alias("clean_text"),
+                    F.size("__kept").cast("int").alias("n_kept"),
+                    (F.size("__toks") - F.size("__kept")).cast("int")
+                    .alias("n_removed")))
+
+
 def winnow_fingerprints(docs: DataFrame, n: int = 3, window: int = 4,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD '03) document fingerprints:

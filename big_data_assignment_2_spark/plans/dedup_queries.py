@@ -134,6 +134,17 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, length=EXSUB_LEN)
 
 
+def q_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CLEANING step (r11): cut every maximal duplicated
+    span out of every document in-row (positional higher-order filter,
+    no per-token range join) and return the cleaned corpus with
+    kept/removed token counts."""
+    from ..operators.dedup import remove_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_substring_spans(docs, length=EXSUB_LEN)
+
+
 EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
 EDIT_SIM_MIN = 0.6
 
@@ -299,6 +310,7 @@ def _rollover_flow(spark: SparkSession, sf_dir: str,
 
 QUERIES = {
     "dedup_exact_substring": q_exact_substring,
+    "dedup_exact_substring_clean": q_exact_substring_clean,
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
     "dedup_edit_verify": q_edit_verify,
@@ -414,9 +426,7 @@ fp AS (
 # count, per-doc gaps-and-islands span merge.
 _EXSUB_SHINGLE = " || ' ' || ".join(
     ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, EXSUB_LEN)])
-_EXSUB_SQL = f"""
-WITH {_TOKENS_CTE},
-led AS (
+_EXSUB_CTES = f"""led AS (
   SELECT doc_id, position AS pos,
          {_EXSUB_SHINGLE} AS shingle,
          lead(term, {EXSUB_LEN - 1}) OVER w AS t_last
@@ -433,12 +443,40 @@ isl AS (SELECT doc_id, pos,
                 ROWS UNBOUNDED PRECEDING) AS island
         FROM (SELECT doc_id, pos,
                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-              FROM dpos))
-SELECT doc_id,
+              FROM dpos)),
+spans AS (SELECT doc_id,
        CAST(min(pos) AS INTEGER) AS span_start,
        CAST(max(pos) + {EXSUB_LEN} - 1 AS INTEGER) AS span_end,
        CAST(max(pos) - min(pos) + {EXSUB_LEN} AS INTEGER) AS n_tokens
-FROM isl GROUP BY doc_id, island
+FROM isl GROUP BY doc_id, island)"""
+
+_EXSUB_SQL = (f"WITH {_TOKENS_CTE}, {_EXSUB_CTES}\n"
+              "SELECT doc_id, span_start, span_end, n_tokens FROM spans")
+
+# Cleaning twin: maximal spans are disjoint, so each removed position
+# joins exactly one span; kept tokens re-join in position order.
+_EXSUB_CLEAN_SQL = f"""
+WITH {_TOKENS_CTE}, {_EXSUB_CTES},
+rem AS (SELECT t.doc_id, t.position
+        FROM tokens t JOIN spans s ON s.doc_id = t.doc_id
+         AND t.position BETWEEN s.span_start AND s.span_end),
+kept AS (SELECT t.doc_id, t.position, t.term
+         FROM tokens t LEFT JOIN rem r
+           ON r.doc_id = t.doc_id AND r.position = t.position
+         WHERE r.position IS NULL),
+tot AS (SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY doc_id),
+agg AS (SELECT doc_id,
+               string_agg(term, ' ' ORDER BY position) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(coalesce(t.n_tok, 0) - coalesce(a.n_kept, 0) AS INTEGER)
+           AS n_removed
+FROM docs d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -634,6 +672,7 @@ _DELETE_SQL = _rollover_sql(
 
 ORACLES = {
     "dedup_exact_substring": _EXSUB_SQL,
+    "dedup_exact_substring_clean": _EXSUB_CLEAN_SQL,
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
     # Compaction is result-invariant (per-doc distinct minus tombstones;
@@ -791,6 +830,8 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 # semantic change.
 _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
     "dedup_exact_substring": ("docs", "tokens", "sh", "dup", "dpos"),
+    "dedup_exact_substring_clean": ("docs", "tokens", "sh", "dup", "dpos",
+                                    "spans", "rem", "kept"),
     "dedup_tokenset": ("docs", "tokens"),
     "dedup_minhash_sig": ("docs", "tokens", "ts", "h", "sig"),
     "dedup_minhash_near": ("docs", "tokens", "ts", "h", "sig", "bands",

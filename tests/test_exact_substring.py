@@ -76,6 +76,29 @@ def test_within_doc_repeat(spans):
     assert doc7 == {("7", 1, 5): 5, ("7", 10, 14): 5}
 
 
+def test_remove_spans_clean_text(spark):
+    """The cleaning step cuts exactly the maximal spans: surviving text,
+    kept/removed counts, untouched docs, and the fully-boilerplate doc."""
+    from big_data_assignment_2_spark.operators.dedup import (
+        remove_substring_spans)
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in remove_substring_spans(docs, length=L).collect()}
+    assert out["1"] == ("a1 a2 a3 a4 a5", 5, 10)
+    assert out["2"] == ("b1 b2 b3 b4", 4, 10)
+    assert out["3"] == ("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", 10, 20)
+    assert out["4"][2] == 0 and out["4"][1] == 12     # untouched
+    assert out["5"] == ("e1 e2 e3", 3, 6)
+    assert out["7"] == ("g1 g2 g3 g4 g5", 5, 10)
+    # a doc that is ENTIRELY a duplicated run cleans to the empty string
+    docs2 = spark.createDataFrame(
+        [(1, BOILER), (2, BOILER)], "doc_id long, text string")
+    out2 = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in remove_substring_spans(docs2, length=L).collect()}
+    assert out2["1"] == ("", 0, 10) and out2["2"] == ("", 0, 10)
+
+
 def test_short_docs_no_crash(spark):
     docs = spark.createDataFrame(
         [(1, "one two"), (2, "one two"), (3, "")],
