@@ -524,10 +524,12 @@ def remove_substring_spans(docs: DataFrame, length: int = 8,
     """The CLEANING step of ExactSubstr dedup (Lee et al. 2022): cut the
     maximal duplicated spans found by :func:`exact_substring_spans` out
     of every document and return the cleaned corpus.  Removes ALL
-    occurrences of a duplicated run — the simpler policy the reference
-    implementation (google-research/deduplicate-text-datasets) defaults
-    to; keep-one-occurrence is a policy swap on the spans relation (drop
-    each run's first span), not a different operator.
+    occurrences of duplicated content — the policy the ExactSubstr
+    reference implementation (google-research/deduplicate-text-datasets)
+    applies, which Lee et al. note costs negligible unique text.  (A
+    keep-one-occurrence policy needs content identity per repeated run;
+    merged maximal spans deliberately do not carry it — overlapping runs
+    of different strings fuse into one span.)
 
     Shape: the spans (tiny — only duplicated regions) are collected PER
     DOC into one array by a single groupBy, left-joined back, and the
