@@ -48,6 +48,49 @@ def write_index(index: dict[str, DataFrame], base_path: str,
         td.unpersist()
 
 
+def append_to_index(docs: DataFrame, base_path: str,
+                    term_buckets: int = 16) -> None:
+    """Append one ingest batch to a PERSISTED index — the daily
+    maintenance write that completes the search-serving lifecycle
+    (build → probe → APPEND → probe), the same pattern as the ANN
+    index's ``append_to_ivfpq`` and the fingerprint store's
+    ``append_fingerprints``:
+
+    - ``term_document``: the batch's postings rows land in the SAME
+      ``term_bucket=N/`` directories (an atomic partition append — new
+      doc ids never collide with persisted rows, so no read-modify-write);
+    - ``document_frequency``: an append-only PER-BATCH log — batch doc
+      sets are disjoint, so the union corpus's df is the SUM of the
+      per-batch dfs, re-aggregated at probe time
+      (:func:`bm25_probe_persisted`), exactly the fingerprint store's
+      read-time-min contract;
+    - ``documents_info``: plain per-doc append (N and avgdl are already
+      probe-time aggregates over this relation, so they follow the
+      corpus automatically).
+
+    The batch index is built from the incoming docs only — one batch
+    pass, never a rebuild; at 100 TB this is the difference between a
+    nightly full-corpus index job and appending the day's crawl."""
+    from pyspark import StorageLevel
+
+    from .index import build_index
+
+    index = build_index(docs)
+    td = index["term_document"].persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (td.withColumn("term_bucket", term_bucket(F.col("term"), term_buckets))
+         .repartition(F.col("term_bucket"))
+         .sortWithinPartitions("term")
+         .write.mode("append").partitionBy("term_bucket")
+         .parquet(f"{base_path}/term_document"))
+        index["document_frequency"].write.mode("append") \
+            .parquet(f"{base_path}/document_frequency")
+        index["documents_info"].write.mode("append") \
+            .parquet(f"{base_path}/documents_info")
+    finally:
+        td.unpersist()
+
+
 def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
     return {
         "term_document": spark.read.parquet(f"{base_path}/term_document"),
@@ -129,8 +172,14 @@ def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
     terms = tokenize_query(query)
     postings = probe_postings(spark, f"{base_path}/term_document", terms,
                               n_buckets).drop("term_bucket")
-    dfreq = spark.read.parquet(f"{base_path}/document_frequency") \
-        .filter(F.col("term").isin(terms))
+    # SUM the per-batch df log at read time: after append_to_index the
+    # relation holds one row per (term, batch); batch doc sets are
+    # disjoint so the union df is the sum (single-build indexes have one
+    # row per term and the sum is the identity) — the same read-time
+    # re-aggregation contract as the fingerprint store's keys log.
+    dfreq = (spark.read.parquet(f"{base_path}/document_frequency")
+             .filter(F.col("term").isin(terms))
+             .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
     stats = spark.read.parquet(f"{base_path}/documents_info")
     return bm25_topk(spark, query, postings, dfreq, stats, k=k)
 

@@ -115,6 +115,38 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_documents(spark, docs, FLAGSHIP_QUERY, k=10)
 
 
+def q_bm25_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index MAINTENANCE end-to-end (r11 — the search-index
+    lifecycle completed, mirroring the ANN index's append row): build the
+    persisted index from 3/4 of the corpus, APPEND the remaining quarter
+    as a day's ingest batch (``persist.append_to_index`` — postings land
+    in the same term-bucket partitions, df becomes an append-only
+    per-batch log summed at probe time, doc stats plain-append so N and
+    avgdl follow the corpus), then probe the flagship query.  The result
+    must equal BM25 over the FULL corpus — the search_bm25_topk oracle
+    applies verbatim, so a green row certifies that appending a batch is
+    indistinguishable from rebuilding, which is what makes daily index
+    maintenance a partition append instead of a full-corpus job."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.persist import (append_to_index, bm25_probe_persisted,
+                                     write_index)
+    from ..operators.index import build_index
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_append_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_append_*", keep=ixdir)
+    write_index(build_index(docs.filter((nid % 4) != 0)), ixdir)
+    append_to_index(docs.filter((nid % 4) == 0), ixdir)
+    return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
+
+
 BATCH_QUERIES = {
     "q_vec": "vector query stream",
     "q_join": "join merge hash",
@@ -169,6 +201,7 @@ QUERIES = {
     "search_doc_freq": q_doc_freq,
     "search_doc_stats": q_doc_stats,
     "search_bm25_topk": q_bm25_topk,
+    "search_bm25_append_probe": q_bm25_append_probe,
 }
 
 def _phrase_oracle(terms: list[str]) -> str:
@@ -296,3 +329,9 @@ ORDER BY round(score, 6) DESC, doc_id ASC
 LIMIT 10
 """,
 }
+
+# Appending a batch to the persisted index must be indistinguishable from
+# indexing the full corpus — the full-corpus BM25 oracle applies verbatim;
+# the green row's information is that the partition append + df-log sum +
+# stats append reconstruct the exact index state.
+ORACLES["search_bm25_append_probe"] = ORACLES["search_bm25_topk"]

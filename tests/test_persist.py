@@ -181,3 +181,37 @@ def test_ivf_persist_prunes(spark, sf_dir, tmp_path_factory):
     assert "PartitionFilters" in plan
     full = {r["vec_id"] for r in assigned.filter("list_id IN (0, 1)").collect()}
     assert {r["vec_id"] for r in probe.collect()} == full
+
+
+def test_append_to_index_equals_full_build(spark, sf_dir, tmp_path_factory):
+    """Incremental index maintenance (r11): building on part of the
+    corpus then appending the rest IN TWO BATCHES must probe identically
+    to a fresh full-corpus build — postings partition-append, df-log
+    summation, and stats append reconstruct the exact index state."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.index import build_index
+    from big_data_assignment_2_spark.operators.persist import (
+        append_to_index, bm25_probe_persisted, write_index)
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    inc = str(tmp_path_factory.mktemp("ix_inc"))
+    full = str(tmp_path_factory.mktemp("ix_full"))
+    write_index(build_index(docs.filter((nid % 3) == 0)), inc)
+    append_to_index(docs.filter((nid % 3) == 1), inc)
+    append_to_index(docs.filter((nid % 3) == 2), inc)
+    write_index(build_index(docs), full)
+    q = "vector query stream fast join"
+    got = [tuple(r) for r in bm25_probe_persisted(spark, inc, q).collect()]
+    want = [tuple(r) for r in bm25_probe_persisted(spark, full, q).collect()]
+    assert got == want and len(got) == 10
+    # the df log really is per-batch: more rows than distinct terms,
+    # and the probe's sum reconstructs the full-build df per term
+    df_log = spark.read.parquet(f"{inc}/document_frequency")
+    assert df_log.count() > df_log.select("term").distinct().count()
+    summed = {r["term"]: r["s"] for r in df_log.groupBy("term")
+              .agg(F.sum("df").alias("s")).collect()}
+    fresh = {r["term"]: r["df"] for r in spark.read
+             .parquet(f"{full}/document_frequency").collect()}
+    assert summed == fresh
