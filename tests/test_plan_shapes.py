@@ -105,7 +105,9 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
 
     INTENTIONAL = {
         # broadcast 1-row stats relation / tiny query-set scoring
+        # (append_probe shares bm25_topk's scoring plan verbatim)
         "search_bm25_topk", "search_bm25_batch",
+        "search_bm25_append_probe",
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
