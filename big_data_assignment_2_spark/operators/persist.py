@@ -273,6 +273,67 @@ def ivfpq_append(vectors: DataFrame, base_path: str, dim: int = 64,
      .parquet(f"{base_path}/codes"))
 
 
+def ivfpq_delete(spark: SparkSession, base_path: str, vec_ids) -> None:
+    """TOMBSTONE vectors out of a persisted IVF+PQ index — the takedown/
+    GDPR path of the ANN lifecycle (write → probe → append → DELETE →
+    compact), mirroring the fingerprint store's
+    ``dedup.delete_fingerprints``: the ids land in an append-only
+    ``tombstones/`` relation (pure partition append, no
+    read-modify-write), :func:`ivfpq_probe_persisted` masks them out of
+    the code scan before scoring, and :func:`ivfpq_compact` removes
+    their code rows physically and drops the log.  Codebooks are frozen
+    constants (a few KB trained on the historical corpus) — deleting a
+    vector removes it as a NEIGHBOR; codebook re-training is a periodic
+    rebuild decision, exactly as with FAISS ``remove_ids``.
+
+    ``vec_ids``: a DataFrame whose first column is the vector id, or a
+    Python iterable of ints."""
+    if isinstance(vec_ids, DataFrame):
+        tomb = vec_ids.select(
+            F.col(vec_ids.columns[0]).cast("bigint").alias("__nid"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "__nid bigint")
+    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+
+
+def _ivfpq_tombstones(spark: SparkSession, base_path: str):
+    """Tombstoned vec_ids as a 1-column DataFrame, or None if no delete
+    has ever been issued (Hadoop-FS existence check, any URI scheme)."""
+    from .dedup import _hadoop_fs
+
+    path = f"{base_path}/tombstones"
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path).select("__nid").distinct()
+
+
+def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
+    """Physically remove tombstoned vectors' code rows and drop the
+    tombstone log — same maintenance-window contract and FS-API
+    directory swap as ``dedup.compact_fingerprint_store``.  No-op when
+    nothing was ever deleted."""
+    import uuid
+
+    from .dedup import _hadoop_delete, _hadoop_rename
+
+    tomb = _ivfpq_tombstones(spark, base_path)
+    if tomb is None:
+        return
+    codes = f"{base_path}/codes"
+    tmp = f"{base_path}/codes_compact_{uuid.uuid4().hex[:8]}"
+    (spark.read.parquet(codes)
+     .join(tomb.withColumnRenamed("__nid", "neighbor_id"),
+           "neighbor_id", "left_anti")
+     .write.mode("overwrite").partitionBy("list_id").parquet(tmp))
+    old = f"{base_path}/codes_old_{uuid.uuid4().hex[:8]}"
+    _hadoop_rename(spark, codes, old)
+    _hadoop_rename(spark, tmp, codes)
+    _hadoop_delete(spark, old)
+    _hadoop_delete(spark, f"{base_path}/tombstones")
+
+
 def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
                           queries: DataFrame, k: int = 10, nprobe: int = 2,
                           dim: int = 64, vec_col: str = "embedding",
@@ -316,6 +377,12 @@ def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
 
     codes = spark.read.parquet(f"{base_path}/codes") \
         .filter(F.col("list_id").isin(list_ids))
+    # Tombstoned vectors (ivfpq_delete) are masked BEFORE scoring so the
+    # top-k fills from survivors; compaction removes them physically.
+    tomb = _ivfpq_tombstones(spark, base_path)
+    if tomb is not None:
+        codes = codes.join(tomb.withColumnRenamed("__nid", "neighbor_id"),
+                           "neighbor_id", "left_anti")
     return ivfpq_score(codes, queries, cent, books, k=k, nprobe=nprobe,
                        dim=dim, vec_col=vec_col, q_id_col=q_id_col)
 

@@ -248,6 +248,49 @@ APPEND_MOD = 10
 APPEND_REM = 9
 
 
+DELETE_MOD, DELETE_REM = 10, 3   # vec_id % 10 == 3 plays the takedown set
+
+
+def q_ivfpq_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index TOMBSTONE deletes (r11 — the takedown/GDPR path,
+    completing the persisted-index lifecycle symmetrically with the
+    fingerprint store): build the persisted IVF+PQ index on the full
+    corpus, tombstone vec_id % {mod} == {rem} (persist.ivfpq_delete —
+    an append-only log, no read-modify-write), then answer the query
+    set: the probe must serve neighbors from the SURVIVORS only, with
+    the top-k refilled from the remaining rows, while the frozen
+    codebooks still reflect the original training.  The oracle replays
+    exactly that asymmetry (full-corpus Lloyd chains, scored codes
+    filtered to the survivors); physical removal at compaction is
+    pinned by tests/test_ivfpq_persist.py."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (ivfpq_delete, ivfpq_probe_persisted,
+                                     write_ivfpq)
+
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_delete_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_delete_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    ivfpq_delete(spark, path,
+                 em.filter((nid % DELETE_MOD) == DELETE_REM)
+                 .select("vec_id"))
+    return ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
+q_ivfpq_delete_probe.__doc__ = q_ivfpq_delete_probe.__doc__.format(
+    mod=DELETE_MOD, rem=DELETE_REM)
+
+
 def q_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index MAINTENANCE (r10): build the persisted
     IVF+PQ index from the BASE corpus (vec_id % {mod} != {rem}), then
@@ -313,6 +356,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ivfpq_delete_probe": q_ivfpq_delete_probe,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -528,7 +572,8 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _ivfpq_oracle(base_pred: str | None = None) -> str:
+def _ivfpq_oracle(base_pred: str | None = None,
+                  score_pred: str | None = None) -> str:
     """Replays ivfpq_topk end-to-end: coarse Lloyd (k=IVFPQ_COARSE_K
     over the full 64-dim vectors), assignment + RESIDUALS, per-subspace
     sub-Lloyd codebooks trained on residual slices, argmin codes,
@@ -542,7 +587,13 @@ def _ivfpq_oracle(base_pred: str | None = None) -> str:
     ivfpq_append(new).  ``None`` trains on everything (the in-flight
     sim_ivfpq_topk semantics).  The base predicate must keep vec_ids
     0..max(kc,ks)-1 so the lowest-id Lloyd inits match the operator's
-    ``limit(k)`` on the base relation."""
+    ``limit(k)`` on the base relation.
+
+    ``score_pred`` filters the SCORED code rows only (training and the
+    query set untouched) — the tombstone-delete oracle: a deleted
+    vector's codes are masked at probe time, so the served neighbors
+    come from the surviving rows while the frozen codebooks still
+    reflect the original training."""
     kc, ci, np_ = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
     m, ks, pqi, sub = PQ_M, PQ_KS, PQ_ITERS, 64 // PQ_M
 
@@ -609,9 +660,10 @@ def _ivfpq_oracle(base_pred: str | None = None) -> str:
     FROM rs{s} x CROSS JOIN s{s}c{pqi} c) WHERE rn = 1)""")
     code_cols = ", ".join(f"s{s}g.cid AS c{s}" for s in range(m))
     code_joins = " ".join(f"JOIN s{s}g USING (vec_id)" for s in range(1, m))
+    score_where = f"\n  WHERE {score_pred}" if score_pred else ""
     ctes.append(f"""codes AS MATERIALIZED (
   SELECT r.vec_id, r.list_id, {code_cols}
-  FROM res r JOIN s0g USING (vec_id) {code_joins})""")
+  FROM res r JOIN s0g USING (vec_id) {code_joins}{score_where})""")
     ctes.append(f"q AS MATERIALIZED (SELECT vec_id AS query_id, v "
                 f"FROM vecs WHERE vec_id < {N_QUERIES})")
     ctes.append(f"""pr AS MATERIALIZED (
@@ -770,6 +822,10 @@ WHERE rank <= {TOP_K}
     # write_ivfpq(base) + ivfpq_append(new) + probe.
     "sim_ivfpq_append_probe": _ivfpq_oracle(
         f"vec_id % {APPEND_MOD} <> {APPEND_REM}"),
+    # Train-on-everything / score-the-survivors: the SQL twin of
+    # write_ivfpq(full) + ivfpq_delete(takedown set) + probe.
+    "sim_ivfpq_delete_probe": _ivfpq_oracle(
+        score_pred=f"r.vec_id % {DELETE_MOD} <> {DELETE_REM}"),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),
     "sim_quantize_int8": f"""

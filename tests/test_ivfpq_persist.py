@@ -172,3 +172,43 @@ def test_append_probe_sees_new_vectors(spark, embeddings, queries_df):
         top_q0 = [r for r in out.collect()
                   if r["query_id"] == 0 and r["rank"] == 1]
         assert top_q0 and top_q0[0]["neighbor_id"] == clone_id
+
+
+def test_delete_masks_and_compaction_removes(spark, embeddings, queries_df):
+    """Tombstone deletes (r11): deleted vectors must vanish from served
+    neighbors immediately (read-time masking), the top-k must refill
+    from survivors, compaction must remove the code rows PHYSICALLY and
+    drop the log, and the probe must be identical before/after
+    compaction."""
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_compact, ivfpq_delete)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ivfpq")
+        write_ivfpq(embeddings, path, **PARAMS)
+        before = ivfpq_probe_persisted(spark, path, queries_df,
+                                       k=5, nprobe=2).collect()
+        # tombstone every currently-served neighbor of query 0
+        victims = sorted({int(r["neighbor_id"]) for r in before
+                          if r["query_id"] == 0})
+        assert victims
+        ivfpq_delete(spark, path, victims)
+        masked = ivfpq_probe_persisted(spark, path, queries_df,
+                                       k=5, nprobe=2).collect()
+        served = {int(r["neighbor_id"]) for r in masked}
+        assert served.isdisjoint(victims)
+        assert sum(1 for r in masked if r["query_id"] == 0) == 5  # refilled
+        ivfpq_compact(spark, path)
+        after = ivfpq_probe_persisted(spark, path, queries_df,
+                                      k=5, nprobe=2).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, masked))
+        left = {int(r["neighbor_id"]) for r in
+                spark.read.parquet(f"{path}/codes")
+                .select("neighbor_id").collect()}
+        assert left.isdisjoint(victims)
+        assert not os.path.exists(f"{path}/tombstones")
+        # deleting is idempotent-safe on ids that no longer exist
+        ivfpq_delete(spark, path, victims[:1])
+        again = ivfpq_probe_persisted(spark, path, queries_df,
+                                      k=5, nprobe=2).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, after))
