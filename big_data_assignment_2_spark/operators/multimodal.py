@@ -1732,7 +1732,11 @@ def _decode_jpeg_progressive(h: int, w: int, comps, quant, huff,
              for pby, pbx in grids]
     cid_to_idx = {cid: i for i, (cid, _, _) in enumerate(comps)}
 
-    for scan_tabs, ss, se, ah, al, ri, data in scans:
+    for scan_tabs, ss, se, ah, al, ri, data, scan_huff in scans:
+        # scan_huff is the per-scan SNAPSHOT of the Huffman tables as
+        # defined at this scan's SOS (decode_jpeg captures them during the
+        # marker walk) — a later DHT redefining a table id must not leak
+        # backward into an earlier scan.
         reader = _BitReader(data)
         scan_cis = [cid_to_idx[cid] for cid in scan_tabs]
 
@@ -1750,8 +1754,15 @@ def _decode_jpeg_progressive(h: int, w: int, comps, quant, huff,
             if se != 0:
                 raise ValueError("progressive DC scan with Se != 0")
             preds = {ci: 0 for ci in scan_cis}
-            luts = {ci: _huff_lut(huff[(0, scan_tabs[comps[ci][0]][0])])
-                    for ci in scan_cis} if ah == 0 else {}
+            if ah == 0:
+                for ci in scan_cis:
+                    if (0, scan_tabs[comps[ci][0]][0]) not in scan_huff:
+                        raise ValueError(
+                            "DC Huffman table undefined at scan's SOS")
+                luts = {ci: _huff_lut(scan_huff[(0, scan_tabs[comps[ci][0]][0])])
+                        for ci in scan_cis}
+            else:
+                luts = {}
             if len(scan_cis) > 1:             # interleaved MCU order
                 units = []
                 for my in range(mbh):
@@ -1785,7 +1796,9 @@ def _decode_jpeg_progressive(h: int, w: int, comps, quant, huff,
             if len(scan_cis) != 1:
                 raise ValueError("interleaved progressive AC scan")
             ci = scan_cis[0]
-            lut = _huff_lut(huff[(1, scan_tabs[comps[ci][0]][1])])
+            if (1, scan_tabs[comps[ci][0]][1]) not in scan_huff:
+                raise ValueError("AC Huffman table undefined at scan's SOS")
+            lut = _huff_lut(scan_huff[(1, scan_tabs[comps[ci][0]][1])])
             cby, cbx = cgrids[ci]
             eobrun = 0
             unit = 0
@@ -1956,8 +1969,22 @@ def decode_jpeg(payload: bytes) -> dict:
             ahal = body[3 + 2 * ns]
             dstart = pos + 2 + length
             dend = _entropy_end(payload, dstart)
+            # Snapshot the REFERENCED table contents at SOS parse time
+            # (r12, round-11 advice): a DHT between scans may REDEFINE a
+            # table id (standard in libjpeg progressive output), so each
+            # scan must decode with the tables as defined when its SOS
+            # appeared — resolving ids against the post-walk dict would
+            # decode every scan with the last definition.  DHT parsing
+            # rebinds huff[(cls,tid)] to a fresh dict, so holding the
+            # reference is a true snapshot.  Same per-scan capture as
+            # restart_interval.
+            scan_huff = {}
+            for _cid, (dc_id, ac_id) in scan_tabs.items():
+                for key in ((0, dc_id), (1, ac_id)):
+                    if key in huff:
+                        scan_huff[key] = huff[key]
             scans.append((dict(scan_tabs), ss, se, ahal >> 4, ahal & 0xF,
-                          restart_interval, payload[dstart:dend]))
+                          restart_interval, payload[dstart:dend], scan_huff))
             pos = dend
             continue
         pos += 2 + length

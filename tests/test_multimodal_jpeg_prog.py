@@ -80,3 +80,109 @@ def test_spark_query_roundtrip(spark, sf_dir):
         px = jpeg_flat_blocks(i)
         assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
         assert r["pix_sum"] == int(px.astype(np.int64).sum())
+
+
+def _dht_seg(cls: int, tid: int, symbols: list[int], length: int) -> bytes:
+    import struct
+
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    body = bytes([(cls << 4) | tid] + counts + list(symbols))
+    return struct.pack(">HH", 0xFFC4, len(body) + 2) + body
+
+
+def _build_prog_with_interscan_dht(px: "np.ndarray") -> bytes:
+    """A 3-scan grayscale progressive JPEG whose AC table id 0 is
+    REDEFINED by a DHT segment BETWEEN the two AC scans (scan 2 encoded
+    with table A, scan 3 with a different table B under the same id) —
+    the standard libjpeg layout where per-scan table snapshots matter.
+    A decoder resolving table ids after the whole marker walk would
+    decode scan 2 with table B and produce garbage or errors."""
+    import struct
+
+    from big_data_assignment_2_spark.operators.multimodal import (
+        _BitWriter, _JPEG_AC_PROG_SYMBOLS, _JPEG_DC_SYMBOLS, _ProgAcState,
+        _enc_ac_first, _huff_canonical, _jpeg_mag_bits, _quantized_zz_blocks)
+
+    h, w = px.shape
+    pby, pbx = -(-h // 8), -(-w // 8)
+    plane = np.pad(px.astype(np.float64),
+                   ((0, pby * 8 - h), (0, pbx * 8 - w)), mode="edge") - 128.0
+    qmat = np.ones((8, 8), dtype=np.int64)
+    coefs = _quantized_zz_blocks(plane, qmat, pby, pbx)
+
+    dc_tab = _huff_canonical(_JPEG_DC_SYMBOLS, 4)
+    syms_a = list(_JPEG_AC_PROG_SYMBOLS)
+    syms_b = list(reversed(_JPEG_AC_PROG_SYMBOLS))   # same codes, other map
+    ac_a = _huff_canonical(syms_a, 9)
+    ac_b = _huff_canonical(syms_b, 9)
+
+    bw = _BitWriter()
+    prev = 0
+    for zz in coefs:                                  # DC scan, Ah=0 Al=0
+        diff = zz[0] - prev
+        prev = zz[0]
+        size, bits = _jpeg_mag_bits(diff) if diff else (0, 0)
+        code, n = dc_tab[size]
+        bw.write(code, n)
+        if size:
+            bw.write(bits, size)
+    dc_data = bw.flush()
+
+    def ac_scan(ss: int, se: int, tab) -> bytes:
+        bw = _BitWriter()
+        st = _ProgAcState(bw, tab)
+        for zz in coefs:
+            _enc_ac_first(st, zz, ss, se, 0)
+        st.emit_eobrun()
+        return bw.flush()
+
+    ac1 = ac_scan(1, 5, ac_a)
+    ac2 = ac_scan(6, 63, ac_b)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int) -> bytes:
+        return bytes([1, 1, 0x00, ss, se, 0x00])
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht_seg(0, 0, _JPEG_DC_SYMBOLS, 4)
+    out += _dht_seg(1, 0, syms_a, 9)                  # AC id 0 := A
+    out += seg(0xFFDA, sos(0, 0)) + dc_data
+    out += seg(0xFFDA, sos(1, 5)) + ac1               # encoded with A
+    out += _dht_seg(1, 0, syms_b, 9)                  # REDEFINE AC id 0 := B
+    out += seg(0xFFDA, sos(6, 63)) + ac2              # encoded with B
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_interscan_dht_redefinition(seed):
+    """r12 (round-11 advice): each scan must decode with the Huffman
+    tables as defined at ITS OWN SOS — a DHT between scans redefining a
+    table id must not leak backward into the earlier scan."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    base = decode_jpeg(jpeg_bytes(px))
+    out = decode_jpeg(_build_prog_with_interscan_dht(px))
+    assert np.array_equal(out["pixels"], base["pixels"])
+
+
+def test_ac_table_defined_only_after_first_ac_scan_raises():
+    """Fail-loud contract: a scan whose AC table is not yet defined at
+    its SOS raises instead of silently using a later definition."""
+    rng = np.random.RandomState(1)
+    px = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    payload = _build_prog_with_interscan_dht(px)
+    # Strip the FIRST AC DHT (table A): scan 2's table is now undefined
+    # at its SOS even though a later DHT defines id 0.
+    first_dht = payload.index(b"\xff\xc4")
+    second_dht = payload.index(b"\xff\xc4", first_dht + 2)
+    import struct
+    ln = struct.unpack_from(">H", payload, second_dht + 2)[0]
+    stripped = payload[:second_dht] + payload[second_dht + 2 + ln:]
+    with pytest.raises(ValueError, match="undefined at scan's SOS"):
+        decode_jpeg(stripped)
