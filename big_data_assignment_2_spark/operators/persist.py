@@ -91,6 +91,111 @@ def append_to_index(docs: DataFrame, base_path: str,
         td.unpersist()
 
 
+def delete_from_index(spark: SparkSession, base_path: str, doc_ids) -> None:
+    """TOMBSTONE documents out of a persisted BM25 index — the takedown/
+    GDPR path completing the search index's lifecycle (build → probe →
+    append → DELETE → compact), symmetric with the fingerprint store's
+    ``dedup.delete_fingerprints`` and the ANN index's ``ivfpq_delete``:
+    the doc ids land in an append-only ``tombstones/`` relation (pure
+    partition append, no read-modify-write — concurrent daily deletes
+    compose), :func:`bm25_probe_persisted` masks them out of postings
+    AND doc stats at read time and SUBTRACTS their df contribution, and
+    :func:`compact_index` removes their rows physically and drops the
+    log.
+
+    df correctness is the non-trivial part: a deleted doc must stop
+    counting toward every term it contained.  The probe derives the
+    per-term correction from the postings rows it already scans (the
+    tombstoned docs' rows for the probed terms are still on disk until
+    compaction), so no full-index pass happens on the query path.
+
+    ``doc_ids``: a DataFrame whose first column is the doc id, or a
+    Python iterable of ids (castable to string — the index's doc_id
+    type)."""
+    if isinstance(doc_ids, DataFrame):
+        tomb = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("string").alias("__del_doc"))
+    else:
+        tomb = spark.createDataFrame(
+            [(str(i),) for i in doc_ids], "__del_doc string")
+    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+
+
+def _index_tombstones(spark: SparkSession, base_path: str):
+    """Tombstoned doc ids as a 1-column DataFrame, or None if no delete
+    has ever been issued (Hadoop-FS existence check, any URI scheme)."""
+    from .dedup import _hadoop_fs
+
+    path = f"{base_path}/tombstones"
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path).select("__del_doc").distinct()
+
+
+def compact_index(spark: SparkSession, base_path: str) -> None:
+    """Physically remove tombstoned documents from all three index
+    relations and drop the tombstone log — the periodic maintenance job
+    (same maintenance-window contract and Hadoop-FS directory swap as
+    ``dedup.compact_fingerprint_store``).  No-op when nothing was ever
+    deleted.
+
+    - ``term_document``: anti-join on doc_id, rewritten into the same
+      term_bucket partition layout (the bucket column survives the
+      round-trip as a partition column);
+    - ``document_frequency``: the per-batch append log is collapsed to
+      one row per term with the deleted docs' contribution subtracted —
+      computed from the postings scan (postings rows are unique per
+      (term, doc), so the correction is a per-term count of deleted
+      rows); terms whose df reaches zero are dropped;
+    - ``documents_info``: plain anti-join (N and avgdl are probe-time
+      aggregates and follow automatically).
+
+    After compaction no byte of a deleted document remains in the index
+    — pinned by tests/test_index_tombstones.py."""
+    import uuid
+
+    from .dedup import _hadoop_delete, _hadoop_rename
+
+    tomb = _index_tombstones(spark, base_path)
+    if tomb is None:
+        return
+    tomb_docs = tomb.withColumnRenamed("__del_doc", "doc_id")
+
+    def rewrite(rel: str, df: DataFrame, partition_col: str | None) -> None:
+        path = f"{base_path}/{rel}"
+        tmp = f"{base_path}/{rel}_compact_{uuid.uuid4().hex[:8]}"
+        w = df.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(tmp)
+        old = f"{base_path}/{rel}_old_{uuid.uuid4().hex[:8]}"
+        _hadoop_rename(spark, path, old)
+        _hadoop_rename(spark, tmp, path)
+        _hadoop_delete(spark, old)
+
+    postings = spark.read.parquet(f"{base_path}/term_document")
+    delta = (postings.join(tomb_docs, "doc_id", "left_semi")
+             .groupBy("term").agg(F.count("*").alias("__ddf")))
+    new_df = (spark.read.parquet(f"{base_path}/document_frequency")
+              .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+              .join(delta, "term", "left")
+              .select("term", (F.col("df")
+                               - F.coalesce("__ddf", F.lit(0))).alias("df"))
+              .filter(F.col("df") > 0))
+    # df must be materialized BEFORE term_document is swapped out from
+    # under its lazy scan — write order: df first, then postings, stats.
+    rewrite("document_frequency", new_df, None)
+    rewrite("term_document",
+            postings.join(tomb_docs, "doc_id", "left_anti")
+            .repartition(F.col("term_bucket")).sortWithinPartitions("term"),
+            "term_bucket")
+    rewrite("documents_info",
+            spark.read.parquet(f"{base_path}/documents_info")
+            .join(tomb_docs, "doc_id", "left_anti"), None)
+    _hadoop_delete(spark, f"{base_path}/tombstones")
+
+
 def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
     return {
         "term_document": spark.read.parquet(f"{base_path}/term_document"),
@@ -181,6 +286,24 @@ def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
              .filter(F.col("term").isin(terms))
              .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
     stats = spark.read.parquet(f"{base_path}/documents_info")
+    # Tombstoned docs (delete_from_index) are masked at read time from
+    # postings AND stats (N/avgdl are aggregates over stats, so they
+    # follow), and their df contribution is SUBTRACTED — derived from the
+    # probed terms' postings rows themselves (one row per (term, doc), so
+    # a per-term count of tombstoned rows is the exact correction; the
+    # rows are still on disk until compact_index).  No full-index pass
+    # ever lands on the query path.
+    tomb = _index_tombstones(spark, base_path)
+    if tomb is not None:
+        tomb_docs = tomb.withColumnRenamed("__del_doc", "doc_id")
+        delta = (postings.join(tomb_docs, "doc_id", "left_semi")
+                 .groupBy("term").agg(F.count("*").alias("__ddf")))
+        dfreq = (dfreq.join(delta, "term", "left")
+                 .select("term", (F.col("df") - F.coalesce("__ddf", F.lit(0)))
+                         .cast("long").alias("df"))
+                 .filter(F.col("df") > 0))
+        postings = postings.join(tomb_docs, "doc_id", "left_anti")
+        stats = stats.join(tomb_docs, "doc_id", "left_anti")
     return bm25_topk(spark, query, postings, dfreq, stats, k=k)
 
 

@@ -21,14 +21,17 @@ from ..sources.io import load_table
 FLAGSHIP_QUERY = "vector query stream fast join"
 
 # Shared oracle CTEs: tokenize → positions (0-based, document order).
-_TOKENS_CTE = r"""
+# ``docs_where`` filters the corpus (the tombstone-delete oracle replays
+# BM25 over the full corpus minus the deleted docs).
+def _tokens_cte(docs_where: str = "") -> str:
+    return r"""
 docs AS (
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            list_filter(
                string_split_regex(
                    regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
                t -> t <> '') AS toks
-    FROM documents
+    FROM documents """ + docs_where + r"""
 ),
 tokens AS (
     SELECT doc_id,
@@ -37,6 +40,9 @@ tokens AS (
     FROM docs
 )
 """
+
+
+_TOKENS_CTE = _tokens_cte()
 
 
 def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,6 +153,51 @@ def q_bm25_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
 
 
+IX_DELETE_MOD, IX_DELETE_REM = 7, 3   # doc_id % 7 == 3 plays the takedowns
+
+
+def q_bm25_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index TOMBSTONE deletes (r12 — the takedown/GDPR path
+    completing the THIRD persisted index's lifecycle, after the
+    fingerprint store and IVF+PQ grew theirs in r10/r11): build the
+    persisted index on the full corpus, tombstone doc_id % {mod} ==
+    {rem} (persist.delete_from_index — an append-only log, no
+    read-modify-write), then probe the flagship query.  The probe must
+    serve results as if the deleted docs were never indexed: postings
+    and doc stats masked (N and avgdl follow), and — the genuinely
+    non-trivial part — each probed term's df reduced by the deleted
+    docs that contained it, the correction derived from the
+    bucket-pruned postings scan the probe already does.  The oracle is
+    the full BM25 replay over the corpus MINUS the deleted docs, so a
+    green row certifies delete-then-probe ≡ rebuild-without-docs;
+    physical removal at compaction is pinned by
+    tests/test_index_tombstones.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.persist import (bm25_probe_persisted, delete_from_index,
+                                     write_index)
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_delete_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_delete_*", keep=ixdir)
+    write_index(build_index(docs), ixdir)
+    delete_from_index(
+        spark, ixdir,
+        docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))
+    return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
+
+
+q_bm25_delete_probe.__doc__ = q_bm25_delete_probe.__doc__.format(
+    mod=IX_DELETE_MOD, rem=IX_DELETE_REM)
+
+
 BATCH_QUERIES = {
     "q_vec": "vector query stream",
     "q_join": "join merge hash",
@@ -191,6 +242,7 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "search_bm25_delete_probe": q_bm25_delete_probe,
     "search_boolean_and": q_boolean_and,
     "search_boolean_or_not": q_boolean_or,
     "search_index_merge": q_index_merge,
@@ -295,11 +347,16 @@ SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
 WITH {_TOKENS_CTE}
 SELECT doc_id, CAST(len(toks) AS INTEGER) AS length FROM docs
 """,
-    # Exact reference BM25 (idf=ln(max(1,N/max(1,df))), k1=1.0, b=0.75,
-    # true-double avgdl; `app/query.py:145,169-188`), ties by doc_id on the
-    # 6-dp-rounded score — mirrors operators/search.py exactly.
-    "search_bm25_topk": f"""
-WITH {_TOKENS_CTE},
+}
+
+
+def _bm25_sql(docs_where: str = "") -> str:
+    """Exact reference BM25 (idf=ln(max(1,N/max(1,df))), k1=1.0, b=0.75,
+    true-double avgdl; `app/query.py:145,169-188`), ties by doc_id on the
+    6-dp-rounded score — mirrors operators/search.py exactly.
+    ``docs_where`` shrinks the corpus for the tombstone-delete replay."""
+    return f"""
+WITH {_tokens_cte(docs_where)},
 postings AS (
     SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
 ),
@@ -327,8 +384,16 @@ SELECT doc_id, round(score, 6) AS score
 FROM scored
 ORDER BY round(score, 6) DESC, doc_id ASC
 LIMIT 10
-""",
-}
+"""
+
+
+ORACLES["search_bm25_topk"] = _bm25_sql()
+
+# Deleting docs from the persisted index then probing must equal BM25 over
+# the corpus that never contained them — postings/stats masking plus the
+# per-term df subtraction reconstruct exactly the smaller corpus's index.
+ORACLES["search_bm25_delete_probe"] = _bm25_sql(
+    f"WHERE CAST(doc_id AS BIGINT) % {IX_DELETE_MOD} <> {IX_DELETE_REM}")
 
 # Appending a batch to the persisted index must be indistinguishable from
 # indexing the full corpus — the full-corpus BM25 oracle applies verbatim;

@@ -1,0 +1,97 @@
+"""BM25 index tombstone deletes (r12): delete-then-probe must equal a
+rebuild without the deleted docs (postings/stats masking + per-term df
+subtraction), appends and deletes must compose, and compaction must
+physically remove every deleted row while preserving probe results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.operators.index import build_index
+from big_data_assignment_2_spark.operators.persist import (
+    append_to_index, bm25_probe_persisted, compact_index, delete_from_index,
+    write_index)
+from big_data_assignment_2_spark.sources.io import load_table
+
+QUERY = "vector query stream fast join"
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _probe(spark, path):
+    return [tuple(r) for r in bm25_probe_persisted(spark, path, QUERY,
+                                                   k=10).collect()]
+
+
+def test_delete_probe_equals_rebuild_without_docs(spark, docs, tmp_path):
+    nid = F.col("doc_id").cast("bigint")
+    full, small = str(tmp_path / "full"), str(tmp_path / "small")
+    write_index(build_index(docs), full)
+    delete_from_index(spark, full,
+                      docs.filter(nid % 3 == 1).select("doc_id"))
+    write_index(build_index(docs.filter(nid % 3 != 1)), small)
+    assert _probe(spark, full) == _probe(spark, small)
+
+
+def test_compaction_physically_removes_and_preserves_probe(spark, docs,
+                                                           tmp_path):
+    nid = F.col("doc_id").cast("bigint")
+    path = str(tmp_path / "ix")
+    write_index(build_index(docs), path)
+    deleted = docs.filter(nid % 3 == 1).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    delete_from_index(spark, path, deleted)
+    before = _probe(spark, path)
+    compact_index(spark, path)
+    assert _probe(spark, path) == before
+    # no byte of a deleted doc remains in any relation
+    del_ids = {r[0] for r in deleted.collect()}
+    td = spark.read.parquet(f"{path}/term_document")
+    assert td.filter(F.col("doc_id").isin(del_ids)).count() == 0
+    st = spark.read.parquet(f"{path}/documents_info")
+    assert st.filter(F.col("doc_id").isin(del_ids)).count() == 0
+    # tombstone log dropped; second compaction is a no-op
+    import os
+    assert not os.path.exists(f"{path}/tombstones")
+    compact_index(spark, path)
+    assert _probe(spark, path) == before
+    # compacted df == rebuilt df (per-term exact, zero-df terms dropped)
+    want = {(r["term"], r["df"]) for r in build_index(
+        docs.filter(nid % 3 != 1))["document_frequency"].collect()}
+    got = {(r["term"], r["df"]) for r in
+           spark.read.parquet(f"{path}/document_frequency").collect()}
+    assert got == want
+
+
+def test_delete_composes_with_append(spark, docs, tmp_path):
+    """Lifecycle: build on 1/2, append 1/4, delete some of BOTH halves —
+    probe must equal the index of (all docs minus deleted)."""
+    nid = F.col("doc_id").cast("bigint")
+    path, want_path = str(tmp_path / "ix"), str(tmp_path / "want")
+    write_index(build_index(docs.filter(nid % 4 != 0)), path)
+    append_to_index(docs.filter(nid % 4 == 0), path)
+    delete_from_index(spark, path,
+                      docs.filter(nid % 5 == 2).select("doc_id"))
+    write_index(build_index(docs.filter(nid % 5 != 2)), want_path)
+    assert _probe(spark, path) == _probe(spark, want_path)
+
+
+def test_delete_everything_with_a_term_drops_it(spark, tmp_path):
+    """df reaching zero must drop the term (P7 zero-df skip), not leave
+    a phantom row: delete the ONLY docs containing a term and probe."""
+    path = str(tmp_path / "ix")
+    docs = spark.createDataFrame(
+        [(1, "unicorn gamma"), (2, "unicorn delta"), (3, "vector beta")],
+        "doc_id bigint, text string")
+    write_index(build_index(docs), path)
+    delete_from_index(spark, path, [1, 2])
+    got = bm25_probe_persisted(spark, path, "unicorn vector", k=10).collect()
+    assert [r["doc_id"] for r in got] == ["3"]
+    compact_index(spark, path)
+    dfreq = {r["term"] for r in
+             spark.read.parquet(f"{path}/document_frequency").collect()}
+    assert "unicorn" not in dfreq and "vector" in dfreq
