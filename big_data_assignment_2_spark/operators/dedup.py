@@ -470,11 +470,18 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
 
     1. per-doc token array (single tokenize), length-L shingle hash at
        every start position — IN-ROW ``transform`` over the position
-       sequence, no explode-then-window shuffle (md5-derived hashes so
-       the DuckDB oracle replays them bit-for-bit);
-    2. duplicated-shingle set = hash-groupBy count ≥ 2 (map-side partial
-       agg; one shuffle on a well-distributed 60-bit key);
-    3. per-doc duplicated start positions → maximal spans by
+       sequence, no explode-then-window shuffle;
+    2. CANDIDATE sites = hash-groupBy count ≥ 2 (map-side partial agg;
+       one shuffle on a well-distributed 60-bit key) — a cheap prefilter
+       over every position;
+    3. VERIFY (r12, round-11 advice): candidate sites join back to the
+       persisted token arrays, the actual length-L runs are re-sliced
+       in-row, and only runs whose CONTENT occurs ≥ 2 times survive —
+       so a 60-bit hash collision between distinct shingles can never
+       delete unique text (at ~10^13 shingles / 100 TB, collisions are
+       expected; the verify stage touches only the duplicated-hash
+       sites, a tiny fraction of the corpus);
+    4. per-doc duplicated start positions → maximal spans by
        gaps-and-islands: starts p < q belong to one span iff q ≤ p + L
        (their covered ranges [p, p+L−1], [q, q+L−1] touch or overlap);
        the window partitions BY DOC, never globally.
@@ -482,8 +489,15 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
     Scale (100 TB): shingle volume ≈ token volume (one row per token
     position); the duplicated-set join is a two-relation equi-join on the
     hash (AQE skew-split covers a boilerplate shingle shared by millions
-    of docs); no stage is quadratic — unlike pair-forming dedups this one
+    of docs); the verify stage shuffles run STRINGS only for candidate
+    sites; no stage is quadratic — unlike pair-forming dedups this one
     never materializes doc pairs at all.
+
+    Cache hygiene: the token-array relation is persisted for the plan's
+    three consumers, the (tiny) span result is eagerly localCheckpointed,
+    and the intermediate is unpersisted before returning — repeated calls
+    in a long-lived session leave no CacheManager entries behind
+    (tests/test_exact_substring.py pins it).
 
     Returns (doc_id string, span_start int, span_end int, n_tokens int):
     inclusive 0-based token-index bounds of each maximal duplicated span.
@@ -496,51 +510,89 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
     # would otherwise inline the whole tokenize (regexp split) into EVERY
     # per-position lambda evaluation — measured 8.5× on the shingle stage
     # (the same failure mode lsh_bucket documents).  The persist also
-    # lets the two consumers of the shingle relation (duplicated-set agg,
-    # probe join) share one tokenize pass.
+    # lets the three consumers of the token relation (shingle agg, probe
+    # join, verify re-slice) share one tokenize pass.
     base = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        tokenize(text_col).alias("__toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    t = F.col("__toks")
-    sh = base.select(
-        "doc_id",
-        F.posexplode(
-            F.when(F.size(t) >= length, F.transform(
-                F.sequence(F.lit(0), F.size(t) - length),
-                lambda i: md5_hash64(F.concat_ws(
-                    " ", F.slice(t, i + 1, length)))))
-            .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
-    dup = sh.groupBy("h").agg(F.count("*").alias("__c")) \
-        .filter(F.col("__c") >= 2).select("h")
-    dpos = sh.join(dup, "h", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = (dpos
-           .withColumn("__prev", F.lag("pos").over(w))
-           .withColumn("__new", F.when(
-               F.col("__prev").isNull()
-               | (F.col("pos") > F.col("__prev") + length), 1).otherwise(0))
-           .withColumn("__island", F.sum("__new").over(
-               w.rowsBetween(Window.unboundedPreceding, 0))))
-    return (isl.groupBy("doc_id", "__island")
-            .agg(F.min("pos").alias("span_start"),
-                 (F.max("pos") + length - 1).cast("int").alias("span_end"))
-            .select("doc_id", "span_start", "span_end",
-                    (F.col("span_end") - F.col("span_start") + 1)
-                    .cast("int").alias("n_tokens")))
+    try:
+        t = F.col("__toks")
+        sh = base.select(
+            "doc_id",
+            F.posexplode(
+                F.when(F.size(t) >= length, F.transform(
+                    F.sequence(F.lit(0), F.size(t) - length),
+                    lambda i: md5_hash64(F.concat_ws(
+                        " ", F.slice(t, i + 1, length)))))
+                .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
+        dup = sh.groupBy("h").agg(F.count("*").alias("__c")) \
+            .filter(F.col("__c") >= 2).select("h")
+        cand = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+        # Verify: re-slice the candidate runs from the token arrays (the
+        # positions are collected per doc first, so the corpus-sized array
+        # relation is joined ONCE per doc, not once per site) and keep
+        # only content-duplicated runs.
+        cand_doc = cand.groupBy("doc_id").agg(
+            F.collect_list("pos").alias("__ps"))
+        runs = (base.join(cand_doc, "doc_id")
+                .select("doc_id", F.explode(F.transform(
+                    "__ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.concat_ws(" ", F.slice(t, p + 1, length))
+                        .alias("run")))).alias("s"))
+                .select("doc_id", F.col("s.pos").alias("pos"),
+                        F.col("s.run").alias("run")))
+        dup_runs = runs.groupBy("run").agg(F.count("*").alias("__c")) \
+            .filter(F.col("__c") >= 2).select("run")
+        dpos = runs.join(dup_runs, "run", "left_semi") \
+            .select("doc_id", "pos")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        isl = (dpos
+               .withColumn("__prev", F.lag("pos").over(w))
+               .withColumn("__new", F.when(
+                   F.col("__prev").isNull()
+                   | (F.col("pos") > F.col("__prev") + length), 1)
+                   .otherwise(0))
+               .withColumn("__island", F.sum("__new").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (isl.groupBy("doc_id", "__island")
+                .agg(F.min("pos").alias("span_start"),
+                     (F.max("pos") + length - 1).cast("int")
+                     .alias("span_end"))
+                .select("doc_id", "span_start", "span_end",
+                        (F.col("span_end") - F.col("span_start") + 1)
+                        .cast("int").alias("n_tokens"))
+                .localCheckpoint(eager=True))
+    finally:
+        base.unpersist()
 
 
 def remove_substring_spans(docs: DataFrame, length: int = 8,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           keep: str = "none") -> DataFrame:
     """The CLEANING step of ExactSubstr dedup (Lee et al. 2022): cut the
     maximal duplicated spans found by :func:`exact_substring_spans` out
-    of every document and return the cleaned corpus.  Removes ALL
-    occurrences of duplicated content — the policy the ExactSubstr
-    reference implementation (google-research/deduplicate-text-datasets)
-    applies, which Lee et al. note costs negligible unique text.  (A
-    keep-one-occurrence policy needs content identity per repeated run;
-    merged maximal spans deliberately do not carry it — overlapping runs
-    of different strings fuse into one span.)
+    of every document and return the cleaned corpus.
+
+    ``keep`` selects the occurrence policy:
+
+    - ``"none"`` (default): remove ALL occurrences of duplicated content
+      — the policy the ExactSubstr reference implementation
+      (google-research/deduplicate-text-datasets) applies, which Lee et
+      al. note costs negligible unique text.
+    - ``"first"`` (r12): keep the GLOBALLY-FIRST site of each distinct
+      maximal-span content (lowest numeric doc_id, then lowest
+      span_start) and cut every other occurrence — the policy pipelines
+      pruning quotations/boilerplate usually want.  Content identity is
+      the span's exact token run, re-sliced from the corpus and grouped
+      (a per-span shuffle over the tiny span relation only).  Corner
+      case, documented: when overlapping duplicated runs of DIFFERENT
+      strings fuse into one maximal span, the fused span's content can
+      be globally unique — each such span is then the first (only) site
+      of its own group and is kept whole; the cut-all policy has no such
+      corner, which is why it stays the default.
 
     Shape: the spans (tiny — only duplicated regions) are collected PER
     DOC into one array by a single groupBy, left-joined back, and the
@@ -550,7 +602,24 @@ def remove_substring_spans(docs: DataFrame, length: int = 8,
     so coverage tests never double-count.
 
     Returns (doc_id string, clean_text, n_kept int, n_removed int)."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     spans = exact_substring_spans(docs, length, text_col, id_col)
+    if keep == "first":
+        from pyspark.sql import Window
+
+        toks_rel = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                               tokenize(text_col).alias("__toks"))
+        sp_txt = (spans.join(toks_rel, "doc_id")
+                  .select("doc_id", "span_start", "span_end", "n_tokens",
+                          F.concat_ws(" ", F.slice(
+                              "__toks", F.col("span_start") + 1,
+                              F.col("n_tokens"))).alias("__txt")))
+        w = Window.partitionBy("__txt").orderBy(
+            F.col("doc_id").cast("bigint"), "span_start")
+        spans = (sp_txt.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") > 1)
+                 .select("doc_id", "span_start", "span_end", "n_tokens"))
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     toks = tokenize(text_col)
@@ -1254,7 +1323,13 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     # Persisting them makes the serving path pay one tokenize/key/join
     # pass per batch instead of re-evaluating the lineage per consumer —
     # measured 7.3 s → 2.6 s per probe at sf0.1 (the same persist
-    # contract incremental_dedup has always had).
+    # contract incremental_dedup has always had).  The result is eagerly
+    # localCheckpointed so the intermediates can be unpersisted HERE
+    # (r12, round-11 advice): repeated probes — the bench loop, the
+    # streaming rollover's per-micro-batch calls — must not accumulate
+    # CacheManager entries for the life of the session; checkpoint
+    # blocks are RDD-level and the ContextCleaner reclaims them when the
+    # returned frame is garbage-collected.
     inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
            .join(hist_keys, "__k", "left")
            .select("doc_id", "__nid", "__exact_nid")
@@ -1263,9 +1338,14 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
                   .groupBy("doc_id")
                   .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
                   .persist(StorageLevel.MEMORY_AND_DISK))
-    return _flag_against_history(
-        inc, inc_arrays,
-        _anti_tombstones(spark.read.parquet(f"{base_path}/bands"),
-                         tomb, "hist_nid"),
-        _anti_tombstones(spark.read.parquet(f"{base_path}/arrays"),
-                         tomb, "hist_nid"), threshold)
+    try:
+        return _flag_against_history(
+            inc, inc_arrays,
+            _anti_tombstones(spark.read.parquet(f"{base_path}/bands"),
+                             tomb, "hist_nid"),
+            _anti_tombstones(spark.read.parquet(f"{base_path}/arrays"),
+                             tomb, "hist_nid"), threshold) \
+            .localCheckpoint(eager=True)
+    finally:
+        inc.unpersist()
+        inc_arrays.unpersist()

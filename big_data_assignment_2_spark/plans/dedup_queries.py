@@ -145,6 +145,17 @@ def q_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_substring_spans(docs, length=EXSUB_LEN)
 
 
+def q_exact_substring_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cleaning with the KEEP-FIRST policy (r12): the
+    globally-first occurrence of each distinct duplicated-span content
+    survives; all later sites are cut — the quotation/boilerplate-pruning
+    variant beside the reference cut-all policy."""
+    from ..operators.dedup import remove_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_substring_spans(docs, length=EXSUB_LEN, keep="first")
+
+
 EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
 EDIT_SIM_MIN = 0.6
 
@@ -311,6 +322,7 @@ def _rollover_flow(spark: SparkSession, sf_dir: str,
 QUERIES = {
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_clean": q_exact_substring_clean,
+    "dedup_exact_substring_keepone": q_exact_substring_keepone,
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
     "dedup_edit_verify": q_edit_verify,
@@ -421,9 +433,12 @@ fp AS (
   FROM hashes)
 """
 
-# Exact-substring oracle: lead-built length-L shingles (same space-joined
-# string the Spark side hashes via concat_ws over a slice), duplicated-site
-# count, per-doc gaps-and-islands span merge.
+# Exact-substring oracle: lead-built length-L shingles (the same
+# space-joined run strings the Spark side verifies against), duplicated
+# CONTENT count, per-doc gaps-and-islands span merge.  Grouping is by the
+# run string itself — the r12 verified semantics (the Spark side's 60-bit
+# hash is only a candidate prefilter; content decides), so a hash
+# collision can never enter the checked contract.
 _EXSUB_SHINGLE = " || ' ' || ".join(
     ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, EXSUB_LEN)])
 _EXSUB_CTES = f"""led AS (
@@ -432,10 +447,9 @@ _EXSUB_CTES = f"""led AS (
          lead(term, {EXSUB_LEN - 1}) OVER w AS t_last
   FROM tokens
   WINDOW w AS (PARTITION BY doc_id ORDER BY position)),
-sh AS (SELECT doc_id, pos, {md5_hash64_sql('shingle')} AS h
-       FROM led WHERE t_last IS NOT NULL),
-dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
-dpos AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+sh AS (SELECT doc_id, pos, shingle FROM led WHERE t_last IS NOT NULL),
+dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+dpos AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (shingle)),
 isl AS (SELECT doc_id, pos,
         sum(CASE WHEN prev IS NULL OR pos > prev + {EXSUB_LEN}
                  THEN 1 ELSE 0 END)
@@ -459,6 +473,46 @@ _EXSUB_CLEAN_SQL = f"""
 WITH {_TOKENS_CTE}, {_EXSUB_CTES},
 rem AS (SELECT t.doc_id, t.position
         FROM tokens t JOIN spans s ON s.doc_id = t.doc_id
+         AND t.position BETWEEN s.span_start AND s.span_end),
+kept AS (SELECT t.doc_id, t.position, t.term
+         FROM tokens t LEFT JOIN rem r
+           ON r.doc_id = t.doc_id AND r.position = t.position
+         WHERE r.position IS NULL),
+tot AS (SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY doc_id),
+agg AS (SELECT doc_id,
+               string_agg(term, ' ' ORDER BY position) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(coalesce(t.n_tok, 0) - coalesce(a.n_kept, 0) AS INTEGER)
+           AS n_removed
+FROM docs d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# Keep-one twin: span content from the token stream, globally-first site
+# (lowest numeric doc_id, then span_start) per distinct content kept, the
+# rest cut — the same clean tail over the reduced span set.
+_EXSUB_KEEPONE_SQL = f"""
+WITH {_TOKENS_CTE}, {_EXSUB_CTES},
+sp_txt AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         string_agg(t.term, ' ' ORDER BY t.position) AS span_txt
+  FROM spans s JOIN tokens t ON t.doc_id = s.doc_id
+   AND t.position BETWEEN s.span_start AND s.span_end
+  GROUP BY 1, 2, 3),
+cut AS (
+  SELECT doc_id, span_start, span_end FROM (
+    SELECT doc_id, span_start, span_end,
+           row_number() OVER (PARTITION BY span_txt
+             ORDER BY CAST(doc_id AS BIGINT), span_start) AS rn
+    FROM sp_txt) WHERE rn > 1),
+rem AS (SELECT t.doc_id, t.position
+        FROM tokens t JOIN cut s ON s.doc_id = t.doc_id
          AND t.position BETWEEN s.span_start AND s.span_end),
 kept AS (SELECT t.doc_id, t.position, t.term
          FROM tokens t LEFT JOIN rem r
@@ -673,6 +727,7 @@ _DELETE_SQL = _rollover_sql(
 ORACLES = {
     "dedup_exact_substring": _EXSUB_SQL,
     "dedup_exact_substring_clean": _EXSUB_CLEAN_SQL,
+    "dedup_exact_substring_keepone": _EXSUB_KEEPONE_SQL,
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
     # Compaction is result-invariant (per-doc distinct minus tombstones;
@@ -832,6 +887,9 @@ _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
     "dedup_exact_substring": ("docs", "tokens", "sh", "dup", "dpos"),
     "dedup_exact_substring_clean": ("docs", "tokens", "sh", "dup", "dpos",
                                     "spans", "rem", "kept"),
+    "dedup_exact_substring_keepone": ("docs", "tokens", "sh", "dup", "dpos",
+                                      "spans", "sp_txt", "cut", "rem",
+                                      "kept"),
     "dedup_tokenset": ("docs", "tokens"),
     "dedup_minhash_sig": ("docs", "tokens", "ts", "h", "sig"),
     "dedup_minhash_near": ("docs", "tokens", "ts", "h", "sig", "bands",

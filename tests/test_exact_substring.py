@@ -104,3 +104,74 @@ def test_short_docs_no_crash(spark):
         [(1, "one two"), (2, "one two"), (3, "")],
         "doc_id long, text string")
     assert exact_substring_spans(docs, length=4).count() == 0
+
+
+def test_keep_first_policy(spark):
+    """keep='first' keeps the globally-first site of each distinct span
+    content (lowest numeric doc_id, then span_start) and cuts the rest."""
+    from big_data_assignment_2_spark.operators.dedup import (
+        remove_substring_spans)
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in remove_substring_spans(docs, length=L,
+                                           keep="first").collect()}
+    # doc 1 holds the first BOILER occurrence -> kept whole
+    assert out["1"] == ("a1 a2 a3 " + BOILER + " a4 a5", 15, 0)
+    # doc 2's BOILER is a later occurrence -> cut
+    assert out["2"] == ("b1 b2 b3 b4", 4, 10)
+    # doc 3's double-BOILER fuses into ONE 20-token span whose content
+    # (BOILER BOILER) is globally unique -> its own first site, kept
+    # (the documented fused-span corner of span-level keep-first)
+    assert out["3"][2] == 0 and out["3"][1] == 30
+    # untouched doc
+    assert out["4"][2] == 0
+    # docs 5/6 share run0..run5: doc 5 (lower id) keeps, doc 6 cuts
+    assert out["5"][2] == 0 and out["5"][1] == 9
+    assert out["6"] == ("f1 f2 f3", 3, 6)
+    # doc 7's within-doc repeat: two separate spans, same content ->
+    # first (pos 1) kept, second (pos 10) cut
+    assert out["7"] == ("g1 rep0 rep1 rep2 rep3 rep4 g2 g3 g4 g5", 10, 5)
+
+
+def test_keep_param_validated(spark):
+    from big_data_assignment_2_spark.operators.dedup import (
+        remove_substring_spans)
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep must be"):
+        remove_substring_spans(docs, length=L, keep="last")
+
+
+def test_hash_collision_cannot_flag_unique_text(spark, monkeypatch):
+    """r12 verify stage: even if the shingle HASH collides between two
+    distinct runs, the content verify must reject the site — force the
+    worst case by monkeypatching the hash to a constant, so EVERY shingle
+    collides; only truly content-duplicated runs may survive."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators import dedup as d
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    real = d.md5_hash64
+    monkeypatch.setattr(d, "md5_hash64", lambda c: F.lit(0).cast("long"))
+    try:
+        degenerate = {(r["doc_id"], r["span_start"], r["span_end"])
+                      for r in d.exact_substring_spans(docs,
+                                                       length=L).collect()}
+    finally:
+        monkeypatch.setattr(d, "md5_hash64", real)
+    honest = {(r["doc_id"], r["span_start"], r["span_end"])
+              for r in d.exact_substring_spans(docs, length=L).collect()}
+    assert degenerate == honest
+
+
+def test_no_cachemanager_leak_across_calls(spark):
+    """Cache hygiene (r12, round-11 advice): repeated operator calls must
+    leave no DataFrame-level CacheManager entries behind (localCheckpoint
+    blocks are RDD-level and ContextCleaner-reclaimed on GC)."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    spark.catalog.clearCache()
+    for _ in range(3):
+        exact_substring_spans(docs, length=L).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -83,3 +83,15 @@ def test_dataframe_ids_accepted(spark, store):
     ids = spark.createDataFrame([(1,), (3,)], "doc_id bigint")
     delete_fingerprints(spark, store, ids)
     assert _flags(spark, store, [(0, BASE)])["0"] == ("near_dup", "5")
+
+
+def test_probe_leaves_no_cachemanager_entries(spark, store):
+    """Cache hygiene (r12, round-11 advice): repeated probes — the bench
+    REPEATS loop, the rollover's per-micro-batch calls — must not
+    accumulate DataFrame-level cache entries for the session's lifetime
+    (the result is eagerly localCheckpointed inside the operator; those
+    blocks are RDD-level and ContextCleaner-reclaimed on GC)."""
+    spark.catalog.clearCache()
+    for _ in range(3):
+        _flags(spark, store, [(2, BASE), (10, "totally unrelated words")])
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
