@@ -443,28 +443,20 @@ def q_stream_dedup_rollover_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions instead of squeezing a day into one file.
     docs.filter((nid % 5) == 4).repartition(1) \
         .write.mode("append").parquet(src)
+    day1_files = _parquet_files(src)
     docs.filter((nid % 5) == 0).repartition(1) \
         .write.mode("append").parquet(src)
+    # The file source orders by MODIFICATION TIME: two appends can land
+    # with equal-millisecond mtimes, making the day order nondeterministic
+    # (round-11 advice).  Bump day 2's files strictly past day 1's.
+    _bump_mtime_after(src, day1_files)
 
     inc = (spark.readStream.schema(docs.schema)
            .option("maxFilesPerTrigger", 1).parquet(src))
+    seen_days: list[int] = []
 
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
-        mods = [r[0] for r in batch_df
-                .select((F.col("doc_id").cast("bigint") % 5).alias("m"))
-                .distinct().collect()]
-        if len(mods) > 1:
-            raise ValueError(
-                f"day-granularity batching violated: batch mixes day "
-                f"splits {sorted(mods)}")
-        flags = flag_batch_against_store(batch_df, store,
-                                         JACCARD_THRESHOLD).localCheckpoint()
-        flags.write.mode("append").parquet(sink)
-        uniq = batch_df.join(
-            flags.filter(F.col("status") == "unique")
-            .select(F.col("doc_id").cast("bigint").alias("__uid")),
-            F.col("doc_id").cast("bigint") == F.col("__uid")).drop("__uid")
-        append_fingerprints(uniq, store)
+        _rollover_emit(batch_df, store, sink, seen_days, expect=(4, 0))
 
     q = (inc.writeStream.outputMode("append").foreachBatch(emit)
          .trigger(availableNow=True).start())
@@ -472,7 +464,120 @@ def q_stream_dedup_rollover_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def _parquet_files(src: str) -> set:
+    import glob
+    import os
+
+    return set(glob.glob(os.path.join(src, "*.parquet")))
+
+
+def _bump_mtime_after(src: str, earlier_files: set) -> None:
+    """Set every parquet file NOT in ``earlier_files`` to a modification
+    time strictly greater than all of them — deterministic oldest-first
+    drain order for the file source regardless of filesystem mtime
+    granularity."""
+    import os
+
+    floor = max((os.path.getmtime(f) for f in earlier_files), default=0.0)
+    for f in sorted(_parquet_files(src) - earlier_files):
+        os.utime(f, (floor + 0.01, floor + 0.01))
+
+
+def _rollover_emit(batch_df: DataFrame, store: str, sink: str,
+                   seen_days: list, expect: tuple) -> None:
+    """One micro-batch of the flag→append maintenance loop, with TWO
+    fail-loud guards on the day-granularity contract: a batch mixing day
+    splits raises, and the days must arrive in the expected sequence
+    (a swapped order would flag day 1 against a store grown by day 2 —
+    silently wrong, so it is an error instead; round-11 advice)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import append_fingerprints, flag_batch_against_store
+    from ..plans.dedup_queries import JACCARD_THRESHOLD
+
+    mods = [r[0] for r in batch_df
+            .select((F.col("doc_id").cast("bigint") % 5).alias("m"))
+            .distinct().collect()]
+    if len(mods) > 1:
+        raise ValueError(
+            f"day-granularity batching violated: batch mixes day "
+            f"splits {sorted(mods)}")
+    if mods:
+        seen_days.append(mods[0])
+        if tuple(seen_days) != expect[:len(seen_days)]:
+            raise ValueError(
+                f"ingest days out of order: saw {seen_days}, "
+                f"expected prefix of {list(expect)}")
+    flags = flag_batch_against_store(batch_df, store, JACCARD_THRESHOLD)
+    flags.write.mode("append").parquet(sink)
+    uniq = batch_df.join(
+        flags.filter(F.col("status") == "unique")
+        .select(F.col("doc_id").cast("bigint").alias("__uid")),
+        F.col("doc_id").cast("bigint") == F.col("__uid")).drop("__uid")
+    append_fingerprints(uniq, store)
+
+
+def q_stream_dedup_rollover_restart(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """RESTART-RECOVERY of the rollover loop (r12, VERDICT r11 #7): the
+    daily flag→append maintenance job is killed BETWEEN ingest days and
+    resumed from its checkpoint — day 1 is drained by one query, the
+    query stops, day 2's file lands, and a SECOND query with the SAME
+    checkpoint + sink + store drains it.  The file-source checkpoint must
+    skip day 1's already-committed file (re-processing would double-append
+    day-1 uniques into the store AND duplicate their sink rows — both
+    break the oracle), and day 2 must be flagged against the store as
+    grown by run 1.  The drained sink across both runs must equal the
+    uninterrupted two-day replay — the SAME oracle as
+    ``stream_dedup_rollover_live``, so a green row certifies idempotent
+    resumption, THE failure mode of a daily foreachBatch job."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import write_fingerprint_store
+    from ..streaming.windows import _MEMSINK_SEQ
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base = os.path.join(scratch,
+                        f"roll_restart_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    cleanup_stale_scratch(scratch, "roll_restart_*", keep=base)
+    store, src, sink, ckpt = (os.path.join(base, d)
+                              for d in ("store", "src", "sink", "ckpt"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    write_fingerprint_store(docs.filter((nid % 5).isin(1, 2, 3)), store)
+    seen_days: list[int] = []
+
+    def drain() -> None:
+        inc = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (inc.writeStream.outputMode("append")
+             .foreachBatch(lambda b, _i: _rollover_emit(
+                 b, store, sink, seen_days, expect=(4, 0)))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # Run 1: day 1 only, drain, STOP (source offsets + batch commits land
+    # in the checkpoint).
+    docs.filter((nid % 5) == 4).repartition(1) \
+        .write.mode("append").parquet(src)
+    drain()
+    day1_files = _parquet_files(src)
+    # The kill-between-days restart: day 2 arrives, a NEW query resumes
+    # from the same checkpoint.
+    docs.filter((nid % 5) == 0).repartition(1) \
+        .write.mode("append").parquet(src)
+    _bump_mtime_after(src, day1_files)
+    drain()
+    return spark.read.parquet(sink)
+
+
 QUERIES = {
+    "stream_dedup_rollover_restart": q_stream_dedup_rollover_restart,
     "stream_dedup_rollover_live": q_stream_dedup_rollover_live,
     "stream_dedup_near_live": q_stream_dedup_near_live,
     "stream_dedup_history": q_stream_dedup_history,
@@ -501,6 +606,12 @@ ORACLES = {
     # foreachBatch flag→append loop (one micro-batch per ingest day) must
     # reproduce the batch maintenance loop exactly.
     "stream_dedup_rollover_live": _rollover_sql(both_days=True),
+    # Kill-between-days restart: resuming from the checkpoint must make
+    # the two-run drain indistinguishable from the uninterrupted one —
+    # the SAME two-day replay oracle (a double-appended day 1 would turn
+    # day-2 near-dup matches into different match_ids; a re-flagged day 1
+    # would duplicate sink rows — both hash-visible).
+    "stream_dedup_rollover_restart": _rollover_sql(both_days=True),
     # Streaming near-dup flagging is micro-batch-independent (every
     # incoming doc is flagged against the persisted HISTORY only, never
     # against other incoming docs), so the drained foreachBatch sink

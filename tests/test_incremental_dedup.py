@@ -272,3 +272,49 @@ def test_compact_fingerprint_store_is_result_invariant(spark, sf_dir):
         distinct_rows = spark.read.parquet(f"{store}/keys") \
             .select("__k", "__exact_nid").distinct().count()
         assert after_rows == distinct_rows   # one row per (key, doc) now
+
+
+def test_rollover_restart_no_double_append(spark, sf_dir):
+    """Kill-between-days restart (r12): the restart query must equal the
+    uninterrupted rollover, and a THIRD drain from the same checkpoint
+    with no new files must append nothing — double-appending day-1
+    uniques is impossible under the committed file-source offsets."""
+    import glob
+    import os
+    import tempfile
+
+    from big_data_assignment_2_spark.plans.streaming_queries import (
+        q_stream_dedup_rollover_live, q_stream_dedup_rollover_restart)
+
+    restart = sorted(tuple(r) for r in
+                     q_stream_dedup_rollover_restart(spark, sf_dir).collect())
+    live = sorted(tuple(r) for r in
+                  q_stream_dedup_rollover_live(spark, sf_dir).collect())
+    assert restart == live
+
+    # Locate the restart run's scratch (newest roll_restart_* dir) and
+    # drain a third time: no new source files => zero new sink rows and
+    # an unchanged store keys log.
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base = max(glob.glob(os.path.join(scratch, "roll_restart_*")),
+               key=os.path.getmtime)
+    store, src, sink, ckpt = (os.path.join(base, d)
+                              for d in ("store", "src", "sink", "ckpt"))
+    n_sink = spark.read.parquet(sink).count()
+    n_keys = spark.read.parquet(os.path.join(store, "keys")).count()
+
+    from big_data_assignment_2_spark.plans.streaming_queries import (
+        _rollover_emit)
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (inc.writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: _rollover_emit(
+             b, store, sink, [], expect=()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(sink).count() == n_sink
+    assert spark.read.parquet(os.path.join(store, "keys")).count() == n_keys
