@@ -58,7 +58,13 @@ EXTRA = [
     "mm_jpeg_420",           # 4:2:0 subsampled color JPEG
     "text_heavy_hitters_exact",  # two-pass Misra-Gries + exact verify
     "dedup_incremental",     # ingest batch vs historical fingerprints
-    "sim_semdedup",          # cluster-then-prune semantic dedup
+    # CHANGELOG (round 12, per VERDICT r11 #2): sim_semdedup_scaled (k ∝
+    # corpus, clusters stay ~SEMDEDUP_K_DIV vectors) replaces the fixed-k
+    # row as the HEADLINE semdedup number — the fixed-k shape is N²/k and
+    # was the sf1 sweep's slowest row (68.8 s); the scaled shape is the
+    # operator's documented 100 TB contract.  The fixed-k row stays
+    # registered as an oracle gate artifact for continuity.
+    "sim_semdedup_scaled",   # cluster-then-prune semantic dedup (k ∝ N)
     "events_paths",          # gap sessionization + journey path mining
     "stream_dedup_history",  # stream-static anti-join dedup
     "mm_jpeg_dri",           # restart-interval JPEG (camera layout)

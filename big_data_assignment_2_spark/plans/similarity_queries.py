@@ -328,6 +328,50 @@ q_ivfpq_append_probe.__doc__ = q_ivfpq_append_probe.__doc__.format(
     mod=APPEND_MOD, rem=APPEND_REM)
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@k of the persisted IVF+PQ probe against exact brute-force
+    ground truth (r12, VERDICT r11 #6): build the persisted index, probe
+    the query set, and score each query's top-k against
+    ``sim_ann_bruteforce``'s exact cosine top-k — per-query |ANN ∩
+    exact| / k.  Both sides are fully deterministic (frozen Lloyd
+    training, exact parquet double round-trip), so recall is an EXACT
+    oracle-checkable relation, not a sampled estimate: the SQL twin
+    composes the end-to-end IVF+PQ replay with the brute-force replay
+    and intersects them.  This is the number a 100 TB ANN serving story
+    is judged by — the engine previously certified only that the probe
+    returns its own deterministic answer, not how close that answer is
+    to the true neighbors (nprobe sensitivity noted in SCALE.md)."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_recall_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_recall_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    ann = ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                k=TOP_K, nprobe=IVFPQ_NPROBE) \
+        .select("query_id", "neighbor_id")
+    bf = brute_force_topk(em, _queries_df(spark, sf_dir), k=TOP_K) \
+        .select("query_id", "neighbor_id")
+    matched = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (bf.groupBy("query_id").agg(F.count("*").alias("__k"))
+            .join(matched.groupBy("query_id")
+                  .agg(F.count("*").alias("n_match")), "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_match", F.lit(0)).cast("bigint")
+                    .alias("n_match"),
+                    F.round(F.coalesce("n_match", F.lit(0))
+                            / F.col("__k").cast("double"), 6)
+                    .alias("recall")))
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -355,8 +399,42 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     threshold=COSINE_DUP_THRESHOLD)
 
 
+# The production k∝N shape: cluster count grows with the corpus so
+# cluster sizes stay bounded (~SEMDEDUP_K_DIV vectors each) and the
+# in-cluster pair stage stays ~linear in N — the SemDeDup premise.  The
+# divisor is an integer-exact contract shared with the SQL oracle.
+SEMDEDUP_K_DIV = 250
+
+
+def semdedup_k_for(n: int) -> int:
+    return max(2, n // SEMDEDUP_K_DIV)
+
+
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at its documented production shape (r12, VERDICT r11 #2):
+    k ∝ corpus size — k = max(2, N // {div}) — so each Lloyd cluster
+    holds ~{div} vectors and the dominant in-cluster pair join generates
+    ~N·{div} candidates instead of the fixed-k row's N²/k.  The oracle
+    re-derives the SAME k from count(*) in SQL (the Lloyd chain's size
+    is k-independent — proven at 10× scale by
+    tools/selfcheck_semdedup_sf1.py), so the adaptive shape itself is
+    hash-certified at every sf, replacing the fixed-k row as the
+    headline semdedup number."""
+    from ..operators.similarity import semdedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    k = semdedup_k_for(em.count())
+    return semdedup(em, k=k, iters=KMEANS_ITERS,
+                    threshold=COSINE_DUP_THRESHOLD)
+
+
+q_semdedup_scaled.__doc__ = q_semdedup_scaled.__doc__.format(
+    div=SEMDEDUP_K_DIV)
+
+
 QUERIES = {
     "sim_ivfpq_delete_probe": q_ivfpq_delete_probe,
+    "sim_ivfpq_recall": q_ivfpq_recall,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -374,6 +452,7 @@ QUERIES = {
     "sim_cosine_top_pairs_scaled": q_cosine_top_pairs_scaled,
     "sim_cosine_near_dups_banded": q_cosine_near_dups_banded,
     "sim_semdedup": q_semdedup,
+    "sim_semdedup_scaled": q_semdedup_scaled,
 }
 
 # Shared SQL pieces.  DuckDB list indexing is 1-based; `d` ranges 0..dim-1.
@@ -828,6 +907,11 @@ WHERE rank <= {TOP_K}
         score_pred=f"r.vec_id % {DELETE_MOD} <> {DELETE_REM}"),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),
+    # k re-derived from count(*) with the same integer formula as
+    # semdedup_k_for — the adaptive production shape, hash-certified.
+    "sim_semdedup_scaled": _semdedup_oracle(
+        f"(SELECT greatest(2, count(*) // {SEMDEDUP_K_DIV}) "
+        "FROM embeddings)"),
     "sim_quantize_int8": f"""
 WITH {_VECS},
 s AS (SELECT vec_id, v,
@@ -929,3 +1013,19 @@ SELECT vec_a, vec_b, cos_sim FROM cand
 WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 """,
 }
+
+# recall@k as an EXACT relation (r12): both replays are deterministic, so
+# the per-query intersection count is hash-checkable, not a sampled
+# estimate — the persisted-probe replay joined against the brute-force
+# replay, counted per query.
+ORACLES["sim_ivfpq_recall"] = f"""
+WITH ann AS (SELECT query_id, neighbor_id
+             FROM ({_ivfpq_oracle()}) ivfpq_full),
+bf AS (SELECT query_id, neighbor_id
+       FROM ({ORACLES["sim_ann_bruteforce"]}) bf_full)
+SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_match,
+       round(count(a.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM bf b LEFT JOIN ann a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
