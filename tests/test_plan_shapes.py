@@ -108,9 +108,15 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # (append_probe shares bm25_topk's scoring plan verbatim)
         "search_bm25_topk", "search_bm25_batch",
         "search_bm25_append_probe",
+        # delete probe shares bm25_topk's scoring plan verbatim too
+        "search_bm25_delete_probe",
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
+        # recall = persisted-probe top-k ∩ brute-force top-k: the exact
+        # ground-truth side embeds sim_ann_bruteforce's broadcast scoring
+        # pass by definition (the ANN side stays list-pruned)
+        "sim_ivfpq_recall",
         # ADC scores every m-byte CODE row against the broadcast query
         # set — that full pass over the compressed codes is the PQ
         # contract (the compression, not candidate pruning, is the win;
