@@ -372,6 +372,41 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall")))
 
 
+RERANK_C = 50   # ADC-nominated candidates per query before exact re-rank
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (r12): the persisted IVF+PQ index nominates
+    the ADC top-{c} per query, then ``similarity.exact_rerank`` re-scores
+    those candidates with exact cosine on the full vectors and keeps the
+    top-{k} — the FAISS IndexRefineFlat production shape.  Repairs the
+    PQ rank inversions inside the candidate set: measured recall@10
+    rises from ~0.30 (pure ADC) to the candidate-containment ceiling
+    (SCALE.md r12).  The oracle composes the end-to-end IVF+PQ replay
+    (rank ≤ {c}) with the exact-cosine re-scoring and final window."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+    from ..operators.similarity import exact_rerank
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_rerank_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_rerank_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    cand = ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=RERANK_C, nprobe=IVFPQ_NPROBE)
+    return exact_rerank(cand, em, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+q_ivfpq_rerank.__doc__ = q_ivfpq_rerank.__doc__.format(c=RERANK_C, k=TOP_K)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -435,6 +470,7 @@ q_semdedup_scaled.__doc__ = q_semdedup_scaled.__doc__.format(
 QUERIES = {
     "sim_ivfpq_delete_probe": q_ivfpq_delete_probe,
     "sim_ivfpq_recall": q_ivfpq_recall,
+    "sim_ivfpq_rerank": q_ivfpq_rerank,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -652,7 +688,8 @@ WHERE rank <= {TOP_K}
 
 
 def _ivfpq_oracle(base_pred: str | None = None,
-                  score_pred: str | None = None) -> str:
+                  score_pred: str | None = None,
+                  topk: int = TOP_K) -> str:
     """Replays ivfpq_topk end-to-end: coarse Lloyd (k=IVFPQ_COARSE_K
     over the full 64-dim vectors), assignment + RESIDUALS, per-subspace
     sub-Lloyd codebooks trained on residual slices, argmin codes,
@@ -777,7 +814,7 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
   FROM scored)
-WHERE rank <= {TOP_K}
+WHERE rank <= {topk}
 """
 
 
@@ -1028,4 +1065,32 @@ SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_match,
 FROM bf b LEFT JOIN ann a
   ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
+"""
+
+# Two-stage retrieval oracle (r12): candidates = the full IVF+PQ replay at
+# rank <= RERANK_C, re-scored with the exact brute-force cosine expression
+# (normalize via the row L2 norms inside the dot — same 6-dp rounding and
+# (cos desc, id asc) tie-break as sim_ann_bruteforce), final window to
+# TOP_K.  Self-pairs are already excluded by the inner replay.
+ORACLES["sim_ivfpq_rerank"] = f"""
+WITH {_VECS},
+cand AS (SELECT query_id, neighbor_id
+         FROM ({_ivfpq_oracle(topk=RERANK_C)}) ivfpq_c),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)
+             AS cos_sim
+  FROM cand c
+  JOIN q a ON a.query_id = c.query_id
+  JOIN vecs b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
 """
