@@ -74,3 +74,58 @@ def test_threshold_one_keeps_non_identical(spark):
     out = semdedup(_df(spark, rows), k=2, iters=1, threshold=1.0,
                    dim=DIM).collect()
     assert all(r["keep"] for r in out)
+
+
+def test_join_assignment_equals_literal(spark):
+    """r12: the broadcast-join argmin (k > LITERAL_ARGMIN_MAX_K) must be
+    bit-interchangeable with the literal codegen argmin — same zip_with
+    fold, same (d, cid) tie-break — on ties included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.similarity import (
+        _assign_nearest)
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(60)]
+    # add exact duplicates of a centroid-to-be so distance ties exist
+    rows += [(100, list(rows[3][1])), (101, list(rows[3][1]))]
+    v = spark.createDataFrame(rows, "id bigint, v array<double>")
+    cent = [r[1] for r in rows[:20]] + [list(rows[3][1])]  # dup centroid -> tie
+    lit = {(r["id"]): (r["list_id"], round(r["d"], 9))
+           for r in _assign_nearest(v, cent[:16], dist_col="d").collect()}
+    # same 16 centroids through the join path: force it by exceeding the
+    # threshold with padding centroids FAR away (never win), keeping the
+    # argmin over the shared prefix identical
+    far = [[1e6 + j] * 8 for j in range(5)]
+    jn = {(r["id"]): (r["list_id"], round(r["d"], 9))
+          for r in _assign_nearest(v, cent[:16] + far, dist_col="d").collect()}
+    assert lit == jn
+    # tie-break check at full centroid list (cent[3] == cent[20]): the
+    # duplicate ids 100/101 must land on cid 3, never 20
+    full = _assign_nearest(v, cent, dist_col="d")
+    got = {r["id"]: r["list_id"] for r in full.collect()}
+    assert got[100] == 3 and got[101] == 3
+
+
+def test_semdedup_scaled_k_crosses_join_threshold(spark):
+    """semdedup at k > LITERAL_ARGMIN_MAX_K (the join assignment path)
+    must agree with a literal-path replay: same keep/drop set computed
+    with the threshold monkeypatched high."""
+    import numpy as np
+
+    from big_data_assignment_2_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(64)]) for i in range(120)]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out_join = sorted(map(tuple, sim.semdedup(em, k=20, iters=2,
+                                              threshold=0.4).collect()))
+    old = sim.LITERAL_ARGMIN_MAX_K
+    sim.LITERAL_ARGMIN_MAX_K = 1000
+    try:
+        out_lit = sorted(map(tuple, sim.semdedup(em, k=20, iters=2,
+                                                 threshold=0.4).collect()))
+    finally:
+        sim.LITERAL_ARGMIN_MAX_K = old
+    assert out_join == out_lit
