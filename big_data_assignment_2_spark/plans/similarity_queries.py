@@ -407,6 +407,45 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_ivfpq_rerank.__doc__ = q_ivfpq_rerank.__doc__.format(c=RERANK_C, k=TOP_K)
 
 
+def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TWO-STAGE pipeline (ADC top-C → exact re-rank)
+    against brute-force ground truth — the standing certified version of
+    the SCALE.md r12 measurement (0.34 ADC-only → 0.64 re-ranked at
+    sf0.01): the recall LIFT of the refine stage is itself an exact
+    oracle relation, deterministic on both sides."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+    from ..operators.similarity import exact_rerank
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_rrcall_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_rrcall_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    cand = ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=RERANK_C, nprobe=IVFPQ_NPROBE)
+    rr = exact_rerank(cand, em, _queries_df(spark, sf_dir), k=TOP_K) \
+        .select("query_id", "neighbor_id")
+    bf = brute_force_topk(em, _queries_df(spark, sf_dir), k=TOP_K) \
+        .select("query_id", "neighbor_id")
+    matched = bf.join(rr, ["query_id", "neighbor_id"], "left_semi")
+    return (bf.groupBy("query_id").agg(F.count("*").alias("__k"))
+            .join(matched.groupBy("query_id")
+                  .agg(F.count("*").alias("n_match")), "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_match", F.lit(0)).cast("bigint")
+                    .alias("n_match"),
+                    F.round(F.coalesce("n_match", F.lit(0))
+                            / F.col("__k").cast("double"), 6)
+                    .alias("recall")))
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -471,6 +510,7 @@ QUERIES = {
     "sim_ivfpq_delete_probe": q_ivfpq_delete_probe,
     "sim_ivfpq_recall": q_ivfpq_recall,
     "sim_ivfpq_rerank": q_ivfpq_rerank,
+    "sim_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -1093,4 +1133,18 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored)
 WHERE rank <= {TOP_K}
+"""
+
+# Recall of the two-stage pipeline, as an exact relation: the composed
+# re-rank replay intersected with the brute-force replay per query.
+ORACLES["sim_ivfpq_rerank_recall"] = f"""
+WITH ann AS (SELECT query_id, neighbor_id
+             FROM ({ORACLES["sim_ivfpq_rerank"]}) rr_full),
+bf AS (SELECT query_id, neighbor_id
+       FROM ({ORACLES["sim_ann_bruteforce"]}) bf_full)
+SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_match,
+       round(count(a.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM bf b LEFT JOIN ann a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
 """

@@ -116,7 +116,7 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # recall = persisted-probe top-k ∩ brute-force top-k: the exact
         # ground-truth side embeds sim_ann_bruteforce's broadcast scoring
         # pass by definition (the ANN side stays list-pruned)
-        "sim_ivfpq_recall",
+        "sim_ivfpq_recall", "sim_ivfpq_rerank_recall",
         # ADC scores every m-byte CODE row against the broadcast query
         # set — that full pass over the compressed codes is the PQ
         # contract (the compression, not candidate pruning, is the win;
