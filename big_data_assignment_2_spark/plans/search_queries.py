@@ -198,6 +198,39 @@ q_bm25_delete_probe.__doc__ = q_bm25_delete_probe.__doc__.format(
     mod=IX_DELETE_MOD, rem=IX_DELETE_REM)
 
 
+def q_bm25_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION certified through the driver gate (r12): build → delete
+    → ``persist.compact_index`` (physical rewrite: postings/stats minus
+    the deleted docs, df log collapsed with the per-term correction,
+    tombstone log dropped) → probe.  Compaction must be result-invariant
+    over the masked probe, so the SAME corpus-minus-deleted oracle as
+    ``search_bm25_delete_probe`` applies — a green row certifies the
+    physical rewrite produced exactly the smaller corpus's index, with
+    the probe now running with NO tombstone branch in its plan (the
+    serving state a maintenance window leaves behind)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.persist import (bm25_probe_persisted, compact_index,
+                                     delete_from_index, write_index)
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_compact_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_compact_*", keep=ixdir)
+    write_index(build_index(docs), ixdir)
+    delete_from_index(
+        spark, ixdir,
+        docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))
+    compact_index(spark, ixdir)
+    return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
+
+
 BATCH_QUERIES = {
     "q_vec": "vector query stream",
     "q_join": "join merge hash",
@@ -243,6 +276,7 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "search_bm25_delete_probe": q_bm25_delete_probe,
+    "search_bm25_compact_probe": q_bm25_compact_probe,
     "search_boolean_and": q_boolean_and,
     "search_boolean_or_not": q_boolean_or,
     "search_index_merge": q_index_merge,
@@ -394,6 +428,10 @@ ORACLES["search_bm25_topk"] = _bm25_sql()
 # per-term df subtraction reconstruct exactly the smaller corpus's index.
 ORACLES["search_bm25_delete_probe"] = _bm25_sql(
     f"WHERE CAST(doc_id AS BIGINT) % {IX_DELETE_MOD} <> {IX_DELETE_REM}")
+
+# Compaction is result-invariant over the masked probe: same oracle, with
+# the green row certifying the PHYSICAL rewrite (tombstone-free plan).
+ORACLES["search_bm25_compact_probe"] = ORACLES["search_bm25_delete_probe"]
 
 # Appending a batch to the persisted index must be indistinguishable from
 # indexing the full corpus — the full-corpus BM25 oracle applies verbatim;

@@ -291,6 +291,41 @@ q_ivfpq_delete_probe.__doc__ = q_ivfpq_delete_probe.__doc__.format(
     mod=DELETE_MOD, rem=DELETE_REM)
 
 
+def q_ivfpq_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the persisted ANN index certified through the driver
+    gate (r12): build → ``ivfpq_delete`` (tombstone the takedown set) →
+    ``ivfpq_compact`` (physical removal of the tombstoned code rows +
+    log drop) → probe.  Compaction must be result-invariant over the
+    masked probe, so the SAME train-on-everything / score-the-survivors
+    oracle as ``sim_ivfpq_delete_probe`` applies — a green row certifies
+    the physical rewrite left exactly the survivors' codes, with the
+    probe running tombstone-branch-free (the post-maintenance serving
+    state).  Physical-removal byte checks live in
+    tests/test_ivfpq_persist.py."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (ivfpq_compact, ivfpq_delete,
+                                     ivfpq_probe_persisted, write_ivfpq)
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_compact_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_compact_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    ivfpq_delete(spark, path,
+                 em.filter((nid % DELETE_MOD) == DELETE_REM)
+                 .select("vec_id"))
+    ivfpq_compact(spark, path)
+    return ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
 def q_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index MAINTENANCE (r10): build the persisted
     IVF+PQ index from the BASE corpus (vec_id % {mod} != {rem}), then
@@ -508,6 +543,7 @@ q_semdedup_scaled.__doc__ = q_semdedup_scaled.__doc__.format(
 
 QUERIES = {
     "sim_ivfpq_delete_probe": q_ivfpq_delete_probe,
+    "sim_ivfpq_compact_probe": q_ivfpq_compact_probe,
     "sim_ivfpq_recall": q_ivfpq_recall,
     "sim_ivfpq_rerank": q_ivfpq_rerank,
     "sim_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
@@ -981,6 +1017,10 @@ WHERE rank <= {TOP_K}
     # Train-on-everything / score-the-survivors: the SQL twin of
     # write_ivfpq(full) + ivfpq_delete(takedown set) + probe.
     "sim_ivfpq_delete_probe": _ivfpq_oracle(
+        score_pred=f"r.vec_id % {DELETE_MOD} <> {DELETE_REM}"),
+    # Compaction is result-invariant over the masked probe: same oracle,
+    # green row = the physical rewrite left exactly the survivors' codes.
+    "sim_ivfpq_compact_probe": _ivfpq_oracle(
         score_pred=f"r.vec_id % {DELETE_MOD} <> {DELETE_REM}"),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),

@@ -108,8 +108,8 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # (append_probe shares bm25_topk's scoring plan verbatim)
         "search_bm25_topk", "search_bm25_batch",
         "search_bm25_append_probe",
-        # delete probe shares bm25_topk's scoring plan verbatim too
-        "search_bm25_delete_probe",
+        # delete/compact probes share bm25_topk's scoring plan verbatim too
+        "search_bm25_delete_probe", "search_bm25_compact_probe",
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
