@@ -497,7 +497,12 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
     three consumers, the (tiny) span result is eagerly localCheckpointed,
     and the intermediate is unpersisted before returning — repeated calls
     in a long-lived session leave no CacheManager entries behind
-    (tests/test_exact_substring.py pins it).
+    (tests/test_exact_substring.py pins it).  Fault-tolerance trade
+    (r12 advice, accepted): the eager localCheckpoint truncates lineage
+    (an executor loss after the call fails the job instead of
+    recomputing) and triggers a full Spark job at call time even if the
+    result is never consumed; long-lived streaming callers that need
+    recoverability should use reliable ``checkpoint()`` instead.
 
     Returns (doc_id string, span_start int, span_end int, n_tokens int):
     inclusive 0-based token-index bounds of each maximal duplicated span.
@@ -615,8 +620,15 @@ def remove_substring_spans(docs: DataFrame, length: int = 8,
                           F.concat_ws(" ", F.slice(
                               "__toks", F.col("span_start") + 1,
                               F.col("n_tokens"))).alias("__txt")))
+        # "Globally first" = lowest numeric doc_id when ids are numeric;
+        # the raw string id is a SECOND key so non-numeric ids (where
+        # try_cast yields NULL — a plain cast would THROW under ANSI)
+        # still pick one deterministic site instead of an arbitrary
+        # row_number tie (r12 advice).  NULLS FIRST explicitly, to
+        # match the oracle's TRY_CAST ... NULLS FIRST.
         w = Window.partitionBy("__txt").orderBy(
-            F.col("doc_id").cast("bigint"), "span_start")
+            F.col("doc_id").try_cast("bigint").asc_nulls_first(),
+            F.col("doc_id").asc(), F.col("span_start").asc())
         spans = (sp_txt.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") > 1)
                  .select("doc_id", "span_start", "span_end", "n_tokens"))
@@ -1299,7 +1311,15 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     incoming×incoming work, so a document's status is independent of
     micro-batch boundaries — the drained streaming sink equals the batch
     flagger on the same split, which is why the batch oracle applies
-    verbatim."""
+    verbatim.
+
+    Fault-tolerance trade (r12 advice, accepted): the result is eagerly
+    localCheckpointed for cache hygiene (see the inline note below), so
+    its lineage is truncated — an executor loss afterwards fails the job
+    instead of recomputing, and the full probe job runs at call time
+    even if the caller never consumes the frame.  A long-lived streaming
+    caller that needs executor-loss recoverability should use reliable
+    ``checkpoint()`` (HDFS-backed) instead."""
     from pyspark import StorageLevel
 
     spark = batch.sparkSession

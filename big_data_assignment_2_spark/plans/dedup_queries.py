@@ -509,7 +509,8 @@ cut AS (
   SELECT doc_id, span_start, span_end FROM (
     SELECT doc_id, span_start, span_end,
            row_number() OVER (PARTITION BY span_txt
-             ORDER BY CAST(doc_id AS BIGINT), span_start) AS rn
+             ORDER BY TRY_CAST(doc_id AS BIGINT) ASC NULLS FIRST,
+                      doc_id, span_start) AS rn
     FROM sp_txt) WHERE rn > 1),
 rem AS (SELECT t.doc_id, t.position
         FROM tokens t JOIN cut s ON s.doc_id = t.doc_id

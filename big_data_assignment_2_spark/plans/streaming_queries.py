@@ -479,8 +479,12 @@ def _bump_mtime_after(src: str, earlier_files: set) -> None:
     import os
 
     floor = max((os.path.getmtime(f) for f in earlier_files), default=0.0)
-    for f in sorted(_parquet_files(src) - earlier_files):
-        os.utime(f, (floor + 0.01, floor + 0.01))
+    # STRICTLY increasing per file (r12 advice): a shared mtime would
+    # re-create the intra-day tie this helper exists to remove if a day
+    # ever lands as more than one file.
+    for i, f in enumerate(sorted(_parquet_files(src) - earlier_files)):
+        t = floor + 0.01 * (i + 1)
+        os.utime(f, (t, t))
 
 
 def _rollover_emit(batch_df: DataFrame, store: str, sink: str,

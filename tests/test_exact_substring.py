@@ -134,6 +134,25 @@ def test_keep_first_policy(spark):
     assert out["7"] == ("g1 rep0 rep1 rep2 rep3 rep4 g2 g3 g4 g5", 10, 5)
 
 
+def test_keep_first_nonnumeric_ids_deterministic(spark):
+    """keep='first' with NON-NUMERIC doc ids (r12 advice): the bigint
+    cast yields NULL for every row, so the string id is the tie-break —
+    the lexicographically-first doc keeps the span, deterministically,
+    instead of a nondeterministic row_number over an all-NULL key."""
+    from big_data_assignment_2_spark.operators.dedup import (
+        remove_substring_spans)
+
+    docs = spark.createDataFrame(
+        [("zebra", BOILER + " z1 z2"), ("apple", "x1 x2 " + BOILER)],
+        "doc_id string, text string")
+    for _ in range(3):  # repeated runs must agree (determinism)
+        out = {r["doc_id"]: (r["n_kept"], r["n_removed"])
+               for r in remove_substring_spans(docs, length=L,
+                                               keep="first").collect()}
+        assert out["apple"] == (12, 0)   # 'apple' < 'zebra' -> kept
+        assert out["zebra"] == (2, 10)   # later site -> cut
+
+
 def test_keep_param_validated(spark):
     from big_data_assignment_2_spark.operators.dedup import (
         remove_substring_spans)
