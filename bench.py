@@ -205,6 +205,24 @@ def main() -> None:
         timings["search_bm25_probe_persisted"] = round(min(runs), 3)
         medians["search_bm25_probe_persisted"] = \
             round(sorted(runs)[len(runs) // 2], 3)
+        # Batched serving probe (r13, VERDICT r12 #4): 3 queries through
+        # ONE bucket-pruned scan.  Sublinear vs Q sequential probes =
+        # this row < 3 x search_bm25_probe_persisted (same index, same
+        # session — directly comparable within one JSON).
+        from big_data_assignment_2_spark.operators.persist import (
+            bm25_probe_persisted_batch)
+        from big_data_assignment_2_spark.plans.search_queries import (
+            BATCH_QUERIES)
+
+        runs = []
+        for _ in range(REPEATS + EXTRA_REPEATS):
+            t0 = time.perf_counter()
+            materialize(bm25_probe_persisted_batch(
+                spark, ixdir, BATCH_QUERIES, k=5))
+            runs.append(time.perf_counter() - t0)
+        extra_timings["search_bm25_batch_probe"] = round(min(runs), 3)
+        medians["search_bm25_batch_probe"] = \
+            round(sorted(runs)[len(runs) // 2], 3)
 
     # ANN serving path (round 10, VERDICT r9 #1): train the IVF+PQ index
     # ONCE (timed as the build row), then time PROBES against the persisted

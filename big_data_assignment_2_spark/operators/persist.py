@@ -266,33 +266,31 @@ def export_reference_format(index: dict[str, DataFrame], base_path: str) -> None
         .csv(f"{base_path}/step3")
 
 
-def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
-                         k: int = 10, n_buckets: int = 16) -> "DataFrame":
-    """Serving-path BM25: probe a PERSISTED index (term-bucket-pruned
-    postings scan + broadcast joins) — the amortized-latency shape a query
-    service runs, vs. the build-everything-in-flight declared query."""
-    from ..functions.text import tokenize_query
-    from ..operators.search import bm25_topk
+def _bm25_probe_relations(spark: SparkSession, base_path: str,
+                          terms: list[str], n_buckets: int = 16):
+    """The shared read side of every persisted-BM25 probe: ONE
+    bucket-pruned postings scan for ``terms``, the df append-log summed
+    at read time, doc stats, and tombstone masking — returns
+    (postings, dfreq, stats) ready for any bm25 scoring shape.
 
-    terms = tokenize_query(query)
+    - df log: after append_to_index the relation holds one row per
+      (term, batch); batch doc sets are disjoint so the union df is the
+      SUM (single-build indexes have one row per term and the sum is the
+      identity) — the same read-time re-aggregation contract as the
+      fingerprint store's keys log.
+    - Tombstoned docs (delete_from_index) are masked at read time from
+      postings AND stats (N/avgdl are aggregates over stats, so they
+      follow), and their df contribution is SUBTRACTED — derived from
+      the probed terms' postings rows themselves (one row per
+      (term, doc), so a per-term count of tombstoned rows is the exact
+      correction; the rows are still on disk until compact_index).  No
+      full-index pass ever lands on the query path."""
     postings = probe_postings(spark, f"{base_path}/term_document", terms,
                               n_buckets).drop("term_bucket")
-    # SUM the per-batch df log at read time: after append_to_index the
-    # relation holds one row per (term, batch); batch doc sets are
-    # disjoint so the union df is the sum (single-build indexes have one
-    # row per term and the sum is the identity) — the same read-time
-    # re-aggregation contract as the fingerprint store's keys log.
     dfreq = (spark.read.parquet(f"{base_path}/document_frequency")
              .filter(F.col("term").isin(terms))
              .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
     stats = spark.read.parquet(f"{base_path}/documents_info")
-    # Tombstoned docs (delete_from_index) are masked at read time from
-    # postings AND stats (N/avgdl are aggregates over stats, so they
-    # follow), and their df contribution is SUBTRACTED — derived from the
-    # probed terms' postings rows themselves (one row per (term, doc), so
-    # a per-term count of tombstoned rows is the exact correction; the
-    # rows are still on disk until compact_index).  No full-index pass
-    # ever lands on the query path.
     tomb = _index_tombstones(spark, base_path)
     if tomb is not None:
         tomb_docs = tomb.withColumnRenamed("__del_doc", "doc_id")
@@ -304,7 +302,49 @@ def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
                  .filter(F.col("df") > 0))
         postings = postings.join(tomb_docs, "doc_id", "left_anti")
         stats = stats.join(tomb_docs, "doc_id", "left_anti")
+    return postings, dfreq, stats
+
+
+def bm25_probe_persisted(spark: SparkSession, base_path: str, query: str,
+                         k: int = 10, n_buckets: int = 16) -> "DataFrame":
+    """Serving-path BM25: probe a PERSISTED index (term-bucket-pruned
+    postings scan + broadcast joins) — the amortized-latency shape a query
+    service runs, vs. the build-everything-in-flight declared query."""
+    from ..functions.text import tokenize_query
+    from ..operators.search import bm25_topk
+
+    terms = tokenize_query(query)
+    postings, dfreq, stats = _bm25_probe_relations(
+        spark, base_path, terms, n_buckets)
     return bm25_topk(spark, query, postings, dfreq, stats, k=k)
+
+
+def bm25_probe_persisted_batch(spark: SparkSession, base_path: str,
+                               queries: dict[str, str], k: int = 10,
+                               n_buckets: int = 16) -> "DataFrame":
+    """BATCHED serving-path BM25 (r13, VERDICT r12 #4): serve MANY
+    queries from the persisted index with ONE bucket-pruned postings
+    scan — the amortization a real query service runs.  The probe plans
+    the UNION of all queries' terms (so the bucket-pruned scan, the df
+    log read, and the tombstone masking each happen once), then scores
+    per query_id via the ``search.bm25_topk_batch`` shape (broadcast
+    (query_id, term) relation, per-query window top-k).  Q sequential
+    ``bm25_probe_persisted`` calls would pay Q scans, Q df reads, and Q
+    Spark jobs; the batch pays one of each — sublinear in Q by
+    construction, measured in bench.py (`search_bm25_batch_probe`).
+
+    Composes with the full index lifecycle: append-log df summing and
+    tombstone df-subtraction come from the shared
+    :func:`_bm25_probe_relations` read side, so a batch probe after
+    delete_from_index equals per-query probes over the shrunk corpus.
+    Returns (query_id, doc_id, score, rank ≤ k)."""
+    from ..functions.text import tokenize_query
+    from ..operators.search import bm25_topk_batch
+
+    terms = sorted({t for q in queries.values() for t in tokenize_query(q)})
+    postings, dfreq, stats = _bm25_probe_relations(
+        spark, base_path, terms, n_buckets)
+    return bm25_topk_batch(spark, queries, postings, dfreq, stats, k=k)
 
 
 def write_ivf(assigned: DataFrame, path: str) -> None:

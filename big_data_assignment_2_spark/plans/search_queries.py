@@ -249,6 +249,41 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ix["document_frequency"], ix["documents_info"], k=5)
 
 
+def q_bm25_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED probe of the PERSISTED index (r13, VERDICT r12 #4): one
+    bucket-pruned postings scan serves all {n} batch queries, composed
+    with tombstone masking — the index is built on the full corpus,
+    doc_id % {mod} == {rem} is deleted, and the batch probe must equal
+    per-query BM25 over the corpus that never contained those docs.
+    The oracle is the batched replay over the shrunk corpus, so a green
+    row certifies scan-amortization AND the per-term df subtraction at
+    batch grain in one shot."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.persist import (bm25_probe_persisted_batch,
+                                     delete_from_index, write_index)
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_batchprobe_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_batchprobe_*", keep=ixdir)
+    write_index(build_index(docs), ixdir)
+    delete_from_index(
+        spark, ixdir,
+        docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))
+    return bm25_probe_persisted_batch(spark, ixdir, BATCH_QUERIES, k=5)
+
+
+q_bm25_batch_probe.__doc__ = q_bm25_batch_probe.__doc__.format(
+    n=len(BATCH_QUERIES), mod=IX_DELETE_MOD, rem=IX_DELETE_REM)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search over the postings arrays."""
     from ..operators.index import build_index
@@ -281,6 +316,7 @@ QUERIES = {
     "search_boolean_or_not": q_boolean_or,
     "search_index_merge": q_index_merge,
     "search_bm25_batch": q_bm25_batch,
+    "search_bm25_batch_probe": q_bm25_batch_probe,
     "search_phrase_match": q_phrase_match,
     "search_tokenize": q_tokenize,
     "search_postings": q_postings,
@@ -313,8 +349,12 @@ _QTERMS_VALUES = ", ".join(
     f"('{qid}', '{t}')"
     for qid, q in BATCH_QUERIES.items() for t in q.split())
 
-_BATCH_SQL = f"""
-WITH {_TOKENS_CTE},
+
+def _batch_sql(docs_where: str = "") -> str:
+    """Batched BM25 replay (3 queries, top-5 each); ``docs_where``
+    shrinks the corpus for the tombstone-delete batch-probe replay."""
+    return f"""
+WITH {_tokens_cte(docs_where)},
 postings AS (
     SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
 ),
@@ -342,6 +382,9 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored)
 WHERE rank <= 5
 """
+
+
+_BATCH_SQL = _batch_sql()
 
 ORACLES = {
     "search_boolean_and": f"""
@@ -432,6 +475,12 @@ ORACLES["search_bm25_delete_probe"] = _bm25_sql(
 # Compaction is result-invariant over the masked probe: same oracle, with
 # the green row certifying the PHYSICAL rewrite (tombstone-free plan).
 ORACLES["search_bm25_compact_probe"] = ORACLES["search_bm25_delete_probe"]
+
+# Batched probe after tombstone deletes: the batched replay over the
+# corpus minus the deleted docs — one green row certifies the
+# scan-amortized serving path AND the df correction at batch grain.
+ORACLES["search_bm25_batch_probe"] = _batch_sql(
+    f"WHERE CAST(doc_id AS BIGINT) % {IX_DELETE_MOD} <> {IX_DELETE_REM}")
 
 # Appending a batch to the persisted index must be indistinguishable from
 # indexing the full corpus — the full-corpus BM25 oracle applies verbatim;

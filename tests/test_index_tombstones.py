@@ -95,3 +95,63 @@ def test_delete_everything_with_a_term_drops_it(spark, tmp_path):
     dfreq = {r["term"] for r in
              spark.read.parquet(f"{path}/document_frequency").collect()}
     assert "unicorn" not in dfreq and "vector" in dfreq
+
+
+def test_compact_then_append_then_delete_probe(spark, docs, tmp_path):
+    """Compact∘append∘probe composition (r13, VERDICT r12 #5): the
+    compaction rewrite COLLAPSES the df append-log to one row per term —
+    a subsequent append must reintroduce multi-row terms and the
+    probe-time SUM must still reconstruct the union df, including a
+    fresh delete of one of the appended docs."""
+    nid = F.col("doc_id").cast("bigint")
+    path, want_path = str(tmp_path / "ix"), str(tmp_path / "want")
+    built = docs.filter(nid % 4 != 0)
+    write_index(build_index(built), path)
+    delete_from_index(spark, path,
+                      built.filter(nid % 5 == 2).select("doc_id"))
+    compact_index(spark, path)
+    # append into the REWRITTEN layout: the collapsed df log grows
+    # per-batch rows again
+    append_to_index(docs.filter(nid % 4 == 0), path)
+    dfreq = spark.read.parquet(f"{path}/document_frequency")
+    multi = (dfreq.groupBy("term").count()
+             .filter(F.col("count") > 1).count())
+    assert multi > 0, "append after compaction must add per-batch df rows"
+    # delete one of the APPENDED docs — masking must subtract from the
+    # summed (collapsed + appended) df
+    delete_from_index(
+        spark, path,
+        docs.filter((nid % 4 == 0) & (nid % 7 == 1)).select("doc_id"))
+    keep = ((nid % 4 != 0) & (nid % 5 != 2)) | \
+           ((nid % 4 == 0) & (nid % 7 != 1))
+    write_index(build_index(docs.filter(keep)), want_path)
+    assert _probe(spark, path) == _probe(spark, want_path)
+
+
+def test_batch_probe_equals_sequential_probes(spark, docs, tmp_path):
+    """bm25_probe_persisted_batch (r13, VERDICT r12 #4) must return, per
+    query_id, exactly what Q sequential single probes return — in a full
+    lifecycle state (append + tombstones live), so the shared read side
+    (union-term scan, df-log sum, df subtraction) is exercised at batch
+    grain."""
+    from big_data_assignment_2_spark.operators.persist import (
+        bm25_probe_persisted_batch)
+
+    nid = F.col("doc_id").cast("bigint")
+    path = str(tmp_path / "ix")
+    write_index(build_index(docs.filter(nid % 4 != 0)), path)
+    append_to_index(docs.filter(nid % 4 == 0), path)
+    delete_from_index(spark, path,
+                      docs.filter(nid % 5 == 2).select("doc_id"))
+    queries = {"qa": "vector query stream",
+               "qb": "join merge hash",
+               "qc": "table column row data"}
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in bm25_probe_persisted_batch(spark, path, queries,
+                                               k=5).collect()}
+    want = {}
+    for qid, q in queries.items():
+        rows = bm25_probe_persisted(spark, path, q, k=5).collect()
+        for i, r in enumerate(rows, start=1):
+            want[(qid, i)] = (r["doc_id"], r["score"])
+    assert got == want
