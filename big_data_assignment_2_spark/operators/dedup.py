@@ -521,54 +521,142 @@ def exact_substring_spans(docs: DataFrame, length: int = 8,
                        tokenize(text_col).alias("__toks")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        t = F.col("__toks")
-        sh = base.select(
-            "doc_id",
-            F.posexplode(
-                F.when(F.size(t) >= length, F.transform(
-                    F.sequence(F.lit(0), F.size(t) - length),
-                    lambda i: md5_hash64(F.concat_ws(
-                        " ", F.slice(t, i + 1, length)))))
-                .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
+        sh = _shingle_sites(base, length)
         dup = sh.groupBy("h").agg(F.count("*").alias("__c")) \
             .filter(F.col("__c") >= 2).select("h")
         cand = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
-        # Verify: re-slice the candidate runs from the token arrays (the
-        # positions are collected per doc first, so the corpus-sized array
-        # relation is joined ONCE per doc, not once per site) and keep
-        # only content-duplicated runs.
-        cand_doc = cand.groupBy("doc_id").agg(
-            F.collect_list("pos").alias("__ps"))
-        runs = (base.join(cand_doc, "doc_id")
-                .select("doc_id", F.explode(F.transform(
-                    "__ps",
-                    lambda p: F.struct(
-                        p.alias("pos"),
-                        F.concat_ws(" ", F.slice(t, p + 1, length))
-                        .alias("run")))).alias("s"))
-                .select("doc_id", F.col("s.pos").alias("pos"),
-                        F.col("s.run").alias("run")))
+        # Verify: re-slice the candidate runs from the token arrays and
+        # keep only content-duplicated runs.
+        runs = _reslice_runs(base, cand, length)
         dup_runs = runs.groupBy("run").agg(F.count("*").alias("__c")) \
             .filter(F.col("__c") >= 2).select("run")
         dpos = runs.join(dup_runs, "run", "left_semi") \
             .select("doc_id", "pos")
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        isl = (dpos
-               .withColumn("__prev", F.lag("pos").over(w))
-               .withColumn("__new", F.when(
-                   F.col("__prev").isNull()
-                   | (F.col("pos") > F.col("__prev") + length), 1)
-                   .otherwise(0))
-               .withColumn("__island", F.sum("__new").over(
-                   w.rowsBetween(Window.unboundedPreceding, 0))))
-        return (isl.groupBy("doc_id", "__island")
-                .agg(F.min("pos").alias("span_start"),
-                     (F.max("pos") + length - 1).cast("int")
-                     .alias("span_end"))
-                .select("doc_id", "span_start", "span_end",
-                        (F.col("span_end") - F.col("span_start") + 1)
-                        .cast("int").alias("n_tokens"))
-                .localCheckpoint(eager=True))
+        return _islands_to_spans(dpos, length).localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+
+
+def _shingle_sites(base: DataFrame, length: int) -> DataFrame:
+    """(doc_id, pos, h): the length-``length`` shingle hash at every
+    start position, computed IN-ROW over the persisted token arrays (no
+    explode-then-window shuffle).  ``base`` carries (doc_id, __toks)."""
+    t = F.col("__toks")
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size(t) >= length, F.transform(
+                F.sequence(F.lit(0), F.size(t) - length),
+                lambda i: md5_hash64(F.concat_ws(
+                    " ", F.slice(t, i + 1, length)))))
+            .otherwise(F.array().cast("array<long>"))).alias("pos", "h"))
+
+
+def _reslice_runs(base: DataFrame, cand: DataFrame, length: int) -> DataFrame:
+    """(doc_id, pos, run): re-slice the ACTUAL length-``length`` token
+    runs at the candidate (doc_id, pos) sites — the content-verify input.
+    Positions are collected per doc first, so the corpus-sized array
+    relation is joined ONCE per doc, not once per site."""
+    t = F.col("__toks")
+    cand_doc = cand.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("__ps"))
+    return (base.join(cand_doc, "doc_id")
+            .select("doc_id", F.explode(F.transform(
+                "__ps",
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.concat_ws(" ", F.slice(t, p + 1, length))
+                    .alias("run")))).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.run").alias("run")))
+
+
+def _islands_to_spans(dpos: DataFrame, length: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated start positions into maximal
+    spans: starts p < q share a span iff q ≤ p + length (covered ranges
+    touch or overlap).  The window partitions BY DOC, never globally.
+    Returns (doc_id, span_start int, span_end int, n_tokens int)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dpos
+           .withColumn("__prev", F.lag("pos").over(w))
+           .withColumn("__new", F.when(
+               F.col("__prev").isNull()
+               | (F.col("pos") > F.col("__prev") + length), 1)
+               .otherwise(0))
+           .withColumn("__island", F.sum("__new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "__island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + length - 1).cast("int")
+                 .alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("int").alias("n_tokens")))
+
+
+def exact_substring_spans_incremental(docs: DataFrame, historical,
+                                      length: int = 8,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr at the INGEST boundary (r13, VERDICT r12 #8): find
+    the maximal spans in an incoming batch that duplicate content
+    already in the HISTORICAL corpus — the daily-job shape of
+    :func:`exact_substring_spans`, mirroring :func:`incremental_dedup`:
+    a one-sided probe of the batch's shingles against history, with NO
+    history×history work and no corpus-wide recompute.
+
+    ``historical`` is a boolean Column splitting ``docs``; rows where it
+    is false are the incoming batch.  A batch position is duplicated iff
+    its length-L run's CONTENT occurs anywhere in history (within-batch
+    repeats are the batch-mode operator's job — run
+    ``exact_substring_spans`` on the batch alone for those); maximal
+    spans merge by the same gaps-and-islands rule as batch mode.
+
+    Collision-proof like batch mode (r12): the 60-bit shingle hash is
+    only a candidate PREFILTER (batch hashes ∩ history hashes — the
+    one-sided equi-join); a verify stage re-slices the actual runs on
+    BOTH sides — history re-slicing restricted to its matched-hash
+    sites, so verify cost is bounded by true+collided matches, not
+    corpus size — and keeps only batch runs whose content string exists
+    in history.
+
+    Scale shape (100 TB ingest): history's shingle-hash relation is what
+    a daily job keeps persisted (here recomputed from the split — same
+    plan shape, as ``incremental_dedup`` documents); the probe is a
+    two-relation equi-join on the hash (AQE skew-split covers a
+    boilerplate shingle shared by millions of docs); every exploded
+    relation past the probe is bounded by the BATCH's matched sites, not
+    by history size.  Same localCheckpoint cache-hygiene/fault-trade as
+    batch mode.
+
+    Returns (doc_id string, span_start int, span_end int, n_tokens int)
+    for INCOMING docs only."""
+    from pyspark import StorageLevel
+
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       tokenize(text_col).alias("__toks"),
+                       historical.alias("__hist")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        inc_base = base.filter(~F.col("__hist")).select("doc_id", "__toks")
+        hist_base = base.filter("__hist").select("doc_id", "__toks")
+        sh_inc = _shingle_sites(inc_base, length)
+        sh_hist = _shingle_sites(hist_base, length)
+        # One-sided candidate prefilter: hashes present on both sides.
+        cand_inc = sh_inc.join(sh_hist.select("h").distinct(),
+                               "h", "left_semi").select("doc_id", "pos")
+        cand_hist = sh_hist.join(sh_inc.select("h").distinct(),
+                                 "h", "left_semi").select("doc_id", "pos")
+        # Content verify: batch runs whose string exists among history's
+        # matched-hash runs (collision immunity, both sides bounded).
+        runs_inc = _reslice_runs(inc_base, cand_inc, length)
+        runs_hist = _reslice_runs(hist_base, cand_hist, length) \
+            .select("run").distinct()
+        dpos = runs_inc.join(runs_hist, "run", "left_semi") \
+            .select("doc_id", "pos")
+        return _islands_to_spans(dpos, length).localCheckpoint(eager=True)
     finally:
         base.unpersist()
 

@@ -156,6 +156,25 @@ def q_exact_substring_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_substring_spans(docs, length=EXSUB_LEN, keep="first")
 
 
+EXSUB_INC_MOD = 4       # doc_id % 4 == 0 plays the incoming ingest batch
+
+
+def q_exact_substring_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ExactSubstr at the ingest boundary (r13): maximal spans in the
+    incoming batch (doc_id % 4 == 0) whose content duplicates the
+    HISTORICAL corpus — a one-sided shingle probe with content verify,
+    the daily-job shape beside the corpus-wide batch row (no
+    history x history work, no corpus-wide recompute)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import exact_substring_spans_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (F.col("doc_id").cast("bigint") % EXSUB_INC_MOD) != 0
+    return exact_substring_spans_incremental(docs, hist, length=EXSUB_LEN)
+
+
 EDIT_PREFIX = 120       # verify edit distance on a bounded prefix
 EDIT_SIM_MIN = 0.6
 
@@ -323,6 +342,7 @@ QUERIES = {
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_clean": q_exact_substring_clean,
     "dedup_exact_substring_keepone": q_exact_substring_keepone,
+    "dedup_exact_substring_incremental": q_exact_substring_incremental,
     "dedup_prefix_jaccard": q_prefix_jaccard,
     "dedup_containment": q_containment,
     "dedup_edit_verify": q_edit_verify,
@@ -535,6 +555,40 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+# Incremental ExactSubstr oracle: the union-corpus shingle relation,
+# restricted to BATCH positions whose run CONTENT exists in history —
+# the one-sided probe semantics (within-batch-only repeats are the batch
+# row's job and must NOT appear here).
+_EXSUB_INC_SQL = f"""
+WITH {_TOKENS_CTE},
+led AS (
+  SELECT doc_id, position AS pos,
+         {_EXSUB_SHINGLE} AS shingle,
+         lead(term, {EXSUB_LEN - 1}) OVER w AS t_last
+  FROM tokens
+  WINDOW w AS (PARTITION BY doc_id ORDER BY position)),
+sh AS (SELECT doc_id, pos, shingle FROM led WHERE t_last IS NOT NULL),
+hist_runs AS (SELECT DISTINCT shingle FROM sh
+              WHERE CAST(doc_id AS BIGINT) % {EXSUB_INC_MOD} <> 0),
+dpos AS (SELECT s.doc_id, s.pos FROM sh s JOIN hist_runs USING (shingle)
+         WHERE CAST(s.doc_id AS BIGINT) % {EXSUB_INC_MOD} = 0),
+isl AS (SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NULL OR pos > prev + {EXSUB_LEN}
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dpos)),
+spans AS (SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {EXSUB_LEN} - 1 AS INTEGER) AS span_end,
+       CAST(max(pos) - min(pos) + {EXSUB_LEN} AS INTEGER) AS n_tokens
+FROM isl GROUP BY doc_id, island)
+SELECT doc_id, span_start, span_end, n_tokens FROM spans
+"""
+
+
 _CC_ROUNDS = 8  # hop+jump per round ⇒ exact for any diameter ≤ ~2^8
 
 
@@ -729,6 +783,7 @@ ORACLES = {
     "dedup_exact_substring": _EXSUB_SQL,
     "dedup_exact_substring_clean": _EXSUB_CLEAN_SQL,
     "dedup_exact_substring_keepone": _EXSUB_KEEPONE_SQL,
+    "dedup_exact_substring_incremental": _EXSUB_INC_SQL,
     "dedup_incremental": _INC_SQL,
     "dedup_store_rollover": _ROLLOVER_SQL,
     # Compaction is result-invariant (per-doc distinct minus tombstones;
@@ -891,6 +946,8 @@ _MATERIALIZED_CTES: dict[str, tuple[str, ...]] = {
     "dedup_exact_substring_keepone": ("docs", "tokens", "sh", "dup", "dpos",
                                       "spans", "sp_txt", "cut", "rem",
                                       "kept"),
+    "dedup_exact_substring_incremental": ("docs", "tokens", "sh",
+                                          "hist_runs", "dpos"),
     "dedup_tokenset": ("docs", "tokens"),
     "dedup_minhash_sig": ("docs", "tokens", "ts", "h", "sig"),
     "dedup_minhash_near": ("docs", "tokens", "ts", "h", "sig", "bands",

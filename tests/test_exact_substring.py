@@ -194,3 +194,52 @@ def test_no_cachemanager_leak_across_calls(spark):
     for _ in range(3):
         exact_substring_spans(docs, length=L).count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_one_sided_semantics(spark):
+    """exact_substring_spans_incremental (r13): batch-vs-history spans
+    only — within-batch-only repeats are NOT flagged, history docs are
+    never reported, and maximality merges overlapping probed runs."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        exact_substring_spans_incremental)
+
+    hist_docs = [
+        (101, "h1 h2 " + BOILER + " h3"),          # history holds BOILER
+        (102, "h4 h5 h6 h7 h8 h9 h10 h11"),
+    ]
+    batch_docs = [
+        # batch doc repeating history's BOILER at positions 1..10
+        (1, "b1 " + BOILER + " b2 b3"),
+        # two batch docs sharing a run ABSENT from history -> not flagged
+        (2, "w0 w1 w2 w3 w4 w5 only batch"),
+        (3, "w0 w1 w2 w3 w4 w5 only batch x"),
+        # batch doc with nothing shared
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ]
+    docs = spark.createDataFrame(hist_docs + batch_docs,
+                                 "doc_id long, text string")
+    out = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in exact_substring_spans_incremental(
+               docs, F.col("doc_id") > 100, length=L).collect()}
+    assert out == {("1", 1, 10)}
+
+
+def test_incremental_collision_immunity(spark, monkeypatch):
+    """A constant shingle hash turns EVERY position into a candidate;
+    the content verify must still flag only true history matches."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators import dedup as d
+
+    monkeypatch.setattr(d, "md5_hash64", lambda c: F.lit(42).cast("long"))
+    docs = spark.createDataFrame(
+        [(101, "h1 h2 " + BOILER + " h3"),
+         (1, "b1 " + BOILER + " b2 b3"),
+         (2, "z1 z2 z3 z4 z5 z6 z7 z8")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in d.exact_substring_spans_incremental(
+               docs, F.col("doc_id") > 100, length=L).collect()}
+    assert out == {("1", 1, 10)}
