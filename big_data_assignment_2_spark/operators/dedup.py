@@ -1266,13 +1266,10 @@ def append_fingerprints(docs: DataFrame, base_path: str,
 def delete_fingerprints(spark: SparkSession, base_path: str,
                         doc_ids) -> None:
     """TOMBSTONE deleted documents — the takedown/GDPR path of the store
-    lifecycle (write → append → delete → compact): append the doc ids to
-    an append-only ``tombstones/`` relation.  Probes mask tombstoned
-    docs at read time (:func:`flag_batch_against_store` anti-joins all
-    three relations), and :func:`compact_fingerprint_store` removes
-    their rows PHYSICALLY and drops the tombstone log.  Like the append
-    path, a delete is a pure partition append — no read-modify-write —
-    so concurrent daily deletes compose at 100 TB.
+    lifecycle (shared ``lifecycle`` tombstone-log mechanics): probes
+    mask tombstoned docs at read time (:func:`flag_batch_against_store`
+    anti-joins all three relations); :func:`compact_fingerprint_store`
+    removes their rows physically and drops the log.
 
     Deletes are EXACT because the keys log is per-doc: removing doc X's
     (key, X) row uncovers the next-lowest doc Y holding the same key, so
@@ -1281,34 +1278,21 @@ def delete_fingerprints(spark: SparkSession, base_path: str,
 
     ``doc_ids``: a DataFrame whose first column is the doc id (any
     numeric/string castable to bigint), or a Python iterable of ints."""
-    if isinstance(doc_ids, DataFrame):
-        tomb = doc_ids.select(
-            F.col(doc_ids.columns[0]).cast("bigint").alias("__nid"))
-    else:
-        tomb = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "__nid bigint")
-    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+    from .lifecycle import append_tombstones
+
+    append_tombstones(spark, base_path, doc_ids, "__nid", "bigint")
 
 
 def _store_tombstones(spark: SparkSession, base_path: str):
-    """The store's tombstoned doc ids as a 1-column DataFrame, or None if
-    no delete has ever been issued (missing directory — checked through
-    the Hadoop FS API, same abstraction as the writes)."""
-    path = f"{base_path}/tombstones"
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    return spark.read.parquet(path).select("__nid").distinct()
+    """The store's tombstoned doc ids as a 1-column DataFrame, or None
+    if no delete has ever been issued."""
+    from .lifecycle import read_tombstones
+
+    return read_tombstones(spark, base_path, "__nid")
 
 
-def _anti_tombstones(df: DataFrame, tomb, nid_col: str) -> DataFrame:
-    """Mask tombstoned docs out of a store relation (no-op if tomb is
-    None).  Broadcast-friendly anti join: the tombstone set is the
-    deleted-doc list — tiny relative to the store."""
-    if tomb is None:
-        return df
-    return df.join(tomb.withColumnRenamed("__nid", nid_col),
-                   nid_col, "left_anti")
+# Read-time masking under the store's column names (shared mechanics).
+from .lifecycle import mask_tombstones as _anti_tombstones  # noqa: E402
 
 
 def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
@@ -1327,64 +1311,23 @@ def compact_fingerprint_store(spark: SparkSession, base_path: str) -> None:
     non-deleted twins remain in the corpus.  Row count is doc-bounded
     (same order as ``arrays``), so the fold would buy little anyway.
 
-    Concurrency contract: run in a MAINTENANCE WINDOW (no concurrent
-    probes/appends on the same store).  Each swap is two sequential
-    renames — a probe landing between them would see no directory at
-    all (fail-loud, never silent wrong answers), and an append landing
-    between them would be lost by the second rename.  A true atomic
-    directory exchange does not exist portably across the filesystems
-    Spark targets (HDFS/S3A have no RENAME_EXCHANGE), so the window
-    requirement is documented rather than half-hidden.  The renames/
-    deletes go through Hadoop's FileSystem API — the same abstraction
-    as the store's parquet writes — so the store works on any
-    Spark-supported URI, not just a local POSIX disk."""
-    import uuid
+    Swap mechanics and the maintenance-window concurrency contract:
+    module docstring of ``lifecycle`` (shared by all three persisted
+    stores since r13)."""
+    from .lifecycle import atomic_rewrite, drop_tombstones
 
     tomb = _store_tombstones(spark, base_path)
 
-    def rewrite(rel: str, df: DataFrame) -> None:
-        # No coalesce(1): relations are corpus-sized — billions of rows
-        # at 100 TB — so keep the plan's shuffle partitioning (file count
-        # scales with the cluster; AQE coalesces small outputs).
-        path = f"{base_path}/{rel}"
-        tmp = f"{base_path}/{rel}_compact_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{base_path}/{rel}_old_{uuid.uuid4().hex[:8]}"
-        _hadoop_rename(spark, path, old)
-        _hadoop_rename(spark, tmp, path)
-        _hadoop_delete(spark, old)
-
     keys = spark.read.parquet(f"{base_path}/keys").distinct()
-    rewrite("keys", _anti_tombstones(keys, tomb, "__exact_nid"))
+    atomic_rewrite(spark, base_path, "keys",
+                   _anti_tombstones(keys, tomb, "__exact_nid"))
     if tomb is not None:
         # bands/arrays only need rewriting when there is something to
         # remove; the no-delete compaction stays a keys-only job.
         for rel, col in (("bands", "hist_nid"), ("arrays", "hist_nid")):
-            rewrite(rel, _anti_tombstones(
+            atomic_rewrite(spark, base_path, rel, _anti_tombstones(
                 spark.read.parquet(f"{base_path}/{rel}"), tomb, col))
-        _hadoop_delete(spark, f"{base_path}/tombstones")
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
-    resolves the correct filesystem for any URI scheme Spark can write
-    (file://, hdfs://, s3a://...), unlike ``os.rename``."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
-
-
-def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
-    fs, hsrc = _hadoop_fs(spark, src)
-    hdst = _hadoop_fs(spark, dst)[1]
-    if not fs.rename(hsrc, hdst):
-        raise IOError(f"rename failed: {src} -> {dst}")
-
-
-def _hadoop_delete(spark: SparkSession, path: str) -> None:
-    fs, hpath = _hadoop_fs(spark, path)
-    fs.delete(hpath, True)
+        drop_tombstones(spark, base_path)
 
 
 def flag_batch_against_store(batch: DataFrame, base_path: str,

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
+from .lifecycle import (append_tombstones, atomic_rewrite,
+                        drop_tombstones, mask_tombstones,
+                        read_tombstones)
 
 
 def write_index(index: dict[str, DataFrame], base_path: str,
@@ -93,15 +96,11 @@ def append_to_index(docs: DataFrame, base_path: str,
 
 def delete_from_index(spark: SparkSession, base_path: str, doc_ids) -> None:
     """TOMBSTONE documents out of a persisted BM25 index — the takedown/
-    GDPR path completing the search index's lifecycle (build → probe →
-    append → DELETE → compact), symmetric with the fingerprint store's
-    ``dedup.delete_fingerprints`` and the ANN index's ``ivfpq_delete``:
-    the doc ids land in an append-only ``tombstones/`` relation (pure
-    partition append, no read-modify-write — concurrent daily deletes
-    compose), :func:`bm25_probe_persisted` masks them out of postings
-    AND doc stats at read time and SUBTRACTS their df contribution, and
-    :func:`compact_index` removes their rows physically and drops the
-    log.
+    GDPR path of the search index's lifecycle (shared ``lifecycle``
+    tombstone-log mechanics): :func:`bm25_probe_persisted` masks the
+    docs out of postings AND doc stats at read time and SUBTRACTS their
+    df contribution; :func:`compact_index` removes their rows
+    physically and drops the log.
 
     df correctness is the non-trivial part: a deleted doc must stop
     counting toward every term it contained.  The probe derives the
@@ -112,25 +111,13 @@ def delete_from_index(spark: SparkSession, base_path: str, doc_ids) -> None:
     ``doc_ids``: a DataFrame whose first column is the doc id, or a
     Python iterable of ids (castable to string — the index's doc_id
     type)."""
-    if isinstance(doc_ids, DataFrame):
-        tomb = doc_ids.select(
-            F.col(doc_ids.columns[0]).cast("string").alias("__del_doc"))
-    else:
-        tomb = spark.createDataFrame(
-            [(str(i),) for i in doc_ids], "__del_doc string")
-    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+    append_tombstones(spark, base_path, doc_ids, "__del_doc", "string")
 
 
 def _index_tombstones(spark: SparkSession, base_path: str):
     """Tombstoned doc ids as a 1-column DataFrame, or None if no delete
-    has ever been issued (Hadoop-FS existence check, any URI scheme)."""
-    from .dedup import _hadoop_fs
-
-    path = f"{base_path}/tombstones"
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    return spark.read.parquet(path).select("__del_doc").distinct()
+    has ever been issued."""
+    return read_tombstones(spark, base_path, "__del_doc")
 
 
 def compact_index(spark: SparkSession, base_path: str) -> None:
@@ -153,27 +140,10 @@ def compact_index(spark: SparkSession, base_path: str) -> None:
 
     After compaction no byte of a deleted document remains in the index
     — pinned by tests/test_index_tombstones.py."""
-    import uuid
-
-    from .dedup import _hadoop_delete, _hadoop_rename
-
     tomb = _index_tombstones(spark, base_path)
     if tomb is None:
         return
     tomb_docs = tomb.withColumnRenamed("__del_doc", "doc_id")
-
-    def rewrite(rel: str, df: DataFrame, partition_col: str | None) -> None:
-        path = f"{base_path}/{rel}"
-        tmp = f"{base_path}/{rel}_compact_{uuid.uuid4().hex[:8]}"
-        w = df.write.mode("overwrite")
-        if partition_col:
-            w = w.partitionBy(partition_col)
-        w.parquet(tmp)
-        old = f"{base_path}/{rel}_old_{uuid.uuid4().hex[:8]}"
-        _hadoop_rename(spark, path, old)
-        _hadoop_rename(spark, tmp, path)
-        _hadoop_delete(spark, old)
-
     postings = spark.read.parquet(f"{base_path}/term_document")
     delta = (postings.join(tomb_docs, "doc_id", "left_semi")
              .groupBy("term").agg(F.count("*").alias("__ddf")))
@@ -185,15 +155,15 @@ def compact_index(spark: SparkSession, base_path: str) -> None:
               .filter(F.col("df") > 0))
     # df must be materialized BEFORE term_document is swapped out from
     # under its lazy scan — write order: df first, then postings, stats.
-    rewrite("document_frequency", new_df, None)
-    rewrite("term_document",
-            postings.join(tomb_docs, "doc_id", "left_anti")
-            .repartition(F.col("term_bucket")).sortWithinPartitions("term"),
-            "term_bucket")
-    rewrite("documents_info",
-            spark.read.parquet(f"{base_path}/documents_info")
-            .join(tomb_docs, "doc_id", "left_anti"), None)
-    _hadoop_delete(spark, f"{base_path}/tombstones")
+    atomic_rewrite(spark, base_path, "document_frequency", new_df)
+    atomic_rewrite(spark, base_path, "term_document",
+                   postings.join(tomb_docs, "doc_id", "left_anti")
+                   .repartition(F.col("term_bucket"))
+                   .sortWithinPartitions("term"), "term_bucket")
+    atomic_rewrite(spark, base_path, "documents_info",
+                   spark.read.parquet(f"{base_path}/documents_info")
+                   .join(tomb_docs, "doc_id", "left_anti"))
+    drop_tombstones(spark, base_path)
 
 
 def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
@@ -438,63 +408,38 @@ def ivfpq_append(vectors: DataFrame, base_path: str, dim: int = 64,
 
 def ivfpq_delete(spark: SparkSession, base_path: str, vec_ids) -> None:
     """TOMBSTONE vectors out of a persisted IVF+PQ index — the takedown/
-    GDPR path of the ANN lifecycle (write → probe → append → DELETE →
-    compact), mirroring the fingerprint store's
-    ``dedup.delete_fingerprints``: the ids land in an append-only
-    ``tombstones/`` relation (pure partition append, no
-    read-modify-write), :func:`ivfpq_probe_persisted` masks them out of
-    the code scan before scoring, and :func:`ivfpq_compact` removes
-    their code rows physically and drops the log.  Codebooks are frozen
+    GDPR path of the ANN lifecycle (shared ``lifecycle`` tombstone-log
+    mechanics): :func:`ivfpq_probe_persisted` masks the ids out of the
+    code scan before scoring; :func:`ivfpq_compact` removes their code
+    rows physically and drops the log.  Codebooks are frozen
     constants (a few KB trained on the historical corpus) — deleting a
     vector removes it as a NEIGHBOR; codebook re-training is a periodic
     rebuild decision, exactly as with FAISS ``remove_ids``.
 
     ``vec_ids``: a DataFrame whose first column is the vector id, or a
     Python iterable of ints."""
-    if isinstance(vec_ids, DataFrame):
-        tomb = vec_ids.select(
-            F.col(vec_ids.columns[0]).cast("bigint").alias("__nid"))
-    else:
-        tomb = spark.createDataFrame(
-            [(int(i),) for i in vec_ids], "__nid bigint")
-    tomb.write.mode("append").parquet(f"{base_path}/tombstones")
+    append_tombstones(spark, base_path, vec_ids, "__nid", "bigint")
 
 
 def _ivfpq_tombstones(spark: SparkSession, base_path: str):
     """Tombstoned vec_ids as a 1-column DataFrame, or None if no delete
-    has ever been issued (Hadoop-FS existence check, any URI scheme)."""
-    from .dedup import _hadoop_fs
-
-    path = f"{base_path}/tombstones"
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return None
-    return spark.read.parquet(path).select("__nid").distinct()
+    has ever been issued."""
+    return read_tombstones(spark, base_path, "__nid")
 
 
 def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
     """Physically remove tombstoned vectors' code rows and drop the
     tombstone log — same maintenance-window contract and FS-API
-    directory swap as ``dedup.compact_fingerprint_store``.  No-op when
-    nothing was ever deleted."""
-    import uuid
-
-    from .dedup import _hadoop_delete, _hadoop_rename
-
+    directory swap as ``dedup.compact_fingerprint_store`` (the shared
+    ``lifecycle`` mechanics).  No-op when nothing was ever deleted."""
     tomb = _ivfpq_tombstones(spark, base_path)
     if tomb is None:
         return
-    codes = f"{base_path}/codes"
-    tmp = f"{base_path}/codes_compact_{uuid.uuid4().hex[:8]}"
-    (spark.read.parquet(codes)
-     .join(tomb.withColumnRenamed("__nid", "neighbor_id"),
-           "neighbor_id", "left_anti")
-     .write.mode("overwrite").partitionBy("list_id").parquet(tmp))
-    old = f"{base_path}/codes_old_{uuid.uuid4().hex[:8]}"
-    _hadoop_rename(spark, codes, old)
-    _hadoop_rename(spark, tmp, codes)
-    _hadoop_delete(spark, old)
-    _hadoop_delete(spark, f"{base_path}/tombstones")
+    atomic_rewrite(spark, base_path, "codes",
+                   mask_tombstones(spark.read.parquet(f"{base_path}/codes"),
+                                   tomb, "neighbor_id"),
+                   partition_col="list_id")
+    drop_tombstones(spark, base_path)
 
 
 def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
@@ -542,10 +487,8 @@ def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
         .filter(F.col("list_id").isin(list_ids))
     # Tombstoned vectors (ivfpq_delete) are masked BEFORE scoring so the
     # top-k fills from survivors; compaction removes them physically.
-    tomb = _ivfpq_tombstones(spark, base_path)
-    if tomb is not None:
-        codes = codes.join(tomb.withColumnRenamed("__nid", "neighbor_id"),
-                           "neighbor_id", "left_anti")
+    codes = mask_tombstones(codes, _ivfpq_tombstones(spark, base_path),
+                            "neighbor_id")
     return ivfpq_score(codes, queries, cent, books, k=k, nprobe=nprobe,
                        dim=dim, vec_col=vec_col, q_id_col=q_id_col)
 
