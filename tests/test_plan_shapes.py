@@ -110,6 +110,9 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         "search_bm25_append_probe",
         # delete/compact probes share bm25_topk's scoring plan verbatim too
         "search_bm25_delete_probe", "search_bm25_compact_probe",
+        # batched persisted probe: bm25_topk_batch's broadcast 1-row
+        # stats relation over the shared probe read side (r13)
+        "search_bm25_batch_probe",
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
