@@ -282,16 +282,17 @@ def main() -> None:
     # probe+refine.  The recall/latency trade a serving team tunes.
     from big_data_assignment_2_spark.plans.similarity_queries import (
         QUALITY_NPROBE, QUALITY_PQ_ITERS, QUALITY_PQ_KS, QUALITY_PQ_M,
-        QUALITY_RERANK_C)
+        quality_c_for)
 
     with tempfile.TemporaryDirectory() as qanndir:
         write_ivfpq(em, qanndir, n_centroids=4, coarse_iters=1,
                     m=QUALITY_PQ_M, ks=QUALITY_PQ_KS,
                     pq_iters=QUALITY_PQ_ITERS)
+        quality_c = quality_c_for(em.count())
 
         def quality_probe():
             cand = ivfpq_probe_persisted(spark, qanndir, qdf,
-                                         k=QUALITY_RERANK_C,
+                                         k=quality_c,
                                          nprobe=QUALITY_NPROBE)
             return exact_rerank(cand, em, qdf, k=10)
 

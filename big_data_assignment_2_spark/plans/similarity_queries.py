@@ -500,15 +500,30 @@ QUALITY_PQ_M = 16        # 4-dim subspaces
 QUALITY_PQ_KS = 16       # codewords per subspace -> 64 bits/vector
 QUALITY_PQ_ITERS = 2
 QUALITY_NPROBE = 3       # of IVFPQ_COARSE_K=4 lists
-QUALITY_RERANK_C = 100   # ADC candidates into the exact re-rank
 QUALITY_MEAN_RECALL = 0.85   # the VERDICT r12 #1 serving bar
 QUALITY_FLOOR_RECALL = 0.7   # no single query below this
+
+# The candidate budget scales WITH the corpus (C = max(100, N/20) — 5%
+# of N with a floor), the same production shape as semdedup's k ∝ N: a
+# FIXED C is a shrinking fraction of a growing corpus, and measured
+# recall decays exactly that way (sf1, N=20k: C=100 → 0.58 mean, C=500
+# → 0.96 mean / 0.90 min — SCALE.md r13).  Deriving C from count(*) is
+# a 1-row bounded driver collect, the same contract as the codebook
+# read.  At the certified gate scales C resolves to the floor (N=500 /
+# 2,000 both → C=100), so the measured 0.92 / 0.90 numbers stand.
+QUALITY_C_DIV = 20
+QUALITY_C_FLOOR = 100
+
+
+def quality_c_for(n: int) -> int:
+    return max(QUALITY_C_FLOOR, n // QUALITY_C_DIV)
 
 
 def q_ivfpq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certify a PRODUCTION-GRADE IVF+PQ config end-to-end: build the
     persisted index at m={m}/ks={ks} (64 bits/vector), probe ADC
-    top-{c} at nprobe={np}, exact re-rank to top-{k}, and assert
+    top-C at nprobe={np} with C = max({fl}, N/{dv}) scaled to the
+    corpus (see QUALITY_C_DIV), exact re-rank to top-{k}, and assert
     mean recall@{k} >= {mr} (plus a per-query floor of {fr}) against
     Spark's own brute-force ground truth.  One row:
     (n_queries, k, mean_recall_ok, min_recall_ok) — the oracle computes
@@ -529,7 +544,8 @@ def q_ivfpq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
                 coarse_iters=IVFPQ_COARSE_ITERS, m=QUALITY_PQ_M,
                 ks=QUALITY_PQ_KS, pq_iters=QUALITY_PQ_ITERS)
-    cand = ivfpq_probe_persisted(spark, path, qs, k=QUALITY_RERANK_C,
+    cand = ivfpq_probe_persisted(spark, path, qs,
+                                 k=quality_c_for(em.count()),
                                  nprobe=QUALITY_NPROBE)
     rr = exact_rerank(cand, em, qs, k=TOP_K) \
         .select("query_id", "neighbor_id", F.lit(1).alias("__m"))
@@ -549,9 +565,9 @@ def q_ivfpq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ivfpq_quality.__doc__ = q_ivfpq_quality.__doc__.format(
-    m=QUALITY_PQ_M, ks=QUALITY_PQ_KS, c=QUALITY_RERANK_C,
-    np=QUALITY_NPROBE, k=TOP_K, mr=QUALITY_MEAN_RECALL,
-    fr=QUALITY_FLOOR_RECALL)
+    m=QUALITY_PQ_M, ks=QUALITY_PQ_KS, fl=QUALITY_C_FLOOR,
+    dv=QUALITY_C_DIV, np=QUALITY_NPROBE, k=TOP_K,
+    mr=QUALITY_MEAN_RECALL, fr=QUALITY_FLOOR_RECALL)
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
