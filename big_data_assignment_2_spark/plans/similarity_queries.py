@@ -363,6 +363,22 @@ q_ivfpq_append_probe.__doc__ = q_ivfpq_append_probe.__doc__.format(
     mod=APPEND_MOD, rem=APPEND_REM)
 
 
+def _recall_per_query(bf: DataFrame, ann: DataFrame) -> DataFrame:
+    """(query_id, n_match, recall): per-query |ann ∩ bf| over bf's exact
+    top-k — the shared relation behind every recall row (r13: one
+    implementation, the rows cannot drift)."""
+    matched = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (bf.groupBy("query_id").agg(F.count("*").alias("__k"))
+            .join(matched.groupBy("query_id")
+                  .agg(F.count("*").alias("n_match")), "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_match", F.lit(0)).cast("bigint")
+                    .alias("n_match"),
+                    F.round(F.coalesce("n_match", F.lit(0))
+                            / F.col("__k").cast("double"), 6)
+                    .alias("recall")))
+
+
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL@k of the persisted IVF+PQ probe against exact brute-force
     ground truth (r12, VERDICT r11 #6): build the persisted index, probe
@@ -395,16 +411,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     bf = brute_force_topk(em, _queries_df(spark, sf_dir), k=TOP_K) \
         .select("query_id", "neighbor_id")
-    matched = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    return (bf.groupBy("query_id").agg(F.count("*").alias("__k"))
-            .join(matched.groupBy("query_id")
-                  .agg(F.count("*").alias("n_match")), "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_match", F.lit(0)).cast("bigint")
-                    .alias("n_match"),
-                    F.round(F.coalesce("n_match", F.lit(0))
-                            / F.col("__k").cast("double"), 6)
-                    .alias("recall")))
+    return _recall_per_query(bf, ann)
 
 
 RERANK_C = 50   # ADC-nominated candidates per query before exact re-rank
@@ -469,16 +476,7 @@ def q_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     bf = brute_force_topk(em, _queries_df(spark, sf_dir), k=TOP_K) \
         .select("query_id", "neighbor_id")
-    matched = bf.join(rr, ["query_id", "neighbor_id"], "left_semi")
-    return (bf.groupBy("query_id").agg(F.count("*").alias("__k"))
-            .join(matched.groupBy("query_id")
-                  .agg(F.count("*").alias("n_match")), "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_match", F.lit(0)).cast("bigint")
-                    .alias("n_match"),
-                    F.round(F.coalesce("n_match", F.lit(0))
-                            / F.col("__k").cast("double"), 6)
-                    .alias("recall")))
+    return _recall_per_query(bf, rr)
 
 
 # Production-grade ANN quality certification (r13, VERDICT r12 #1).  The
@@ -548,17 +546,14 @@ def q_ivfpq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=quality_c_for(em.count()),
                                  nprobe=QUALITY_NPROBE)
     rr = exact_rerank(cand, em, qs, k=TOP_K) \
-        .select("query_id", "neighbor_id", F.lit(1).alias("__m"))
+        .select("query_id", "neighbor_id")
     bf = brute_force_topk(em, qs, k=TOP_K) \
         .select("query_id", "neighbor_id")
-    per = (bf.join(rr, ["query_id", "neighbor_id"], "left")
-           .groupBy("query_id")
-           .agg((F.sum(F.coalesce("__m", F.lit(0)))
-                 / F.count("*")).alias("__r")))
+    per = _recall_per_query(bf, rr)
     return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
-                    (F.avg("__r") >= QUALITY_MEAN_RECALL)
+                    (F.avg("recall") >= QUALITY_MEAN_RECALL)
                     .alias("mean_recall_ok"),
-                    (F.min("__r") >= QUALITY_FLOOR_RECALL)
+                    (F.min("recall") >= QUALITY_FLOOR_RECALL)
                     .alias("min_recall_ok"))
             .select("n_queries", F.lit(TOP_K).alias("k"),
                     "mean_recall_ok", "min_recall_ok"))
