@@ -635,9 +635,19 @@ def exact_substring_spans_incremental(docs: DataFrame, historical,
     for INCOMING docs only."""
     from pyspark import StorageLevel
 
+    # Fail-loud split (r14 advice): a NULL from the ``historical``
+    # predicate would be excluded by BOTH filter("__hist") and
+    # filter(~col) below — docs silently vanishing from the analysis.
+    # A bad split column surfaces as a job error instead.
+    hist_checked = F.when(
+        historical.isNull(),
+        F.raise_error(F.concat(
+            F.lit("exact_substring_spans_incremental: `historical` "
+                  "predicate is NULL for doc_id="), F.col(id_col)))
+        .cast("boolean")).otherwise(historical)
     base = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        tokenize(text_col).alias("__toks"),
-                       historical.alias("__hist")) \
+                       hist_checked.alias("__hist")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         inc_base = base.filter(~F.col("__hist")).select("doc_id", "__toks")

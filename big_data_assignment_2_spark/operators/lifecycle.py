@@ -41,8 +41,15 @@ def hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
 
 
 def hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Fail-loud like :func:`hadoop_rename` (r14 advice): a false return
+    from ``fs.delete`` with the path still present means an old store
+    directory or a drop-after-compaction tombstone log silently survived
+    — surface it instead of letting the next probe read stale state.
+    (``delete`` on an already-absent path returns false too; that case
+    is the intended no-op, hence the existence re-check.)"""
     fs, hpath = hadoop_fs(spark, path)
-    fs.delete(hpath, True)
+    if not fs.delete(hpath, True) and fs.exists(hpath):
+        raise IOError(f"delete failed: {path}")
 
 
 def append_tombstones(spark: SparkSession, base_path: str, ids,

@@ -65,6 +65,9 @@ _FLAGSHIPS = ("search_bm25_topk", "dedup_minhash_near", "dedup_clusters",
               "sim_cosine_near_dups", "rel_pricing_summary")
 
 
+_LAST_GREEN_CACHE: dict | None = None
+
+
 def _last_green_round() -> dict:
     """Per-query LAST round with a fully-green row (rows+schema+hash) in
     any committed CORRECTNESS_r*.json; absent key = never verified.  The
@@ -73,7 +76,15 @@ def _last_green_round() -> dict:
     verification across the whole registry over rounds instead of
     re-checking the same prefix forever (round-5 VERDICT task #7: once
     every query has a green row somewhere, recency is the fair rotation
-    key — the r1-only cohort gets re-certified before last round's)."""
+    key — the r1-only cohort gets re-certified before last round's).
+
+    Memoized per interpreter (r14, VERDICT r13 watch item): the scan
+    re-parses one JSON file per past round and was previously paid on
+    EVERY ``queries()`` call; the files are committed round artifacts
+    that never change within a process's lifetime."""
+    global _LAST_GREEN_CACHE
+    if _LAST_GREEN_CACHE is not None:
+        return _LAST_GREEN_CACHE
     import json
     import re
     from pathlib import Path
@@ -91,6 +102,7 @@ def _last_green_round() -> dict:
             if isinstance(r, dict) and r.get("rows_match") \
                     and r.get("schema_match") and r.get("hash_match"):
                 last[name] = max(rnd, last.get(name, 0))
+    _LAST_GREEN_CACHE = last
     return last
 
 

@@ -243,3 +243,20 @@ def test_incremental_collision_immunity(spark, monkeypatch):
            for r in d.exact_substring_spans_incremental(
                docs, F.col("doc_id") > 100, length=L).collect()}
     assert out == {("1", 1, 10)}
+
+
+def test_incremental_null_split_fails_loud(spark):
+    """A NULL `historical` predicate must error the job (r14 advice), not
+    silently drop the doc from both the batch and history sides."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.dedup import (
+        exact_substring_spans_incremental)
+
+    docs = spark.createDataFrame(
+        [(101, "h1 h2 h3 h4 h5 h6"), (1, "h1 h2 h3 h4 h5 b1")],
+        "doc_id long, text string") \
+        .withColumn("flag", F.when(F.col("doc_id") > 100, F.lit(True)))
+    with pytest.raises(Exception, match="(?s)historical.*NULL|NULL.*historical"):
+        exact_substring_spans_incremental(docs, F.col("flag"),
+                                          length=L).collect()

@@ -155,3 +155,34 @@ def test_batch_probe_equals_sequential_probes(spark, docs, tmp_path):
         for i, r in enumerate(rows, start=1):
             want[(qid, i)] = (r["doc_id"], r["score"])
     assert got == want
+
+
+def test_hadoop_delete_fail_loud_and_noop(spark, tmp_path):
+    """hadoop_delete mirrors hadoop_rename's contract (r14 advice): a
+    failed delete of an EXISTING path raises; deleting an already-absent
+    path stays the intended no-op."""
+    from big_data_assignment_2_spark.operators import lifecycle as lc
+
+    target = tmp_path / "victim"
+    target.mkdir()
+    (target / "part").write_text("x")
+    lc.hadoop_delete(spark, str(target))
+    assert not target.exists()
+    # absent path: no-op, no raise
+    lc.hadoop_delete(spark, str(target))
+
+    class FakeFS:
+        def delete(self, p, rec):
+            return False
+
+        def exists(self, p):
+            return True
+
+    import pytest as _pytest
+    real = lc.hadoop_fs
+    try:
+        lc.hadoop_fs = lambda s, p: (FakeFS(), p)
+        with _pytest.raises(IOError, match="delete failed"):
+            lc.hadoop_delete(spark, "/anything")
+    finally:
+        lc.hadoop_fs = real
