@@ -55,33 +55,13 @@ def bm25_scores(spark: SparkSession, query: str, term_document: DataFrame,
     if not terms:
         return term_document.sparkSession.createDataFrame([], "doc_id string, score double")
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
-
-    # A4+A5 as a broadcast 1-row relation instead of a driver-side action:
-    # keeps the whole query ONE job (the reference — and an earlier version
-    # here — paid a separate full pass over doc stats before planning the
-    # query; at 100 TB that's an extra scan per query).
-    stats = F.broadcast(documents_info.agg(
-        F.count("*").alias("__n"), F.avg("length").alias("__avgdl")))
-
-    # J1: broadcast the tiny term relation against postings and df.
-    candidate = (
-        term_document.join(F.broadcast(terms_df), "term")
-        .join(F.broadcast(
-            document_frequency.join(F.broadcast(terms_df.distinct()), "term")
-            .filter(F.col("df") > 0)  # P7 (`query.py:165-167`)
-        ), "term")
-        # J2: attach doc length for the BM25 norm; inner join doubles as the
-        # metadata-existence predicate P8 (`query.py:183`).
-        .join(documents_info.select("doc_id", "length"), "doc_id")
-        .crossJoin(stats)
-    )
-    scored = candidate.withColumn(
-        "term_score",
-        bm25_term_score(F.col("tf"), idf_plain(F.col("df"), F.col("__n")),
-                        F.col("length"), F.col("__avgdl"), k1, b),
-    )
-    # A6 (`query.py:193-194`): sum partial scores per doc.
-    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    # Plan notes (live in _bm25_scores_from_terms): A4+A5 as a broadcast
+    # 1-row relation (one job, no pre-pass); J1 broadcasts the tiny term
+    # relation against postings and df; J2's inner join on doc length
+    # doubles as the metadata-existence predicate P8 (`query.py:183`);
+    # A6 (`query.py:193-194`) sums partial scores per doc.
+    return _bm25_scores_from_terms(terms_df, term_document,
+                                   document_frequency, documents_info, k1, b)
 
 
 def bm25_topk(spark: SparkSession, query: str, term_document: DataFrame,
@@ -137,6 +117,165 @@ def bm25_topk_batch(spark: SparkSession, queries: dict[str, str],
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def _bm25_scores_from_terms(terms_df: DataFrame, term_document: DataFrame,
+                            document_frequency: DataFrame,
+                            documents_info: DataFrame, k1: float,
+                            b: float) -> DataFrame:
+    """BM25 scoring against an ALREADY-MATERIALIZED query-term relation
+    (term string, one row per scoring occurrence) — the shared core of
+    :func:`bm25_scores` and :func:`bm25_fuzzy_topk`.  Same plan as the
+    module docstring: broadcast terms ⋈ postings ⋈ df ⋈ stats → BM25
+    expr → per-doc sum."""
+    stats = F.broadcast(documents_info.agg(
+        F.count("*").alias("__n"), F.avg("length").alias("__avgdl")))
+    candidate = (
+        term_document.join(F.broadcast(terms_df), "term")
+        .join(F.broadcast(
+            document_frequency.join(F.broadcast(terms_df.distinct()), "term")
+            .filter(F.col("df") > 0)  # P7 (`query.py:165-167`)
+        ), "term")
+        .join(documents_info.select("doc_id", "length"), "doc_id")
+        .crossJoin(stats)
+    )
+    scored = candidate.withColumn(
+        "term_score",
+        bm25_term_score(F.col("tf"), idf_plain(F.col("df"), F.col("__n")),
+                        F.col("length"), F.col("__avgdl"), k1, b),
+    )
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def fuzzy_expand_terms(terms_df: DataFrame, document_frequency: DataFrame,
+                       max_dist: int = 1) -> DataFrame:
+    """Fuzzy query-term expansion (r14, VERDICT r13 #7): query terms
+    ABSENT from the index vocabulary expand to every vocabulary term
+    within Levenshtein distance ``max_dist``; terms present in the
+    vocabulary pass through unchanged (exact match is never diluted by
+    its own neighbors).  Returns a (term string) relation ready for BM25
+    scoring — one row per scoring occurrence, so an out-of-vocabulary
+    term with two close neighbors contributes both, and a misspelling
+    with no neighbor contributes nothing (same as a zero-df term).
+
+    Scale shape (100 TB): the edit-distance join is the TINY query-term
+    relation against the VOCABULARY relation (``document_frequency``,
+    ~|vocab| rows — zipf-bounded, millions at web scale, never the
+    postings).  With the OOV side broadcast it plans as a
+    BroadcastNestedLoopJoin of |vocab| × |oov| — |oov| is a handful, so
+    this is a single vocabulary scan per query batch; postings are only
+    ever probed by the expanded (equi-join) terms."""
+    vocab = document_frequency.select("term")
+    exact = terms_df.join(vocab, "term", "left_semi")
+    oov = terms_df.join(vocab, "term", "left_anti") \
+        .withColumnRenamed("term", "__qterm")
+    expanded = vocab.join(
+        F.broadcast(oov),
+        F.levenshtein(F.col("term"), F.col("__qterm")) <= max_dist) \
+        .select("term")
+    return exact.unionByName(expanded)
+
+
+def bm25_fuzzy_topk(spark: SparkSession, query: str,
+                    term_document: DataFrame,
+                    document_frequency: DataFrame,
+                    documents_info: DataFrame, k: int = 10,
+                    max_dist: int = 1, k1: float = K1_DEFAULT,
+                    b: float = B_DEFAULT,
+                    round_to: int | None = 6) -> DataFrame:
+    """BM25 top-k with fuzzy expansion of out-of-vocabulary query terms
+    (:func:`fuzzy_expand_terms`) — the "did you mean" serving path: a
+    misspelled term still retrieves via its edit-distance-1 vocabulary
+    neighbors, scored as ordinary query terms (`query.py` has no such
+    path; its unknown terms silently score nothing)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id string, score double")
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    eff = fuzzy_expand_terms(terms_df, document_frequency, max_dist)
+    scores = _bm25_scores_from_terms(eff, term_document, document_frequency,
+                                     documents_info, k1, b)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25f_topk(spark: SparkSession, query: str,
+               fields: dict[str, dict[str, DataFrame]],
+               weights: dict[str, float], k: int = 10,
+               k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+               round_to: int | None = 6) -> DataFrame:
+    """Fielded BM25F top-k (r14, VERDICT r13 #6 — the reference stores
+    ``title`` in documents_info, `app/app.py:54-59`, but never scores
+    it).  Robertson & Zaragoza's "simple BM25F": per-field length-
+    normalized term frequencies are WEIGHTED and SUMMED before the
+    single saturation, so a title hit is worth ``w_title`` body hits of
+    the same normalized strength instead of being saturated separately:
+
+        tf̃(t,d)  = Σ_f  w_f · tf_f / (1 - b + b · len_f(d)/avglen_f)
+        score(d) = Σ_t  idf(t) · tf̃ / (k1 + tf̃)
+
+    ``fields`` maps field name → {"term_document": (term, doc_id, tf),
+    "documents_info": (doc_id, length)} — exactly what
+    :func:`..operators.index.build_index` returns per field, so a
+    fielded index is N plain index builds.  idf uses the reference's
+    clamped form with df = docs containing the term in ANY field.
+
+    Preconditions: every field's documents_info has one row per corpus
+    doc (N is read from the first field's stats); weights keys == fields
+    keys.
+
+    Scale shape: per-field postings are probed by the broadcast query
+    terms (equi-join), contributions union + one (term, doc) hash-agg;
+    df is a second pass over the SAME query-pruned postings — never a
+    corpus-wide pass; all singleton stats are broadcast 1-row relations.
+    """
+    if set(weights) != set(fields):
+        raise ValueError(f"weights keys {sorted(weights)} != "
+                         f"fields keys {sorted(fields)}")
+    terms = tokenize_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id string, score double")
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    uterms = terms_df.distinct()
+
+    contribs, pairs = [], []
+    for fname, fd in fields.items():
+        w = weights[fname]
+        stats_f = fd["documents_info"].select("doc_id", "length")
+        avg_f = F.broadcast(stats_f.agg(F.avg("length").alias("__avgdl")))
+        hit = fd["term_document"].join(F.broadcast(terms_df), "term")
+        contribs.append(
+            hit.join(stats_f, "doc_id").crossJoin(avg_f)
+            .select("term", "doc_id",
+                    (F.lit(w) * F.col("tf")
+                     / (F.lit(1.0 - b) + F.lit(b) * F.col("length")
+                        / F.col("__avgdl"))).alias("__c")))
+        pairs.append(fd["term_document"].join(F.broadcast(uterms), "term")
+                     .select("term", "doc_id"))
+
+    tfw = contribs[0]
+    for c in contribs[1:]:
+        tfw = tfw.unionByName(c)
+    tfw = tfw.groupBy("term", "doc_id").agg(F.sum("__c").alias("__tfw"))
+
+    any_field = pairs[0]
+    for p in pairs[1:]:
+        any_field = any_field.unionByName(p)
+    dfq = any_field.distinct().groupBy("term") \
+        .agg(F.count("*").alias("df"))
+
+    first_stats = next(iter(fields.values()))["documents_info"]
+    nrel = F.broadcast(first_stats.agg(F.count("*").alias("__n")))
+
+    scored = (tfw.join(F.broadcast(dfq), "term").crossJoin(nrel)
+              .withColumn("term_score",
+                          idf_plain(F.col("df"), F.col("__n"))
+                          * F.col("__tfw") / (F.lit(k1) + F.col("__tfw"))))
+    scores = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def phrase_match(term_document: DataFrame, phrase_terms: list[str]) -> DataFrame:

@@ -284,6 +284,68 @@ q_bm25_batch_probe.__doc__ = q_bm25_batch_probe.__doc__.format(
     n=len(BATCH_QUERIES), mod=IX_DELETE_MOD, rem=IX_DELETE_REM)
 
 
+# BM25F fielded scoring (r14, VERDICT r13 #6).  The harness documents
+# table has no separate title column, so the fields are DERIVED
+# deterministically: title = the first TITLE_LEN tokens, body = the rest
+# — the split a pipeline without explicit titles actually uses (lead
+# text ≈ headline).  Title hits weigh 2× a body hit of the same
+# normalized strength.
+TITLE_LEN = 8
+BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25F top-10 (operators.search.bm25f_topk): per-field
+    length-normalized tf, weighted-summed before ONE saturation
+    (Robertson's simple BM25F), idf over any-field df.  The fielded
+    index is two plain ``build_index`` runs — one per derived field."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize
+    from ..operators.index import build_index
+    from ..operators.search import bm25f_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    title = docs.select("doc_id",
+                        F.array_join(F.slice(toks, 1, TITLE_LEN), " ")
+                        .alias("text"))
+    body = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(toks, TITLE_LEN + 1,
+                    F.greatest(F.size(toks) - TITLE_LEN, F.lit(0))),
+            " ").alias("text"))
+    ix_t, ix_b = build_index(title), build_index(body)
+    fields = {
+        "title": {"term_document": ix_t["term_document"],
+                  "documents_info": ix_t["documents_info"]},
+        "body": {"term_document": ix_b["term_document"],
+                 "documents_info": ix_b["documents_info"]},
+    }
+    return bm25f_topk(spark, FLAGSHIP_QUERY, fields, BM25F_WEIGHTS, k=10)
+
+
+# Fuzzy expansion (r14, VERDICT r13 #7): two misspellings with exactly
+# one edit-distance-1 vocabulary neighbor each ("vektor"→vector,
+# "fastt"→fast), one in-vocabulary term scored exactly ("join"), and one
+# hopeless term with NO neighbor ("zzzz" — must contribute nothing).
+FUZZY_QUERY = "vektor fastt join zzzz"
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with Levenshtein-1 expansion of out-of-vocabulary
+    query terms (operators.search.bm25_fuzzy_topk).  The edit-distance
+    join is query-terms × VOCABULARY (the df table), never × postings."""
+    from ..operators.index import build_index
+    from ..operators.search import bm25_fuzzy_topk
+
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    return bm25_fuzzy_topk(spark, FUZZY_QUERY, ix["term_document"],
+                           ix["document_frequency"], ix["documents_info"],
+                           k=10)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search over the postings arrays."""
     from ..operators.index import build_index
@@ -310,6 +372,8 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "search_bm25f_topk": q_bm25f_topk,
+    "search_fuzzy_topk": q_fuzzy_topk,
     "search_bm25_delete_probe": q_bm25_delete_probe,
     "search_bm25_compact_probe": q_bm25_compact_probe,
     "search_boolean_and": q_boolean_and,
@@ -465,6 +529,102 @@ LIMIT 10
 
 
 ORACLES["search_bm25_topk"] = _bm25_sql()
+
+# BM25F: replay the derived title/body split (first TITLE_LEN tokens /
+# rest) and Robertson's simple-BM25F formula — weighted per-field
+# normalized tf summed BEFORE the single saturation; idf over any-field
+# df; identical expression shapes/order to operators/search.bm25f_topk
+# so the 6-dp-rounded scores hash-match.
+ORACLES["search_bm25f_topk"] = f"""
+WITH {_TOKENS_CTE},
+fdocs AS (
+    SELECT doc_id, toks[1:{TITLE_LEN}] AS ttoks,
+           toks[{TITLE_LEN + 1}:] AS btoks
+    FROM docs
+),
+ttokens AS (SELECT doc_id, unnest(ttoks) AS term FROM fdocs),
+btokens AS (SELECT doc_id, unnest(btoks) AS term FROM fdocs),
+tpost AS (SELECT term, doc_id, count(*) AS tf FROM ttokens GROUP BY ALL),
+bpost AS (SELECT term, doc_id, count(*) AS tf FROM btokens GROUP BY ALL),
+tstats AS (SELECT doc_id, len(ttoks) AS length FROM fdocs),
+bstats AS (SELECT doc_id, len(btoks) AS length FROM fdocs),
+tavg AS (SELECT avg(length) AS avgdl FROM tstats),
+bavg AS (SELECT avg(length) AS avgdl FROM bstats),
+nrel AS (SELECT count(*) AS n FROM fdocs),
+qterms AS (SELECT unnest(string_split('{FLAGSHIP_QUERY}', ' ')) AS term),
+contrib AS (
+    SELECT p.term, p.doc_id,
+           {BM25F_WEIGHTS['title']} * p.tf
+               / (0.25 + 0.75 * s.length / a.avgdl) AS c
+    FROM tpost p JOIN qterms q USING (term)
+    JOIN tstats s USING (doc_id) CROSS JOIN tavg a
+    UNION ALL
+    SELECT p.term, p.doc_id,
+           {BM25F_WEIGHTS['body']} * p.tf
+               / (0.25 + 0.75 * s.length / a.avgdl) AS c
+    FROM bpost p JOIN qterms q USING (term)
+    JOIN bstats s USING (doc_id) CROSS JOIN bavg a
+),
+tfw AS (SELECT term, doc_id, sum(c) AS tfw FROM contrib GROUP BY ALL),
+pairs AS (
+    SELECT DISTINCT term, doc_id FROM (
+        SELECT p.term, p.doc_id FROM tpost p JOIN qterms USING (term)
+        UNION ALL
+        SELECT p.term, p.doc_id FROM bpost p JOIN qterms USING (term))
+),
+dfq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+scored AS (
+    SELECT t.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * t.tfw / (1.0 + t.tfw) ) AS score
+    FROM tfw t JOIN dfq d USING (term) CROSS JOIN nrel c
+    GROUP BY t.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+# Fuzzy expansion: in-vocabulary query terms pass through; OOV terms
+# expand to vocabulary terms within Levenshtein 1 (DuckDB's levenshtein
+# is the same classic edit distance as Spark's); then plain BM25.
+ORACLES["search_fuzzy_topk"] = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+rawq AS (SELECT unnest(string_split('{FUZZY_QUERY}', ' ')) AS qterm),
+qterms AS (
+    SELECT qterm AS term FROM rawq
+    WHERE qterm IN (SELECT term FROM dfreq)
+    UNION ALL
+    SELECT v.term FROM dfreq v
+    JOIN (SELECT qterm FROM rawq
+          WHERE qterm NOT IN (SELECT term FROM dfreq)) o
+      ON levenshtein(v.term, o.qterm) <= 1
+),
+scored AS (
+    SELECT p.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) )
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
+"""
 
 # Deleting docs from the persisted index then probing must equal BM25 over
 # the corpus that never contained them — postings/stats masking plus the

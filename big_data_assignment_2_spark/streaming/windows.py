@@ -180,15 +180,51 @@ def topk_types_per_window(events: DataFrame, width: str = "1 day",
                     "event_type", "n", "rank"))
 
 
+# Timing decomposition of the LAST stream_to_memory call (r14, VERDICT
+# r13 #4): bench rows built on run_stream_to_df previously billed the
+# whole query LIFECYCLE (planning + checkpoint setup + source listing +
+# micro-batches + stop) to the row; this records where the wall time went
+# so harness startup is separable from the actual drain.  Keys:
+#   start_sec    — writeStream.start(): plan resolution + query-thread
+#                  launch (the harness-startup half that runs inline)
+#   drain_sec    — awaitTermination(): everything the streaming thread
+#                  does, including per-batch planning and execution
+#   trigger_ms   — sum of per-batch durationMs.triggerExecution from the
+#                  engine's own progress events (the true drain work)
+#   n_batches    — number of micro-batches executed
+LAST_RUN_STATS: dict = {}
+
+
 def stream_to_memory(stream_df: DataFrame, name: str,
                      output_mode: str = "complete") -> None:
     """Run a streaming query to completion over the available data
     (availableNow trigger) into an in-memory sink; returns after the
     stream finishes.  Complete mode for the stateful aggs above; dedup and
     stream-stream joins emit with ``append``."""
+    import json
+    import time
+
+    t0 = time.perf_counter()
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
+    t1 = time.perf_counter()
     q.awaitTermination()
+    t2 = time.perf_counter()
+    trigger_ms = 0.0
+    n_batches = 0
+    try:
+        for p in q.recentProgress:
+            prog = json.loads(p) if isinstance(p, str) else \
+                (p if isinstance(p, dict) else json.loads(p.json))
+            trigger_ms += float(prog.get("durationMs", {})
+                                .get("triggerExecution", 0))
+            n_batches += 1
+    except Exception:
+        trigger_ms, n_batches = -1.0, -1  # diagnostics only — never fail a run
+    LAST_RUN_STATS.update(start_sec=round(t1 - t0, 3),
+                          drain_sec=round(t2 - t1, 3),
+                          trigger_ms=round(trigger_ms, 1),
+                          n_batches=n_batches)
 
 
 _MEMSINK_SEQ = __import__("itertools").count()

@@ -138,6 +138,14 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # candidate counts x broadcast 1-row total-count relation (the
         # integer threshold freq*(k+1) > n needs n, like BM25 needs N)
         "text_heavy_hitters_exact",
+        # BM25F: broadcast 1-row per-field avgdl + corpus-N relations,
+        # same composition as the bm25 rows (r14)
+        "search_bm25f_topk",
+        # fuzzy expansion: the Levenshtein<=1 theta-join of the broadcast
+        # OOV query terms x the VOCABULARY relation (document_frequency,
+        # never postings) is the operator's semantics; scoring then
+        # shares bm25_topk's broadcast 1-row stats plan (r14)
+        "search_fuzzy_topk",
     }
     offenders = {}
     for name, fn in contract.queries().items():
