@@ -133,8 +133,9 @@ NOISE_BAND = 0.30
 # their wall time includes streaming-harness startup (query-thread launch,
 # checkpoint + source listing per run), so BENCH_LOCAL.json records the
 # engine's own drain decomposition beside the wall min (VERDICT r13 #4).
-STREAM_ROWS = {"stream_session_30m", "stream_tumbling_1d",
-               "stream_dedup_history"}
+# (stream_session_30m is the BATCH evaluation of the session agg — its
+# engine-executed twin is stream_session_30m_live, a gate row.)
+STREAM_ROWS = {"stream_tumbling_1d", "stream_dedup_history"}
 
 # Hard budget for the final stdout line (driver tail capture is 2000
 # chars; headroom for the tail cutting mid-line).

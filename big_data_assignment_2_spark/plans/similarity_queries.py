@@ -565,6 +565,74 @@ q_ivfpq_quality.__doc__ = q_ivfpq_quality.__doc__.format(
     mr=QUALITY_MEAN_RECALL, fr=QUALITY_FLOOR_RECALL)
 
 
+# BOUNDED-C quality certification (r14, VERDICT r13 #2).  The C∝N row
+# above certifies the re-rank-budget lever, but its own SCALE.md addendum
+# says a 100 TB deployment would NOT grow C linearly with the corpus —
+# the production lever is CODE PRECISION (m/ks) and LIST COVERAGE
+# (nprobe) at a latency-bounded C.  This row pins that lever as a
+# standing tolerance-boolean oracle: candidate budget HARD-CAPPED at
+# C=200 regardless of corpus size, recall recovered by scanning all
+# IVFPQ_COARSE_K lists with FINER SUBSPACES (m=32 2-dim subspaces × ks=16
+# = 128 bits/vector).  The r14 sweep (SCALE.md; tools/sweep_boundedc_sf1)
+# measured at sf1 (N=20k, where fixed C=100 had decayed to 0.58): this
+# config reaches mean recall@10 = 0.96 / per-query min 0.90 — and
+# DOMINATES the 6-bit-codebook alternative (m=16/ks=64: 0.92 mean,
+# 1.6× slower build, ~2× slower probe); the only price is 128 vs 96
+# bits/vector of code storage.
+BOUNDEDC_PQ_M = 32       # 2-dim subspaces
+BOUNDEDC_PQ_KS = 16      # 4 bits each -> 128 bits/vector
+BOUNDEDC_PQ_ITERS = 2
+BOUNDEDC_NPROBE = IVFPQ_COARSE_K   # scan every list; C stays the cap
+BOUNDEDC_C = 200
+
+
+def q_ivfpq_quality_boundedc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE ANN recall lever, certified end-to-end: persisted
+    IVF+PQ at m={m}/ks={ks} ({bits} bits/vector), ADC top-{c} (HARD cap,
+    corpus-independent) at nprobe={np}, exact re-rank to top-{k}, assert
+    mean recall@{k} >= {mr} and per-query min >= {fr} against Spark's own
+    brute force.  Same tolerance-boolean oracle pattern as
+    sim_ivfpq_quality (big-ks Lloyd replay is not SQL-tractable; DuckDB
+    computes the exact query count; the pipeline is deterministic).  One
+    row: (n_queries, k, mean_recall_ok, min_recall_ok)."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+    from ..operators.similarity import exact_rerank
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_boundedc_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_boundedc_{sf_tag}_*", keep=path)
+    write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=BOUNDEDC_PQ_M,
+                ks=BOUNDEDC_PQ_KS, pq_iters=BOUNDEDC_PQ_ITERS)
+    cand = ivfpq_probe_persisted(spark, path, qs, k=BOUNDEDC_C,
+                                 nprobe=BOUNDEDC_NPROBE)
+    rr = exact_rerank(cand, em, qs, k=TOP_K) \
+        .select("query_id", "neighbor_id")
+    bf = brute_force_topk(em, qs, k=TOP_K) \
+        .select("query_id", "neighbor_id")
+    per = _recall_per_query(bf, rr)
+    return (per.agg(F.count("*").cast("bigint").alias("n_queries"),
+                    (F.avg("recall") >= QUALITY_MEAN_RECALL)
+                    .alias("mean_recall_ok"),
+                    (F.min("recall") >= QUALITY_FLOOR_RECALL)
+                    .alias("min_recall_ok"))
+            .select("n_queries", F.lit(TOP_K).alias("k"),
+                    "mean_recall_ok", "min_recall_ok"))
+
+
+q_ivfpq_quality_boundedc.__doc__ = q_ivfpq_quality_boundedc.__doc__.format(
+    m=BOUNDEDC_PQ_M, ks=BOUNDEDC_PQ_KS,
+    bits=BOUNDEDC_PQ_M * 4, c=BOUNDEDC_C, np=BOUNDEDC_NPROBE, k=TOP_K,
+    mr=QUALITY_MEAN_RECALL, fr=QUALITY_FLOOR_RECALL)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -632,6 +700,7 @@ QUERIES = {
     "sim_ivfpq_rerank": q_ivfpq_rerank,
     "sim_ivfpq_rerank_recall": q_ivfpq_rerank_recall,
     "sim_ivfpq_quality": q_ivfpq_quality,
+    "sim_ivfpq_quality_boundedc": q_ivfpq_quality_boundedc,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -1270,6 +1339,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries, {TOP_K} AS k,
        TRUE AS mean_recall_ok, TRUE AS min_recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """
+
+# Same tolerance-boolean pattern for the bounded-C lever: DuckDB pins the
+# exact query count; the recall thresholds are deterministic booleans of
+# the frozen-training pipeline (r14, VERDICT r13 #2).
+ORACLES["sim_ivfpq_quality_boundedc"] = ORACLES["sim_ivfpq_quality"]
 
 # Recall of the two-stage pipeline, as an exact relation: the composed
 # re-rank replay intersected with the brute-force replay per query.

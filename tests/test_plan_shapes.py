@@ -120,10 +120,11 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # ground-truth side embeds sim_ann_bruteforce's broadcast scoring
         # pass by definition (the ANN side stays list-pruned)
         "sim_ivfpq_recall", "sim_ivfpq_rerank_recall",
-        # production-config quality row: same composition — the recall
+        # production-config quality rows: same composition — the recall
         # thresholds are asserted against the embedded brute-force
-        # ground truth (the ANN side stays list-pruned)
-        "sim_ivfpq_quality",
+        # ground truth (the ANN side stays list-pruned; boundedc scans
+        # all lists by configuration, still via the list equi-join)
+        "sim_ivfpq_quality", "sim_ivfpq_quality_boundedc",
         # ADC scores every m-byte CODE row against the broadcast query
         # set — that full pass over the compressed codes is the PQ
         # contract (the compression, not candidate pruning, is the win;

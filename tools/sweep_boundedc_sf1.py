@@ -30,7 +30,7 @@ from big_data_assignment_2_spark.session import get_spark  # noqa: E402
 from big_data_assignment_2_spark.sources.io import load_table  # noqa: E402
 
 CONFIGS = [
-    # (m, ks, pq_iters, nprobe, C)
+    # (m, ks, pq_iters, nprobe, C) — pass a subset as argv[2:] indices
     (16, 16, 2, 3, 100),   # the C∝N row's config at FIXED C=100 (baseline)
     (16, 16, 2, 4, 200),   # widen lists + C to the cap
     (16, 32, 2, 4, 200),   # finer codes: 5 bits/subspace
@@ -43,6 +43,7 @@ CONFIGS = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    configs = [CONFIGS[int(i)] for i in sys.argv[2:]] or CONFIGS
     spark = get_spark("sweep_boundedc")
     em = load_table(spark, sf_dir, "embeddings").cache()
     n = em.count()
@@ -50,7 +51,7 @@ def main() -> None:
     bf = brute_force_topk(em, qs, k=TOP_K).select("query_id", "neighbor_id")
     bf.cache().count()
     print(f"sf_dir={sf_dir} N={n}")
-    for m, ks, pi, nprobe, c in CONFIGS:
+    for m, ks, pi, nprobe, c in configs:
         with tempfile.TemporaryDirectory() as path:
             t0 = time.perf_counter()
             write_ivfpq(em, path, n_centroids=IVFPQ_COARSE_K,
@@ -68,7 +69,7 @@ def main() -> None:
             row = per.agg(F.avg("recall").alias("mean"),
                           F.min("recall").alias("mn")).first()
             lat = []
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 probe().write.format("noop").mode("overwrite").save()
                 lat.append(time.perf_counter() - t0)
