@@ -87,6 +87,7 @@ EXTRA = [
     "dedup_exact_substring",  # sorted-shingle maximal repeated spans
     "search_bm25f_topk",     # fielded BM25F (title+body weighted norms)
     "search_fuzzy_topk",     # OOV query-term expansion (Levenshtein<=1)
+    "search_hybrid_rrf",     # BM25 + dense-cosine reciprocal-rank fusion
     # CHANGELOG (round 11, per VERDICT r10 #2): dedup_store_rollover and
     # stream_dedup_near_live are RETIRED from the bench — both rebuild
     # their fingerprint store from scratch per run (certification shape;

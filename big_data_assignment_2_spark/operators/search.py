@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scoring import B_DEFAULT, K1_DEFAULT, bm25_term_score, idf_plain
-from ..functions.text import tokenize_query
+from ..functions.text import tokenize, tokenize_query
 
 
 def collection_stats(documents_info: DataFrame) -> tuple[int, float]:
@@ -276,6 +276,86 @@ def bm25f_topk(spark: SparkSession, query: str,
     if round_to is not None:
         scores = scores.withColumn("score", F.round("score", round_to))
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_fuse(lists: list[DataFrame], k_rrf: int = 60, k: int = 10,
+             id_col: str = "doc_id", round_to: int | None = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    retrieval combiner: each input list is (id, rank) with rank starting
+    at 1; fused score = Σ_lists 1/(k_rrf + rank), summed only over the
+    lists the doc appears in (a doc missing from a list simply gets no
+    contribution — no outer-join NULL arithmetic).  Returns the top-k
+    (id, rrf_score, n_lists) by (score desc, id asc).
+
+    Scale shape: a UNION of the (already top-K-truncated) lists plus one
+    hash-agg on id — no N-way outer join, no full-corpus pass; at 100 TB
+    the inputs are each retriever's serving output (tens of rows per
+    query), so fusion is a driver-trivial operation that still composes
+    per-query in one plan for batched serving."""
+    contribs = [
+        df.select(F.col(id_col),
+                  (F.lit(1.0) / (F.lit(k_rrf) + F.col("rank")))
+                  .alias("__c"))
+        for df in lists
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    fused = u.groupBy(id_col).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"))
+    if round_to is not None:
+        fused = fused.withColumn("rrf_score", F.round("rrf_score", round_to))
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def snippet_extract(term_document: DataFrame, docs: DataFrame,
+                    doc_ids: DataFrame, query_terms: list[str],
+                    window: int = 10, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Positions-based SNIPPET extraction — the other classic use of the
+    positions lists the reference stores (`reducer1.py:7`) but never
+    reads (phrase_match being the first): for each doc in ``doc_ids``,
+    find the ``window``-token span holding the most query-term hits (the
+    best window always starts AT a hit; ties → smallest start) and
+    render it from the document text.  Returns
+    (doc_id, snippet_start, n_hits, snippet).
+
+    Plan: postings pruned by the broadcast term AND doc-id relations,
+    positions re-exploded only for those (|page| × |q|) rows, one
+    per-doc collect_list (bounded by hits-per-doc), then the best window
+    is chosen INSIDE higher-order array functions — no per-candidate
+    self-join, no UDF.  The final snippet render joins the page-sized
+    doc-id set back to the corpus text."""
+    spark = term_document.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in set(query_terms)],
+                                     "term string")
+    hits = (term_document.join(F.broadcast(terms_df), "term")
+            .join(F.broadcast(doc_ids.select("doc_id")), "doc_id")
+            .select("doc_id", F.explode("positions").alias("p"))
+            .distinct())
+    ps = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("__ps"))
+    # candidate windows start at each hit; struct (n, -start) makes
+    # array_max pick max-hits then min-start in one ordering
+    cand = F.transform(
+        F.col("__ps"),
+        lambda s: F.struct(
+            F.size(F.filter(F.col("__ps"),
+                            lambda x: (x >= s) & (x < s + F.lit(window))))
+            .alias("n"),
+            (-s).alias("negstart")))
+    best = ps.select("doc_id", F.array_max(cand).alias("__b")) \
+        .select("doc_id",
+                (-F.col("__b.negstart")).alias("snippet_start"),
+                F.col("__b.n").alias("n_hits"))
+    toks = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       tokenize(text_col).alias("__toks"))
+    return (best.join(toks, "doc_id")
+            .select("doc_id", "snippet_start", "n_hits",
+                    F.array_join(
+                        F.slice("__toks", F.col("snippet_start") + 1,
+                                window), " ").alias("snippet")))
 
 
 def phrase_match(term_document: DataFrame, phrase_terms: list[str]) -> DataFrame:

@@ -346,6 +346,69 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10)
 
 
+# Hybrid retrieval (r14): BM25 and dense-vector lists fused by
+# reciprocal-rank fusion — the production shape for "semantic + lexical"
+# search.  The corpus embedding for doc d is embeddings.vec_id = d (the
+# partially-embedded case is exercised at sf0.1, where only ids < 2000
+# of 5000 docs have vectors — missing docs just lack that list's
+# contribution).  The dense query is vec_id 0's embedding.
+FUSE_K = 20    # depth of each retriever's list entering the fusion
+RRF_K = 60     # the standard RRF damping constant (Cormack et al. 2009)
+HYBRID_QVEC = 0
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid retrieval: BM25 top-{FUSE_K} for the flagship query +
+    exact cosine top-{FUSE_K} around query vector {HYBRID_QVEC}, fused by
+    1/(60+rank) sums (operators.search.rrf_fuse)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.search import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    ix = build_index(docs)
+    bm = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
+                   ix["document_frequency"], ix["documents_info"], k=FUSE_K)
+    # ranks over the already-top-K (TakeOrderedAndProject) relation: the
+    # window runs on <= FUSE_K rows, never the corpus
+    from pyspark.sql import Window
+    bm_rank = bm.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id")))) \
+        .select("doc_id", "rank")
+    qdf = em.filter(F.col("vec_id") == HYBRID_QVEC) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    vec_rank = brute_force_topk(em, qdf, k=FUSE_K) \
+        .select(F.col("neighbor_id").cast("string").alias("doc_id"), "rank")
+    return rrf_fuse([bm_rank, vec_rank], k_rrf=RRF_K, k=10)
+
+
+SNIPPET_WINDOW = 10
+
+
+def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions-based snippets for the flagship query's top-10 page
+    (operators.search.snippet_extract): the {SNIPPET_WINDOW}-token window
+    with the most query-term hits per returned doc, rendered from the
+    document text — the serving feature the reference's stored positions
+    lists (`reducer1.py:7`) exist for but its query path never built."""
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_index
+    from ..operators.search import bm25_topk, snippet_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    ix = build_index(docs)
+    page = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
+                     ix["document_frequency"], ix["documents_info"], k=10) \
+        .select("doc_id")
+    return snippet_extract(ix["term_document"], docs, page,
+                           tokenize_query(FLAGSHIP_QUERY),
+                           window=SNIPPET_WINDOW)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search over the postings arrays."""
     from ..operators.index import build_index
@@ -374,6 +437,8 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "search_bm25f_topk": q_bm25f_topk,
     "search_fuzzy_topk": q_fuzzy_topk,
+    "search_hybrid_rrf": q_hybrid_rrf,
+    "search_snippet": q_snippet,
     "search_bm25_delete_probe": q_bm25_delete_probe,
     "search_bm25_compact_probe": q_bm25_compact_probe,
     "search_boolean_and": q_boolean_and,
@@ -583,6 +648,128 @@ SELECT doc_id, round(score, 6) AS score
 FROM scored
 ORDER BY round(score, 6) DESC, doc_id ASC
 LIMIT 10
+"""
+
+# Hybrid RRF: the bm25 replay ranked to FUSE_K + the exact-cosine replay
+# (same expression as sim_ann_bruteforce's oracle) ranked to FUSE_K,
+# fused by 1/(RRF_K + rank) sums over the lists each doc appears in.
+from .similarity_queries import _COS, _VECS  # noqa: E402  (shared macros)
+
+ORACLES["search_hybrid_rrf"] = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (
+    SELECT unnest(string_split('{FLAGSHIP_QUERY}', ' ')) AS term
+),
+bmscore AS (
+    SELECT p.doc_id,
+           round(sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) ),
+                 6) AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+),
+bmrank AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bmscore)
+    WHERE rank <= {FUSE_K}
+),
+{_VECS},
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id = {HYBRID_QVEC}),
+vscored AS (
+    SELECT b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
+    FROM q a JOIN vecs b ON b.vec_id != a.query_id),
+vrank AS (
+    SELECT CAST(neighbor_id AS VARCHAR) AS doc_id, rank FROM (
+        SELECT neighbor_id,
+               row_number() OVER (ORDER BY cos_sim DESC, neighbor_id ASC)
+                   AS rank
+        FROM vscored)
+    WHERE rank <= {FUSE_K}
+),
+contrib AS (
+    SELECT doc_id, 1.0 / ({RRF_K} + rank) AS c FROM bmrank
+    UNION ALL
+    SELECT doc_id, 1.0 / ({RRF_K} + rank) AS c FROM vrank
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score,
+       CAST(count(*) AS INTEGER) AS n_lists
+FROM contrib
+GROUP BY doc_id
+ORDER BY round(sum(c), 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+# Snippet: best SNIPPET_WINDOW-token window per top-10 doc — candidate
+# windows start at a hit (self-join bounded by hits-per-doc), max hits
+# then smallest start, rendered by list slicing.
+ORACLES["search_snippet"] = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (
+    SELECT unnest(string_split('{FLAGSHIP_QUERY}', ' ')) AS term
+),
+bmscore AS (
+    SELECT p.doc_id,
+           round(sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) ),
+                 6) AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+),
+page AS (
+    SELECT doc_id FROM bmscore
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+hits AS (
+    SELECT DISTINCT t.doc_id, t.position
+    FROM tokens t JOIN qterms USING (term) JOIN page USING (doc_id)
+),
+win AS (
+    SELECT a.doc_id, a.position AS s, count(*) AS n
+    FROM hits a JOIN hits b
+      ON b.doc_id = a.doc_id
+     AND b.position >= a.position
+     AND b.position < a.position + {SNIPPET_WINDOW}
+    GROUP BY a.doc_id, a.position
+),
+best AS (
+    SELECT doc_id, s, n FROM (
+        SELECT doc_id, s, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, s ASC) AS rn
+        FROM win)
+    WHERE rn = 1
+)
+SELECT b.doc_id, CAST(b.s AS INTEGER) AS snippet_start,
+       CAST(b.n AS INTEGER) AS n_hits,
+       array_to_string(d.toks[b.s + 1 : b.s + {SNIPPET_WINDOW}], ' ')
+           AS snippet
+FROM best b JOIN docs d USING (doc_id)
 """
 
 # Fuzzy expansion: in-vocabulary query terms pass through; OOV terms

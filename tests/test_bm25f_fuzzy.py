@@ -133,3 +133,53 @@ def test_fuzzy_multi_neighbor_expansion(spark):
         "doc_id string, text string")
     ix = build_index(docs)
     assert _fuzzy(spark, ix, "caq") == _exact(spark, ix, "cat car cab")
+
+
+def test_rrf_fuse_golden(spark):
+    """RRF by hand: doc2 in both lists beats doc1's single first place
+    (1/61+1/62 > 1/61), missing-list docs get no NULL arithmetic."""
+    l1 = spark.createDataFrame([("1", 1), ("2", 2)], "doc_id string, rank int")
+    l2 = spark.createDataFrame([("2", 1), ("3", 2)], "doc_id string, rank int")
+    from big_data_assignment_2_spark.operators.search import rrf_fuse
+
+    got = [(r["doc_id"], r["rrf_score"], r["n_lists"])
+           for r in rrf_fuse([l1, l2], k_rrf=60, k=10).collect()]
+    exp = [("2", round(1 / 62 + 1 / 61, 6), 2),
+           ("1", round(1 / 61, 6), 1),
+           ("3", round(1 / 62, 6), 1)]
+    assert got == exp
+
+
+def test_snippet_best_window_and_ties(spark):
+    """Best window maximizes hits; ties resolve to the SMALLEST start;
+    the snippet text is the window's tokens re-rendered."""
+    from big_data_assignment_2_spark.operators.search import snippet_extract
+
+    docs = spark.createDataFrame(
+        [("1", "a b c apple d e apple f g h i j apple apple k"),
+         ("2", "apple x y z w v u t s r q p"),
+         ("3", "nothing here at all")],
+        "doc_id string, text string")
+    ix = build_index(docs)
+    ids = spark.createDataFrame([("1",), ("2",), ("3",)], "doc_id string")
+    got = {r["doc_id"]: (r["snippet_start"], r["n_hits"], r["snippet"])
+           for r in snippet_extract(ix["term_document"], docs, ids,
+                                    ["apple"], window=5).collect()}
+    # doc1 hits at 3,6,12,13: windows [3,8) and [12,17) both hold 2 hits;
+    # tie -> start 3.  doc3 has no hits -> no row.
+    assert got == {"1": (3, 2, "apple d e apple f"),
+                   "2": (0, 1, "apple x y z w")}
+
+
+def test_snippet_window_clips_at_doc_end(spark):
+    """A best window near the end of a short doc renders fewer than
+    `window` tokens instead of failing."""
+    from big_data_assignment_2_spark.operators.search import snippet_extract
+
+    docs = spark.createDataFrame([("1", "x y apple")],
+                                 "doc_id string, text string")
+    ix = build_index(docs)
+    ids = spark.createDataFrame([("1",)], "doc_id string")
+    [r] = snippet_extract(ix["term_document"], docs, ids, ["apple"],
+                          window=5).collect()
+    assert (r["snippet_start"], r["n_hits"], r["snippet"]) == (2, 1, "apple")

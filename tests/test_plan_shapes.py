@@ -147,6 +147,13 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # never postings) is the operator's semantics; scoring then
         # shares bm25_topk's broadcast 1-row stats plan (r14)
         "search_fuzzy_topk",
+        # hybrid RRF embeds bm25_topk (1-row stats) AND the exact-cosine
+        # list (sim_ann_bruteforce's broadcast scoring, by definition);
+        # the fusion itself is a union + hash-agg (r14)
+        "search_hybrid_rrf",
+        # snippet page selection embeds bm25_topk's 1-row stats relation;
+        # window selection is pure array functions, no join at all (r14)
+        "search_snippet",
     }
     offenders = {}
     for name, fn in contract.queries().items():
