@@ -278,6 +278,44 @@ def bm25f_topk(spark: SparkSession, query: str,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def more_like_this(spark: SparkSession, doc_id: str,
+                   term_document: DataFrame, document_frequency: DataFrame,
+                   documents_info: DataFrame, n_terms: int = 5,
+                   k: int = 10, k1: float = K1_DEFAULT,
+                   b: float = B_DEFAULT,
+                   round_to: int | None = 6) -> DataFrame:
+    """"More like this" (the Lucene MoreLikeThis shape): the source doc's
+    ``n_terms`` highest-weight terms — weight = tf · idf, 6-dp-rounded,
+    ties by term — become a BM25 query over the rest of the corpus (the
+    source doc itself is excluded from the results).  Returns
+    (doc_id, score) top-k.
+
+    Plan: term selection reads ONLY the source doc's postings row-group
+    (an equi-filter on doc_id — with a doc-bucketed layout that is one
+    partition), joins the |doc|-sized term set against df (broadcast) and
+    the 1-row N relation, and ranks via orderBy().limit(n_terms) —
+    TakeOrderedAndProject, never a corpus sort.  Scoring then reuses the
+    standard broadcast-terms BM25 plan."""
+    nrel = F.broadcast(documents_info.agg(F.count("*").alias("__n")))
+    src = (term_document.filter(F.col("doc_id") == doc_id)
+           .select("term", "tf")
+           .join(F.broadcast(document_frequency), "term")
+           .crossJoin(nrel)
+           .select("term",
+                   F.round(F.col("tf")
+                           * idf_plain(F.col("df"), F.col("__n")), 6)
+                   .alias("__w"))
+           .orderBy(F.desc("__w"), F.asc("term")).limit(n_terms)
+           .select("term"))
+    scores = _bm25_scores_from_terms(src, term_document,
+                                     document_frequency, documents_info,
+                                     k1, b) \
+        .filter(F.col("doc_id") != doc_id)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def rrf_fuse(lists: list[DataFrame], k_rrf: int = 60, k: int = 10,
              id_col: str = "doc_id", round_to: int | None = 6) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-

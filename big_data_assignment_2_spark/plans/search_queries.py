@@ -386,6 +386,26 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm_rank, vec_rank], k_rrf=RRF_K, k=10)
 
 
+# "More like this" (r14): the Lucene-MLT shape — a source document's
+# top-weight terms become the query.  Doc 7 is arbitrary-but-fixed and
+# exists at every harness sf (ids are dense from 0).
+MLT_DOC = "7"
+MLT_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document retrieval (operators.search.more_like_this): doc
+    {MLT_DOC}'s top-{MLT_TERMS} tf·idf terms (6-dp rounded, ties by
+    term) queried as BM25 over the corpus minus the source doc."""
+    from ..operators.index import build_index
+    from ..operators.search import more_like_this
+
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    return more_like_this(spark, MLT_DOC, ix["term_document"],
+                          ix["document_frequency"], ix["documents_info"],
+                          n_terms=MLT_TERMS, k=10)
+
+
 SNIPPET_WINDOW = 10
 
 
@@ -439,6 +459,7 @@ QUERIES = {
     "search_fuzzy_topk": q_fuzzy_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
     "search_snippet": q_snippet,
+    "search_more_like_this": q_more_like_this,
     "search_bm25_delete_probe": q_bm25_delete_probe,
     "search_bm25_compact_probe": q_bm25_compact_probe,
     "search_boolean_and": q_boolean_and,
@@ -770,6 +791,47 @@ SELECT b.doc_id, CAST(b.s AS INTEGER) AS snippet_start,
        array_to_string(d.toks[b.s + 1 : b.s + {SNIPPET_WINDOW}], ' ')
            AS snippet
 FROM best b JOIN docs d USING (doc_id)
+"""
+
+# More-like-this: the source doc's top tf·idf terms (6-dp rounded,
+# ties by term — mirroring the operator's selection exactly) feed the
+# plain BM25 replay; the source doc is excluded from results.
+ORACLES["search_more_like_this"] = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (
+    SELECT term FROM (
+        SELECT p.term,
+               round(p.tf * ln(greatest(1.0, c.n / greatest(1, d.df))), 6)
+                   AS w
+        FROM postings p JOIN dfreq d USING (term) CROSS JOIN consts c
+        WHERE p.doc_id = '{MLT_DOC}')
+    ORDER BY w DESC, term ASC LIMIT {MLT_TERMS}
+),
+scored AS (
+    SELECT p.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) )
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+WHERE doc_id <> '{MLT_DOC}'
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
 """
 
 # Fuzzy expansion: in-vocabulary query terms pass through; OOV terms

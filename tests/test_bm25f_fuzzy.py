@@ -183,3 +183,29 @@ def test_snippet_window_clips_at_doc_end(spark):
     [r] = snippet_extract(ix["term_document"], docs, ids, ["apple"],
                           window=5).collect()
     assert (r["snippet_start"], r["n_hits"], r["snippet"]) == (2, 1, "apple")
+
+
+def test_more_like_this_golden(spark):
+    """MLT by hand on a corpus where doc d1's single highest-tf*idf term
+    ('apple', tf=2, df=2) must become the query: d3 (contains apple)
+    is retrieved, d2 (no apple) is not, d1 itself is excluded."""
+    from big_data_assignment_2_spark.operators.search import more_like_this
+
+    docs = spark.createDataFrame(
+        [("d1", "apple apple banana"),
+         ("d2", "banana cherry"),
+         ("d3", "cherry cherry cherry apple")],
+        "doc_id string, text string")
+    ix = build_index(docs)
+    got = [(r["doc_id"], r["score"])
+           for r in more_like_this(spark, "d1", ix["term_document"],
+                                   ix["document_frequency"],
+                                   ix["documents_info"],
+                                   n_terms=1).collect()]
+    # expected: BM25 for query 'apple' minus d1 -> exactly bm25 on d3
+    exp = [(r["doc_id"], r["score"])
+           for r in bm25_topk(spark, "apple", ix["term_document"],
+                              ix["document_frequency"],
+                              ix["documents_info"]).collect()
+           if r["doc_id"] != "d1"]
+    assert got == exp and [d for d, _ in got] == ["d3"]

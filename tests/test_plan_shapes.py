@@ -154,6 +154,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # snippet page selection embeds bm25_topk's 1-row stats relation;
         # window selection is pure array functions, no join at all (r14)
         "search_snippet",
+        # more-like-this: the 1-row corpus-N relation joins the source
+        # doc's term set for tf-idf term selection, then the standard
+        # broadcast-terms BM25 scoring plan (r14)
+        "search_more_like_this",
     }
     offenders = {}
     for name, fn in contract.queries().items():
