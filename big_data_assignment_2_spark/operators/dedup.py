@@ -811,20 +811,23 @@ SIMHASH_BITS = 60
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc: md5-derived term hashes, tf-weighted bit
-    votes, sign → bit.  One explode + one hash-agg; the 60 per-bit sums are
-    columns of a single aggregation (no 60 passes).
+    votes, sign → bit.  One explode + ONE hash-agg straight off the token
+    instances: summing ±1 per token occurrence equals summing ±tf per
+    distinct term, so the (doc_id, term) tf pre-aggregation — a second full
+    shuffle — is unnecessary.  Measured at sf0.1: 4.3 s → 3.5 s warm (r14).
+    Map-side partial aggregation still combines the 60 vote sums before the
+    single shuffle, so the shuffled bytes stay one row of 60 longs per doc.
 
     (A fully in-row variant — 60 ``aggregate`` folds over a per-row hash
     array, like the round-4 MinHash rewrite — was measured 4× SLOWER: that
     many catalyst higher-order folds in one projection fall out of
     whole-stage codegen.  The exploded hash-agg stays.)"""
-    tf = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
-                      F.explode(tokenize(text_col)).alias("term"))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-          .withColumn("h", md5_hash64("term")))
-    votes = tf.groupBy("doc_id").agg(*[
+    toks = (docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                        F.explode(tokenize(text_col)).alias("term"))
+            .withColumn("h", md5_hash64("term")))
+    votes = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                     F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{i}")
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
         for i in range(SIMHASH_BITS)])
     sig = votes.select("doc_id", sum(
         (F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
