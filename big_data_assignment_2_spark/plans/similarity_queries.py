@@ -171,6 +171,81 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
 
 
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the Qdrant/Weaviate/pgvector `WHERE` shape):
+    each query retrieves its top-k only among vectors sharing its `label`
+    — the predicate prunes candidates INSIDE the probed IVF lists
+    (pre-filtering), before ranking, so a selective filter cannot starve
+    the result set the way post-filtering an unfiltered top-k does.
+    Fully deterministic (Lloyd coarse quantizer), so the oracle replays
+    assignment, probe choice, label pruning, and ranking exactly."""
+    from ..operators.similarity import ivf_topk_deterministic
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = (em.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    return ivf_topk_deterministic(
+        em, q, k=TOP_K, n_centroids=KMEANS_K, iters=KMEANS_ITERS,
+        nprobe=IVF_NPROBE, same_label_col="label")
+
+
+FILTER_POST_C = 30  # unfiltered candidate depth the post-filter variant keeps
+
+
+def q_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the production filtered-ANN design choice: per query,
+    recall@10 against the EXACT label-filtered ground truth for (a)
+    PRE-filtering (label predicate inside the probed lists) vs (b)
+    POST-filtering (unfiltered IVF top-C at C=FILTER_POST_C=30, then
+    keep same-label rows, then top-10).  With a ~10%-selective label,
+    the post-filter list keeps ~3 of its 30 candidates — the
+    recall gap this row pins is why real vector stores filter during
+    the scan.  Every stage is deterministic, so recalls are EXACT
+    cross-engine values, not a tolerance bound.
+
+    Scale note: the three pipelines below share one geometry at 100 TB
+    (train once, probe thrice); here each call retrains the tiny Lloyd
+    quantizer for plan isolation — bounded k-centroid collects."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk, ivf_topk_deterministic
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = (em.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    ivf_kw = dict(n_centroids=KMEANS_K, iters=KMEANS_ITERS, nprobe=IVF_NPROBE)
+
+    gt = brute_force_topk(em, q, k=TOP_K, same_label_col="label") \
+        .select("query_id", "neighbor_id")
+    pre = ivf_topk_deterministic(em, q, k=TOP_K, same_label_col="label",
+                                 **ivf_kw).select("query_id", "neighbor_id")
+    cand = ivf_topk_deterministic(em, q, k=FILTER_POST_C, **ivf_kw)
+    lbl = em.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("__nl"))
+    qlbl = q.select("query_id", F.col("label").alias("__ql"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    post = (cand.join(lbl, "neighbor_id").join(F.broadcast(qlbl), "query_id")
+            .filter(F.col("__nl") == F.col("__ql"))
+            .withColumn("__r2", F.row_number().over(w))
+            .filter(F.col("__r2") <= TOP_K)
+            .select("query_id", "neighbor_id"))
+
+    n_gt = gt.groupBy("query_id").agg(F.count("*").alias("n_gt"))
+    hits_pre = (gt.join(pre, ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count("*").alias("hits_pre")))
+    hits_post = (gt.join(post, ["query_id", "neighbor_id"])
+                 .groupBy("query_id").agg(F.count("*").alias("hits_post")))
+    hp = F.coalesce(F.col("hits_pre"), F.lit(0))
+    hq = F.coalesce(F.col("hits_post"), F.lit(0))
+    return (n_gt.join(hits_pre, "query_id", "left")
+            .join(hits_post, "query_id", "left")
+            .select("query_id", "n_gt",
+                    hp.alias("hits_pre"), hq.alias("hits_post"),
+                    F.round(hp / F.col("n_gt"), 6).alias("recall_pre"),
+                    F.round(hq / F.col("n_gt"), 6).alias("recall_post")))
+
+
 PQ_M = 4        # subspaces (16 dims each)
 PQ_KS = 8       # codebook size per subspace
 PQ_ITERS = 1    # Lloyd rounds per codebook (unrolled in the oracle)
@@ -707,6 +782,8 @@ QUERIES = {
     "sim_pq_topk": q_pq_topk,
     "sim_tfidf_topk": q_tfidf_topk,
     "sim_ivf_topk": q_ivf_topk,
+    "sim_ivf_filtered": q_ivf_filtered_topk,
+    "sim_filtered_recall": q_filtered_recall,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -815,13 +892,13 @@ SELECT vec_id, CAST(cid AS INTEGER) AS list_id FROM (
 """
 
 
-def _ivf_oracle() -> str:
-    """Replays ivf_topk_deterministic end-to-end: Lloyd centroids (shared
-    chain), full-corpus list assignment, per-query nprobe nearest lists
-    (ties → lowest cid), cosine over candidates, windowed top-k."""
+def _ivf_ctes() -> str:
+    """The shared IVF CTE chain (Lloyd centroids, full-corpus list
+    assignment, per-query nprobe probe lists, UNFILTERED candidate
+    scoring) — the common prefix of the plain, filtered, and
+    filtered-recall IVF oracles."""
     cfin = f"c{KMEANS_ITERS}"
-    return f"""
-WITH {_VECS},
+    return f"""{_VECS},
 {_lloyd_cte_chain()},
 asg AS (
   SELECT vec_id, v, cid FROM (
@@ -836,15 +913,86 @@ pr AS (
            row_number() OVER (PARTITION BY q.query_id
              ORDER BY {_sq_dist('q.v', 'c.v')} ASC, c.cid ASC) AS rn
     FROM q CROSS JOIN {cfin} c) WHERE rn <= {IVF_NPROBE}),
+lbl AS (SELECT vec_id, label FROM embeddings),
 scored AS (
   SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
-  FROM pr a JOIN asg b ON b.cid = a.cid AND b.vec_id != a.query_id)
+  FROM pr a JOIN asg b ON b.cid = a.cid AND b.vec_id != a.query_id)"""
+
+
+def _ivf_oracle(filtered: bool = False) -> str:
+    """Replays ivf_topk_deterministic end-to-end: Lloyd centroids (shared
+    chain), full-corpus list assignment, per-query nprobe nearest lists
+    (ties → lowest cid), cosine over candidates, windowed top-k.  With
+    ``filtered``, candidates are pruned to the query's label BEFORE
+    ranking — the twin of same_label_col pre-filtering."""
+    src = "scored"
+    if filtered:
+        src = """(
+  SELECT s.query_id, s.neighbor_id, s.cos_sim
+  FROM scored s JOIN lbl bl ON bl.vec_id = s.neighbor_id
+       JOIN lbl ql ON ql.vec_id = s.query_id AND bl.label = ql.label)"""
+    return f"""
+WITH {_ivf_ctes()}
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT query_id, neighbor_id, cos_sim,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-  FROM scored)
+  FROM {src})
 WHERE rank <= {TOP_K}
+"""
+
+
+def _filtered_recall_oracle() -> str:
+    """Exact twin of q_filtered_recall: pre-filter vs post-filter recall@k
+    against the label-filtered brute-force ground truth, every stage
+    deterministic so the recall values themselves hash-match."""
+    return f"""
+WITH {_ivf_ctes()},
+prefil AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cos_sim DESC, s.neighbor_id ASC) AS rank
+    FROM scored s JOIN lbl bl ON bl.vec_id = s.neighbor_id
+         JOIN lbl ql ON ql.vec_id = s.query_id AND bl.label = ql.label)
+  WHERE rank <= {TOP_K}),
+postc AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {FILTER_POST_C}),
+post AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY p.cos_sim DESC, p.neighbor_id ASC) AS r2
+    FROM postc p JOIN lbl bl ON bl.vec_id = p.neighbor_id
+         JOIN lbl ql ON ql.vec_id = p.query_id AND bl.label = ql.label)
+  WHERE r2 <= {TOP_K}),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS rank
+    FROM (SELECT q.query_id, q.v, l.label FROM q
+          JOIN lbl l ON l.vec_id = q.query_id) a
+    JOIN (SELECT vecs.vec_id, vecs.v, l.label FROM vecs
+          JOIN lbl l USING (vec_id)) b
+      ON b.label = a.label AND b.vec_id != a.query_id)
+  WHERE rank <= {TOP_K}),
+ngt AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+hp AS (SELECT g.query_id, count(*) AS hits_pre
+       FROM gt g JOIN prefil USING (query_id, neighbor_id) GROUP BY 1),
+hq AS (SELECT g.query_id, count(*) AS hits_post
+       FROM gt g JOIN post USING (query_id, neighbor_id) GROUP BY 1)
+SELECT n.query_id, n.n_gt,
+       coalesce(hp.hits_pre, 0) AS hits_pre,
+       coalesce(hq.hits_post, 0) AS hits_post,
+       round(coalesce(hp.hits_pre, 0) / CAST(n.n_gt AS DOUBLE), 6) AS recall_pre,
+       round(coalesce(hq.hits_post, 0) / CAST(n.n_gt AS DOUBLE), 6) AS recall_post
+FROM ngt n LEFT JOIN hp USING (query_id) LEFT JOIN hq USING (query_id)
 """
 
 
@@ -1155,6 +1303,8 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
     "sim_ivf_topk": _ivf_oracle(),
+    "sim_ivf_filtered": _ivf_oracle(filtered=True),
+    "sim_filtered_recall": _filtered_recall_oracle(),
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
     # The persisted probe returns the identical relation to the in-flight

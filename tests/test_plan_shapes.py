@@ -158,6 +158,11 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # doc's term set for tf-idf term selection, then the standard
         # broadcast-terms BM25 scoring plan (r14)
         "search_more_like_this",
+        # filtered-recall embeds the label-filtered brute-force ground
+        # truth (sim_ann_bruteforce's broadcast scoring with a label
+        # conjunct, by definition); both IVF variants under comparison
+        # stay list-pruned equi-joins (r14)
+        "sim_filtered_recall",
     }
     offenders = {}
     for name, fn in contract.queries().items():
