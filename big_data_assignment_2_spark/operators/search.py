@@ -431,3 +431,105 @@ def search_documents(spark: SparkSession, docs: DataFrame, query: str,
     ix = build_index(docs, text_col=text_col, id_col=id_col)
     return bm25_topk(spark, query, ix["term_document"],
                      ix["document_frequency"], ix["documents_info"], k=k)
+
+
+def facet_counts(term_document: DataFrame, documents: DataFrame,
+                 query_terms: list[str],
+                 facet_cols: list[str]) -> DataFrame:
+    """Faceted navigation over the MATCH SET (every doc containing ≥1
+    query term — not just the top-k page): per facet dimension, how many
+    matching docs carry each value.  The search-UI sidebar every engine
+    serves beside the ranked list (Solr/Elasticsearch `facets`/`aggs`).
+
+    Shape: the match set is the broadcast-terms postings probe collapsed
+    to distinct doc_ids; ONE grouping-sets aggregation then produces all
+    facet dimensions in a single shuffle (no per-dimension re-scan of the
+    match relation).  Returns (facet, value, n_docs).
+    """
+    spark = term_document.sparkSession
+    terms_df = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "term string")
+    matched = (term_document.join(F.broadcast(terms_df), "term")
+               .select("doc_id").distinct())
+    m = matched.join(
+        documents.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         *facet_cols), "doc_id")
+    g = (m.groupingSets([[c] for c in facet_cols], *[F.col(c) for c in facet_cols])
+         .agg(F.count("*").alias("n_docs"),
+              # grouping() is only legal inside the grouping-sets agg list
+              *[F.grouping(c).alias(f"__g_{c}") for c in facet_cols]))
+    facet = None
+    for c in facet_cols:
+        cond = F.col(f"__g_{c}") == 0
+        facet = (F.when(cond, F.lit(c)) if facet is None
+                 else facet.when(cond, F.lit(c)))
+    return g.select(facet.alias("facet"),
+                    F.coalesce(*facet_cols).alias("value"), "n_docs")
+
+
+def bm25_page_after(spark: SparkSession, query: str, term_document: DataFrame,
+                    document_frequency: DataFrame, documents_info: DataFrame,
+                    cursor: DataFrame, k: int = 10) -> DataFrame:
+    """KEYSET pagination (`search_after`): the next page is every result
+    STRICTLY AFTER the cursor in the total order (score DESC, doc_id ASC),
+    evaluated as a predicate on the scored relation — never OFFSET, which
+    at scale ranks and discards every earlier page on every request.
+
+    ``cursor`` is a 1-row (score, doc_id) relation — in serving it comes
+    from the client's last row; here the caller derives it in-plan.  The
+    predicate composes with TakeOrderedAndProject exactly like page one:
+    per-partition top-k after the pushed-down filter, k-row driver merge.
+    """
+    scores = bm25_scores(spark, query, term_document, document_frequency,
+                         documents_info).withColumn("score", F.round("score", 6))
+    cur = F.broadcast(cursor.select(F.col("score").alias("__cs"),
+                                    F.col("doc_id").alias("__cd")))
+    return (scores.crossJoin(cur)
+            .filter((F.col("score") < F.col("__cs"))
+                    | ((F.col("score") == F.col("__cs"))
+                       & (F.col("doc_id") > F.col("__cd"))))
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def proximity_boosted_topk(spark: SparkSession, query: str,
+                           term_document: DataFrame,
+                           document_frequency: DataFrame,
+                           documents_info: DataFrame, k: int = 10) -> DataFrame:
+    """Proximity-boosted BM25: documents where distinct query terms occur
+    CLOSE TOGETHER outrank bag-of-words matches — the second serving use
+    of the stored positions arrays (after phrase_match/snippets).
+
+    min_dist(doc) = the smallest gap between occurrences of two DIFFERENT
+    query terms, computed IN-ROW from the postings' positions arrays
+    (array_min over a per-pair distance matrix — no token-level explode);
+    the pair relation is the per-doc self-join of the ≤|q| matched
+    postings rows, so its size is bounded by |q|² per document.
+
+    final = round(bm25 * (1 + 1/(1 + min_dist)), 6); single-term matches
+    keep their BM25 score (no pair → boost 1).  Returns
+    (doc_id, score, min_dist, boosted) top-k by (boosted DESC, doc_id).
+    """
+    from ..functions.text import tokenize_query
+
+    terms = list(dict.fromkeys(tokenize_query(query)))
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = (term_document.join(F.broadcast(terms_df), "term")
+            .select("term", "doc_id", "positions"))
+    a, b = hits.alias("a"), hits.alias("b")
+    pair_min = F.array_min(F.flatten(F.transform(
+        F.col("a.positions"),
+        lambda x: F.transform(F.col("b.positions"), lambda y: F.abs(x - y)))))
+    mind = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("a.term") < F.col("b.term")))
+            .select(F.col("a.doc_id").alias("doc_id"), pair_min.alias("__d"))
+            .groupBy("doc_id").agg(F.min("__d").alias("min_dist")))
+    scores = bm25_scores(spark, query, term_document, document_frequency,
+                         documents_info).withColumn("score", F.round("score", 6))
+    boost = F.when(F.col("min_dist").isNotNull(),
+                   F.lit(1.0) + F.lit(1.0) / (F.lit(1.0) + F.col("min_dist"))) \
+        .otherwise(F.lit(1.0))
+    return (scores.join(mind, "doc_id", "left")
+            .withColumn("boosted", F.round(F.col("score") * boost, 6))
+            .select("doc_id", "score", "min_dist", "boosted")
+            .orderBy(F.desc("boosted"), F.asc("doc_id")).limit(k))

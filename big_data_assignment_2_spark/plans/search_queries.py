@@ -429,6 +429,55 @@ def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
                            window=SNIPPET_WINDOW)
 
 
+def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted navigation beside the ranked list: per facet dimension
+    (lang, source), how many docs in the flagship query's MATCH SET carry
+    each value — one grouping-sets aggregation over the matched-doc
+    metadata join (single shuffle for all dimensions)."""
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_index
+    from ..operators.search import facet_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ix = build_index(docs)
+    return facet_counts(ix["term_document"], docs,
+                        tokenize_query(FLAGSHIP_QUERY), ["lang", "source"])
+
+
+def q_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (`search_after`): page TWO of the flagship query
+    as a strictly-after-cursor predicate on the scored relation — the
+    O(page) serving pattern, never OFFSET (which re-ranks and discards
+    every earlier page per request).  The cursor here is derived in-plan
+    as page one's last row; in serving it arrives from the client."""
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.search import bm25_page_after, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ix = build_index(docs)
+    args = (ix["term_document"], ix["document_frequency"], ix["documents_info"])
+    page1 = bm25_topk(spark, FLAGSHIP_QUERY, *args, k=10)
+    cursor = page1.orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
+    return bm25_page_after(spark, FLAGSHIP_QUERY, *args, cursor, k=10)
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted BM25 over the stored positions arrays: docs where
+    distinct query terms appear close together outrank bag-of-words
+    matches — min pairwise term gap computed in-row from the postings
+    (no token explode), blended as score·(1 + 1/(1+min_dist))."""
+    from ..operators.index import build_index
+    from ..operators.search import proximity_boosted_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ix = build_index(docs)
+    return proximity_boosted_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
+                                  ix["document_frequency"],
+                                  ix["documents_info"], k=10)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search over the postings arrays."""
     from ..operators.index import build_index
@@ -455,6 +504,9 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "search_facets": q_facets,
+    "search_page_after": q_page_after,
+    "search_proximity": q_proximity,
     "search_bm25f_topk": q_bm25f_topk,
     "search_fuzzy_topk": q_fuzzy_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
@@ -577,13 +629,11 @@ SELECT doc_id, CAST(len(toks) AS INTEGER) AS length FROM docs
 }
 
 
-def _bm25_sql(docs_where: str = "") -> str:
-    """Exact reference BM25 (idf=ln(max(1,N/max(1,df))), k1=1.0, b=0.75,
-    true-double avgdl; `app/query.py:145,169-188`), ties by doc_id on the
-    6-dp-rounded score — mirrors operators/search.py exactly.
-    ``docs_where`` shrinks the corpus for the tombstone-delete replay."""
-    return f"""
-WITH {_tokens_cte(docs_where)},
+def _bm25_scored_ctes(docs_where: str = "") -> str:
+    """The shared BM25 CTE chain ending in ``scored`` (doc_id, raw score)
+    — the common prefix of the top-k, keyset-pagination, and
+    proximity-boost oracles."""
+    return f"""{_tokens_cte(docs_where)},
 postings AS (
     SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
 ),
@@ -606,7 +656,16 @@ scored AS (
     CROSS JOIN consts c
     WHERE d.df > 0
     GROUP BY p.doc_id
-)
+)"""
+
+
+def _bm25_sql(docs_where: str = "") -> str:
+    """Exact reference BM25 (idf=ln(max(1,N/max(1,df))), k1=1.0, b=0.75,
+    true-double avgdl; `app/query.py:145,169-188`), ties by doc_id on the
+    6-dp-rounded score — mirrors operators/search.py exactly.
+    ``docs_where`` shrinks the corpus for the tombstone-delete replay."""
+    return f"""
+WITH {_bm25_scored_ctes(docs_where)}
 SELECT doc_id, round(score, 6) AS score
 FROM scored
 ORDER BY round(score, 6) DESC, doc_id ASC
@@ -615,6 +674,52 @@ LIMIT 10
 
 
 ORACLES["search_bm25_topk"] = _bm25_sql()
+
+# Facets: distinct matched docs (>=1 query term) joined to metadata, one
+# GROUPING SETS aggregation for all dimensions — mirrors facet_counts.
+ORACLES["search_facets"] = f"""
+WITH {_TOKENS_CTE},
+qterms AS (SELECT unnest(string_split('{FLAGSHIP_QUERY}', ' ')) AS term),
+matched AS (SELECT DISTINCT doc_id FROM tokens JOIN qterms USING (term)),
+m AS (SELECT d.lang, d.source
+      FROM matched x JOIN documents d ON CAST(d.doc_id AS VARCHAR) = x.doc_id)
+SELECT CASE WHEN GROUPING(lang) = 0 THEN 'lang' ELSE 'source' END AS facet,
+       coalesce(lang, source) AS value, count(*) AS n_docs
+FROM m GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+# Keyset pagination: under the deterministic total order
+# (score DESC, doc_id ASC), the strictly-after-cursor predicate with the
+# rank-10 cursor is exactly ranks 11..20 — the ANSI twin.
+ORACLES["search_page_after"] = f"""
+WITH {_bm25_scored_ctes()},
+r AS (SELECT doc_id, round(score, 6) AS score,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM scored)
+SELECT doc_id, score FROM r WHERE rn BETWEEN 11 AND 20
+"""
+
+# Proximity boost: min pairwise gap between occurrences of two DIFFERENT
+# query terms (token-level join twin of the in-row array-distance matrix),
+# blended into the shared scored relation.
+ORACLES["search_proximity"] = f"""
+WITH {_bm25_scored_ctes()},
+prox AS (
+  SELECT a.doc_id, min(abs(a.position - b.position)) AS min_dist
+  FROM tokens a JOIN qterms qa ON a.term = qa.term
+       JOIN tokens b ON b.doc_id = a.doc_id
+       JOIN qterms qb ON b.term = qb.term
+  WHERE a.term < b.term
+  GROUP BY a.doc_id)
+SELECT doc_id, score, min_dist, boosted FROM (
+  SELECT s.doc_id, round(s.score, 6) AS score, p.min_dist,
+         round(round(s.score, 6)
+               * (CASE WHEN p.min_dist IS NULL THEN 1.0
+                       ELSE 1.0 + 1.0 / (1.0 + p.min_dist) END), 6) AS boosted
+  FROM scored s LEFT JOIN prox p ON p.doc_id = s.doc_id)
+ORDER BY boosted DESC, doc_id ASC
+LIMIT 10
+"""
 
 # BM25F: replay the derived title/body split (first TITLE_LEN tokens /
 # rest) and Robertson's simple-BM25F formula — weighted per-field

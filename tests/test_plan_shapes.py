@@ -163,6 +163,13 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # conjunct, by definition); both IVF variants under comparison
         # stay list-pruned equi-joins (r14)
         "sim_filtered_recall",
+        # keyset pagination: the broadcast 1-ROW cursor relation joins the
+        # scored page by definition (plus bm25's 1-row stats relation);
+        # the after-cursor predicate itself is a pushed-down filter (r14)
+        "search_page_after",
+        # proximity boost embeds bm25_topk's broadcast 1-row stats
+        # relation; the pair stage is a doc_id equi-join (r14)
+        "search_proximity",
     }
     offenders = {}
     for name, fn in contract.queries().items():

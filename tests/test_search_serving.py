@@ -1,0 +1,67 @@
+"""Serving-side search features (r14): facets, keyset pagination,
+proximity boost — invariants beyond the oracle hash-match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment_2_spark.functions.text import tokenize_query
+from big_data_assignment_2_spark.operators.index import build_index
+from big_data_assignment_2_spark.operators.search import (
+    bm25_page_after, bm25_topk, facet_counts, proximity_boosted_topk)
+from big_data_assignment_2_spark.sources.io import load_table
+
+QUERY = "vector query stream fast join"
+
+
+def _ix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs, build_index(docs)
+
+
+def test_facets_partition_the_match_set(spark, sf_dir):
+    """Each facet dimension's counts must sum to the match-set size —
+    facets partition the matching docs, they don't sample them."""
+    docs, ix = _ix(spark, sf_dir)
+    res = facet_counts(ix["term_document"], docs, tokenize_query(QUERY),
+                       ["lang", "source"]).collect()
+    terms = [(t,) for t in set(tokenize_query(QUERY))]
+    terms_df = docs.sparkSession.createDataFrame(terms, "term string")
+    n_match = (ix["term_document"].join(terms_df, "term")
+               .select("doc_id").distinct().count())
+    by_dim: dict = {}
+    for r in res:
+        by_dim.setdefault(r["facet"], 0)
+        by_dim[r["facet"]] += r["n_docs"]
+    assert by_dim == {"lang": n_match, "source": n_match}
+
+
+def test_page_after_is_ranks_11_to_20(spark, sf_dir):
+    """The keyset predicate under the deterministic total order must
+    produce exactly ranks 11..20 of the full ranking."""
+    docs, ix = _ix(spark, sf_dir)
+    args = (ix["term_document"], ix["document_frequency"], ix["documents_info"])
+    full = bm25_topk(spark, QUERY, *args, k=20).collect()
+    page1 = bm25_topk(spark, QUERY, *args, k=10)
+    cursor = page1.orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
+    page2 = bm25_page_after(spark, QUERY, *args, cursor, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in page2] == \
+        [(r["doc_id"], r["score"]) for r in full[10:20]]
+    # pages are disjoint
+    assert not {r["doc_id"] for r in page2} & {r["doc_id"] for r in page1.collect()}
+
+
+def test_proximity_boost_bounds_and_single_term_identity(spark, sf_dir):
+    """boosted ∈ [score, 2·score]; docs without a term pair keep their
+    BM25 score exactly (boost 1); min_dist ≥ 1 whenever present."""
+    docs, ix = _ix(spark, sf_dir)
+    rows = proximity_boosted_topk(
+        spark, QUERY, ix["term_document"], ix["document_frequency"],
+        ix["documents_info"], k=10).collect()
+    assert rows
+    for r in rows:
+        if r["min_dist"] is None:
+            assert r["boosted"] == r["score"]
+        else:
+            assert r["min_dist"] >= 1
+            assert r["score"] < r["boosted"] <= round(2 * r["score"], 6) + 1e-9
