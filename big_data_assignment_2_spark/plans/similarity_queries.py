@@ -246,6 +246,27 @@ def q_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(hq / F.col("n_gt"), 6).alias("recall_post")))
 
 
+MMR_C = 20       # candidate page fed to the diversity re-rank
+MMR_K = 5        # diversified results returned per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+
+
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein '98): re-rank each
+    query's top-20 page so pick i maximizes λ·sim(q,d) −
+    (1−λ)·max_{s∈picked} sim(d,s) — the de-duplicating final-page pass
+    every retrieval stack serves.  The k-step selection is UNROLLED into
+    chained plan stages (per-query argmax windows), mirroring the Lloyd
+    oracle pattern; no driver loop.  All sims 6-dp rounded first, so the
+    unrolled CTE replay is exact."""
+    from ..operators.similarity import brute_force_topk, mmr_rerank
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cand = brute_force_topk(em, _queries_df(spark, sf_dir), k=MMR_C) \
+        .select("query_id", "neighbor_id", "cos_sim")
+    return mmr_rerank(cand, em, k=MMR_K, lam=MMR_LAMBDA)
+
+
 PQ_M = 4        # subspaces (16 dims each)
 PQ_KS = 8       # codebook size per subspace
 PQ_ITERS = 1    # Lloyd rounds per codebook (unrolled in the oracle)
@@ -784,6 +805,7 @@ QUERIES = {
     "sim_ivf_topk": q_ivf_topk,
     "sim_ivf_filtered": q_ivf_filtered_topk,
     "sim_filtered_recall": q_filtered_recall,
+    "sim_mmr_diversify": q_mmr,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -939,6 +961,62 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM {src})
 WHERE rank <= {TOP_K}
+"""
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection chain: cand = exact top-C page per query,
+    pairs = C×C candidate sims, then k chained argmax CTEs replaying
+    mmr_rerank's per-step (round(λ·rel − (1−λ)·maxpen, 6) DESC,
+    neighbor ASC) pick exactly."""
+    lam, om = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    ctes = [f"""cand AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS rn
+    FROM (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}) a
+         JOIN vecs b ON b.vec_id != a.query_id)
+  WHERE rn <= {MMR_C})""",
+            f"""pairs AS (
+  SELECT c1.query_id, c1.neighbor_id AS pa, c2.neighbor_id AS pb,
+         round({_COS}, 6) AS sim
+  FROM cand c1 JOIN cand c2
+       ON c1.query_id = c2.query_id AND c1.neighbor_id != c2.neighbor_id
+  JOIN vecs a ON a.vec_id = c1.neighbor_id
+  JOIN vecs b ON b.vec_id = c2.neighbor_id)""",
+            """picks1 AS (
+  SELECT query_id, neighbor_id, cos_sim, 1 AS rank FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM cand) WHERE rn = 1)"""]
+    for i in range(2, MMR_K + 1):
+        prev = f"picks{i - 1}"
+        ctes.append(f"""pen{i} AS (
+  SELECT p.query_id, p.pa AS neighbor_id, max(p.sim) AS pen
+  FROM pairs p JOIN {prev} s
+       ON s.query_id = p.query_id AND s.neighbor_id = p.pb
+  GROUP BY 1, 2)""")
+        ctes.append(f"""pick{i} AS (
+  SELECT query_id, neighbor_id, cos_sim, {i} AS rank FROM (
+    SELECT c.query_id, c.neighbor_id, c.cos_sim,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY round({lam} * c.cos_sim - {om} * n.pen, 6) DESC,
+                      c.neighbor_id ASC) AS rn
+    FROM cand c JOIN pen{i} n
+         ON n.query_id = c.query_id AND n.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.query_id = c.query_id
+                        AND s.neighbor_id = c.neighbor_id))
+  WHERE rn = 1)""")
+        ctes.append(f"picks{i} AS (SELECT * FROM {prev} "
+                    f"UNION ALL SELECT * FROM pick{i})")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_VECS},
+{body}
+SELECT query_id, rank, neighbor_id, cos_sim FROM picks{MMR_K}
 """
 
 
@@ -1305,6 +1383,7 @@ WHERE rank <= {TOP_K}
     "sim_ivf_topk": _ivf_oracle(),
     "sim_ivf_filtered": _ivf_oracle(filtered=True),
     "sim_filtered_recall": _filtered_recall_oracle(),
+    "sim_mmr_diversify": _mmr_oracle(),
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
     # The persisted probe returns the identical relation to the in-flight

@@ -170,6 +170,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # proximity boost embeds bm25_topk's broadcast 1-row stats
         # relation; the pair stage is a doc_id equi-join (r14)
         "search_proximity",
+        # MMR re-ranks the exact brute-force top-C page (embedded
+        # broadcast scoring, by definition); the selection chain itself
+        # is per-query equi-joins over the |Q|·C candidate relation (r14)
+        "sim_mmr_diversify",
     }
     offenders = {}
     for name, fn in contract.queries().items():
