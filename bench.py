@@ -88,6 +88,9 @@ EXTRA = [
     "search_bm25f_topk",     # fielded BM25F (title+body weighted norms)
     "search_fuzzy_topk",     # OOV query-term expansion (Levenshtein<=1)
     "search_hybrid_rrf",     # BM25 + dense-cosine reciprocal-rank fusion
+    "search_proximity",      # positions-array min-gap boosted ranking (r14)
+    "sim_ivf_filtered",      # pre-filtered ANN (label pruned in-list, r14)
+    "sim_mmr_diversify",     # unrolled MMR diversity re-rank (r14)
     # CHANGELOG (round 11, per VERDICT r10 #2): dedup_store_rollover and
     # stream_dedup_near_live are RETIRED from the bench — both rebuild
     # their fingerprint store from scratch per run (certification shape;

@@ -144,6 +144,18 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(recon_err, 6).alias("max_recon_err"))
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 memory tier under EXACT oracle check: asymmetric search —
+    full-precision queries against the int8-quantized (scale=max|x|/127)
+    then reconstructed corpus, the 4x-smaller-scan serving path between
+    full floats and PQ codes.  Deterministic quantizer (shared with
+    sim_quantize_int8), so ranking over the lossy store replays in SQL."""
+    from ..operators.similarity import sq8_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(em, _queries_df(spark, sf_dir), k=TOP_K)
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 IVF_NPROBE = 2
@@ -806,6 +818,7 @@ QUERIES = {
     "sim_ivf_filtered": q_ivf_filtered_topk,
     "sim_filtered_recall": q_filtered_recall,
     "sim_mmr_diversify": q_mmr,
+    "sim_sq8_topk": q_sq8_topk,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -1384,6 +1397,26 @@ WHERE rank <= {TOP_K}
     "sim_ivf_filtered": _ivf_oracle(filtered=True),
     "sim_filtered_recall": _filtered_recall_oracle(),
     "sim_mmr_diversify": _mmr_oracle(),
+    # asymmetric SQ8: full-precision queries vs the reconstructed int8
+    # store; quantizer expression shared with sim_quantize_int8's oracle
+    "sim_sq8_topk": f"""
+WITH {_VECS},
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM vecs),
+dq AS (SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS v
+       FROM s),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
+  FROM q a JOIN dq b ON b.vec_id != a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+""",
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
     # The persisted probe returns the identical relation to the in-flight

@@ -116,6 +116,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # exact baseline scores every vector against the broadcast query
         # set by definition (the scale paths are sim_ann_lsh / IVF)
         "sim_ann_bruteforce", "sim_ann_lsh",
+        # SQ8 is the same full-scan broadcast scoring over the
+        # reconstructed int8 store — the win is the 4x-smaller scan,
+        # not candidate pruning (IVF composes on top) (r14)
+        "sim_sq8_topk",
         # recall = persisted-probe top-k ∩ brute-force top-k: the exact
         # ground-truth side embeds sim_ann_bruteforce's broadcast scoring
         # pass by definition (the ANN side stays list-pruned)
