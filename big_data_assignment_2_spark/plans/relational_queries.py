@@ -107,6 +107,56 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- join family -----------------------------------------------------------
 
+def q_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers whose
+    line was RETURNED on a finished multi-supplier order where NO OTHER
+    supplier's line was returned — correlated EXISTS + NOT EXISTS, the
+    classic decorrelation stress.  Expressed directly as one leftsemi and
+    one leftanti join (what Catalyst decorrelates the subqueries into);
+    both carry the l_orderkey equi-key with the suppkey inequality as a
+    join residual, so they plan as hash joins, never a product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey")
+          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .drop("o_orderkey"))
+    l2 = li.select(F.col("l_orderkey").alias("__ok"),
+                   F.col("l_suppkey").alias("__sk"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("__ok"),
+                  F.col("l_suppkey").alias("__sk")))
+    same_order = (F.col("l_orderkey") == F.col("__ok")) & \
+        (F.col("l_suppkey") != F.col("__sk"))
+    sole = (l1.join(l2, same_order, "leftsemi")     # another supplier exists
+            .join(l3, same_order, "leftanti"))      # ...but none returned
+    return (sole.join(F.broadcast(s),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10."""
     c = load_table(spark, sf_dir, "customer").filter(
@@ -880,6 +930,7 @@ QUERIES = {
     "rel_rollup": q_rollup,
     "rel_cube": q_cube,
     "rel_q3_top10": q_q3_shipping_priority,
+    "rel_q21_sole_blame": q_q21_sole_blame,
     "rel_region_revenue": q_region_revenue,
     "rel_nation_volume": q_nation_volume,
     "rel_returned_top_customers": q_returned_top_customers,
@@ -1055,6 +1106,7 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "rel_q3_top10": _Q3_SQL,
+    "rel_q21_sole_blame": _Q21_SQL,
     "rel_region_revenue": _Q5_SQL,
     "rel_nation_volume": """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
