@@ -580,7 +580,65 @@ def q_stream_dedup_rollover_restart(spark: SparkSession,
     return spark.read.parquet(sink)
 
 
+def q_stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN INGEST (r14): new vectors arrive as micro-batches and
+    are folded into the persisted IVF+PQ store by encoding against the
+    FROZEN stored codebooks and appending to the list-partitioned codes
+    (persist.ivfpq_append — the FAISS add() path; map-side, no retrain,
+    no cross-batch ordering requirement), then the query set is answered
+    from the grown index.  The streaming twin of sim_ivfpq_append_probe:
+    the oracle is IDENTICAL (Lloyd chains over the base rows only,
+    assignment/codes/ADC over the full corpus), so a green row certifies
+    that continuous vector ingest through the real micro-batch runtime
+    serves old + new rows exactly like the one-shot batch append."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.persist import (ivfpq_append, ivfpq_probe_persisted,
+                                     write_ivfpq)
+    from ..streaming.windows import _MEMSINK_SEQ
+    from .similarity_queries import (APPEND_MOD, APPEND_REM, IVFPQ_COARSE_K,
+                                     IVFPQ_COARSE_ITERS, IVFPQ_NPROBE, PQ_ITERS,
+                                     PQ_KS, PQ_M, TOP_K, _queries_df)
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base_dir = os.path.join(scratch,
+                            f"ann_ingest_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    cleanup_stale_scratch(scratch, "ann_ingest_*", keep=base_dir)
+    path, src = (os.path.join(base_dir, d) for d in ("index", "src"))
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    base = em.filter((nid % APPEND_MOD) != APPEND_REM)
+    delta = em.filter((nid % APPEND_MOD) == APPEND_REM)
+    write_ivfpq(base, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+
+    # Two ingest "days" of new vectors, one source file each (drained
+    # oldest-first, one micro-batch per file).
+    day1_files: set = set()
+    for day, rem in enumerate((APPEND_REM, APPEND_MOD + APPEND_REM)):
+        delta.filter((nid % (2 * APPEND_MOD)) == rem).repartition(1) \
+            .write.mode("append").parquet(src)
+        if day == 0:
+            day1_files = _parquet_files(src)
+    _bump_mtime_after(src, day1_files)
+
+    inc = (spark.readStream.schema(em.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (inc.writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: ivfpq_append(b, path))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
 QUERIES = {
+    "stream_ann_ingest_live": q_stream_ann_ingest_live,
     "stream_dedup_rollover_restart": q_stream_dedup_rollover_restart,
     "stream_dedup_rollover_live": q_stream_dedup_rollover_live,
     "stream_dedup_near_live": q_stream_dedup_near_live,
@@ -754,6 +812,11 @@ FROM sessions GROUP BY user_id, session_id
 
 # Runtime-certified twins share the batch twins' oracles verbatim: same
 # semantics, different execution engine path.
+# Streaming ANN ingest ends in the exact final state of the one-shot batch
+# append, so it shares sim_ivfpq_append_probe's first-principles replay.
+from .similarity_queries import ORACLES as _SIM_ORACLES  # noqa: E402
+
+ORACLES["stream_ann_ingest_live"] = _SIM_ORACLES["sim_ivfpq_append_probe"]
 ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]
 ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]
 # Single-file availableNow drain = one micro-batch, so the surviving
