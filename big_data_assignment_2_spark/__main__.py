@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--limit", type=int, default=20,
                     help="max rows to print (the plan still fully runs)")
 
+    se = sub.add_parser(
+        "explain", help="print a declared query's physical plan (no run)")
+    se.add_argument("name")
+    se.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost"])
+
     args = p.parse_args(argv)
     if args.cmd == "bench":
         import bench
@@ -105,6 +111,19 @@ def main(argv: list[str] | None = None) -> int:
             for row in rows[:args.limit]:
                 print(tuple(row))
             print(f"-- {len(rows)} rows ({args.name})")
+        elif args.cmd == "explain":
+            from .plans import all_queries
+
+            qs = all_queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; see `list`",
+                      file=sys.stderr)
+                return 2
+            # Note: declared queries whose BUILDER runs side effects
+            # (persisted-store and *_live streaming rows) execute those
+            # while constructing the DataFrame; the returned probe's plan
+            # is still printed without collecting it.
+            qs[args.name](spark, args.sf_dir).explain(mode=args.mode)
     finally:
         spark.stop()
     return 0
