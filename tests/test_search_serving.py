@@ -65,3 +65,23 @@ def test_proximity_boost_bounds_and_single_term_identity(spark, sf_dir):
         else:
             assert r["min_dist"] >= 1
             assert r["score"] < r["boosted"] <= round(2 * r["score"], 6) + 1e-9
+
+
+def test_facets_null_value_not_misattributed(spark):
+    """A NULL facet VALUE must stay a row of its own dimension (the
+    grouping() indicator distinguishes 'aggregated away' from 'value is
+    NULL') — naive coalesce-only shaping would collapse it into the
+    other dimension."""
+    from big_data_assignment_2_spark.operators.index import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "vector fast", None, "s1"), (1, "vector slow", "en", None),
+         (2, "other text", "de", "s2")],
+        "doc_id long, text string, lang string, source string")
+    ix = build_index(docs)
+    res = facet_counts(ix["term_document"], docs, ["vector"],
+                       ["lang", "source"]).collect()
+    got = {(r["facet"], r["value"]): r["n_docs"] for r in res}
+    # match set = docs 0,1 (contain 'vector'); doc 0 lang NULL, doc 1 source NULL
+    assert got == {("lang", None): 1, ("lang", "en"): 1,
+                   ("source", "s1"): 1, ("source", None): 1}
