@@ -445,7 +445,8 @@ def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
 def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
                           queries: DataFrame, k: int = 10, nprobe: int = 2,
                           dim: int = 64, vec_col: str = "embedding",
-                          q_id_col: str = "query_id") -> DataFrame:
+                          q_id_col: str = "query_id",
+                          allowed: DataFrame | None = None) -> DataFrame:
     """Serve ANN queries from a PERSISTED IVF+PQ index — the mirror of
     :func:`bm25_probe_persisted` for vectors: read the (tiny) codebooks
     once, select each query's nprobe lists, scan ONLY those lists'
@@ -489,8 +490,12 @@ def ivfpq_probe_persisted(spark: SparkSession, base_path: str,
     # top-k fills from survivors; compaction removes them physically.
     codes = mask_tombstones(codes, _ivfpq_tombstones(spark, base_path),
                             "neighbor_id")
+    # ``allowed``: optional (query_id, neighbor_id) predicate-passing
+    # pairs — pre-filters candidates inside the probed lists (metadata-
+    # filtered ANN on the persisted serving path; see ivfpq_score).
     return ivfpq_score(codes, queries, cent, books, k=k, nprobe=nprobe,
-                       dim=dim, vec_col=vec_col, q_id_col=q_id_col)
+                       dim=dim, vec_col=vec_col, q_id_col=q_id_col,
+                       allowed=allowed)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,

@@ -349,6 +349,44 @@ def q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=TOP_K, nprobe=IVFPQ_NPROBE)
 
 
+def q_ivfpq_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN on the PERSISTED serving path: each query
+    retrieves its top-k among same-label vectors only, the label
+    predicate applied as a pre-filter (left-semi of allowed pairs)
+    INSIDE the probed lists of the stored m-byte codes — never by
+    post-filtering a truncated unfiltered page.  The allowed relation
+    is a label equi-join of the query set against the metadata sidecar
+    (what a real store keeps beside the codes when the filter column
+    isn't the partition key); it composes in-plan, nothing
+    materializes.  Reuses q_ivfpq_probe_persisted's prebuilt index
+    (same path, same training), so the oracle is the in-flight replay
+    plus the label pruning."""
+    import os
+    import tempfile
+
+    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # Same path and training as q_ivfpq_probe_persisted; rebuilt here too
+    # (overwrite) so a stale index from an older corpus can't serve.
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        f"ivfpq_index_{sf_tag}")
+    write_ivfpq(em, base, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    q = (em.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    allowed = (q.select("query_id", F.col("label").alias("__ql"))
+               .join(em.select(F.col("vec_id").alias("neighbor_id"),
+                               F.col("label").alias("__ql")), "__ql")
+               .select("query_id", "neighbor_id"))
+    return ivfpq_probe_persisted(spark, base,
+                                 q.select("query_id", "embedding"),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE,
+                                 allowed=allowed)
+
+
 # Incremental append split: vec_id % 10 == 9 plays the day's new vectors.
 # The base keeps ids 0..8, so the lowest-id Lloyd inits (coarse k=4,
 # sub-codebooks ks=8) are identical to limit(k) on the base relation.
@@ -811,6 +849,7 @@ QUERIES = {
     "sim_ivfpq_quality_boundedc": q_ivfpq_quality_boundedc,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
+    "sim_ivfpq_filtered_probe": q_ivfpq_filtered_probe,
     "sim_ivfpq_topk": q_ivfpq_topk,
     "sim_pq_topk": q_pq_topk,
     "sim_tfidf_topk": q_tfidf_topk,
@@ -1158,7 +1197,8 @@ WHERE rank <= {TOP_K}
 
 def _ivfpq_oracle(base_pred: str | None = None,
                   score_pred: str | None = None,
-                  topk: int = TOP_K) -> str:
+                  topk: int = TOP_K,
+                  filtered: bool = False) -> str:
     """Replays ivfpq_topk end-to-end: coarse Lloyd (k=IVFPQ_COARSE_K
     over the full 64-dim vectors), assignment + RESIDUALS, per-subspace
     sub-Lloyd codebooks trained on residual slices, argmin codes,
@@ -1178,7 +1218,11 @@ def _ivfpq_oracle(base_pred: str | None = None,
     query set untouched) — the tombstone-delete oracle: a deleted
     vector's codes are masked at probe time, so the served neighbors
     come from the surviving rows while the frozen codebooks still
-    reflect the original training."""
+    reflect the original training.
+
+    ``filtered`` prunes the ranked candidates to the query's label
+    (same-label pre-filter before the top-k window) — the twin of the
+    persisted probe's ``allowed`` pre-filter relation."""
     kc, ci, np_ = IVFPQ_COARSE_K, IVFPQ_COARSE_ITERS, IVFPQ_NPROBE
     m, ks, pqi, sub = PQ_M, PQ_KS, PQ_ITERS, 64 // PQ_M
 
@@ -1268,6 +1312,13 @@ def _ivfpq_oracle(base_pred: str | None = None,
         for s in range(m))
     cent_joins = " ".join(
         f"JOIN s{s}c{pqi} cs{s} ON cs{s}.cid = c.c{s}" for s in range(m))
+    src = "scored"
+    if filtered:
+        ctes.append("lbl AS (SELECT vec_id, label FROM embeddings)")
+        src = """(
+  SELECT s.query_id, s.neighbor_id, s.adc_dist
+  FROM scored s JOIN lbl bl ON bl.vec_id = s.neighbor_id
+       JOIN lbl ql ON ql.vec_id = s.query_id AND bl.label = ql.label)"""
     ctes_sql = ",\n".join(ctes)
     return f"""
 WITH {_VECS},
@@ -1282,7 +1333,7 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
   SELECT query_id, neighbor_id, adc_dist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-  FROM scored)
+  FROM {src})
 WHERE rank <= {topk}
 """
 
@@ -1419,6 +1470,7 @@ WHERE rank <= {TOP_K}
 """,
     "sim_pq_topk": _pq_oracle(),
     "sim_ivfpq_topk": _ivfpq_oracle(),
+    "sim_ivfpq_filtered_probe": _ivfpq_oracle(filtered=True),
     # The persisted probe returns the identical relation to the in-flight
     # query by construction (same deterministic training, exact parquet
     # double round-trip, same serving plan over the stored codes) — so its

@@ -71,3 +71,24 @@ def test_filtered_brute_force_is_filtered_full_ranking(spark, sf_dir):
             perq[r["query_id"]] = n + 1
             want[(r["query_id"], n + 1)] = r["neighbor_id"]
     assert got == want
+
+
+def test_persisted_probe_allowed_all_is_identity(spark, sf_dir, tmp_path):
+    """allowed = every (query, candidate) pair must change nothing — the
+    pre-filter semi-join is a pure restriction, not a re-scorer."""
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_probe_persisted, write_ivfpq)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = str(tmp_path / "ivfpq_allowed_identity")
+    write_ivfpq(em, base, n_centroids=4, coarse_iters=1, m=4, ks=8,
+                pq_iters=1)
+    q = em.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    allowed = (q.select("query_id").crossJoin(
+        em.select(F.col("vec_id").alias("neighbor_id"))))
+    plain = ivfpq_probe_persisted(spark, base, q, k=5, nprobe=2)
+    filt = ivfpq_probe_persisted(spark, base, q, k=5, nprobe=2,
+                                 allowed=allowed)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, filt.collect()))
