@@ -265,7 +265,31 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("zval").alias("max_z"))
 
 
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICS-ONLY aggregation: count/min/max answered from parquet
+    FOOTER metadata — the scan returns aggregate results, no data pages
+    read (plan shows ``PushedAggregation``; at 100 TB this is the
+    difference between a metadata listing and a full-table scan).
+
+    Needs the DataSource-V2 parquet reader (`useV1SourceList` cleared)
+    plus ``parquet.aggregatePushdown``; both are set on an ISOLATED
+    ``spark.newSession()`` clone (shared SparkContext, separate SQLConf)
+    so no other query's plan changes — the returned DataFrame keeps the
+    clone's conf at execution time.  tests/test_sources.py asserts the
+    PushedAggregation plan shape and that V1 answers identically."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("l_quantity").alias("min_qty"),
+                  F.max("l_quantity").alias("max_qty"),
+                  F.min("l_extendedprice").alias("min_price"),
+                  F.max("l_extendedprice").alias("max_price"))
+
+
 QUERIES = {
+    "source_agg_pushdown": q_agg_pushdown,
     "source_zorder_prune": q_zorder_prune,
     "source_stratified_sample": q_stratified_sample,
     "source_orc_roundtrip": q_orc_roundtrip,
@@ -293,6 +317,12 @@ _ZVAL = _zval_sql("o_custkey",
                   "datediff('day', DATE '1992-01-01', o_orderdate)")
 
 ORACLES = {
+    "source_agg_pushdown": """
+SELECT count(*) AS n_rows,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem
+""",
     # Oracles aggregate the ORIGINAL parquet: equality certifies the
     # write→read cycle, not just the aggregation.
     "source_zorder_prune": f"""

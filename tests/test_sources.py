@@ -233,3 +233,26 @@ def test_zorder_layout_prunes_box_rowgroups(spark, sf_dir, tmp_path):
     r_hit, r_total = touched(rpath)
     assert r_hit == r_total          # random layout: every group intersects
     assert z_hit < r_hit             # Z-layout prunes the 2-D box
+
+
+def test_agg_pushdown_plan_and_v1_parity(spark, sf_dir):
+    """The stats-only aggregation must (a) plan as PushedAggregation on
+    the V2 scan — metadata answered, no data pages — and (b) equal the
+    default V1 full-scan aggregation exactly; the conf isolation must
+    leave the parent session on V1."""
+    from big_data_assignment_2_spark.plans.source_queries import \
+        q_agg_pushdown
+
+    df = q_agg_pushdown(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in plan, plan
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = li.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.min("l_quantity").alias("min_qty"),
+                  F.max("l_quantity").alias("max_qty"),
+                  F.min("l_extendedprice").alias("min_price"),
+                  F.max("l_extendedprice").alias("max_price")).collect()
+    assert df.collect() == want
+    # parent session conf untouched (V1 list still defaults non-empty)
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") != ""
