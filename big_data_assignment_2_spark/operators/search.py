@@ -533,3 +533,61 @@ def proximity_boosted_topk(spark: SparkSession, query: str,
             .withColumn("boosted", F.round(F.col("score") * boost, 6))
             .select("doc_id", "score", "min_dist", "boosted")
             .orderBy(F.desc("boosted"), F.asc("doc_id")).limit(k))
+
+
+def eval_rankings(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """IR evaluation harness: per-query nDCG@k and AP@k of a ranked run
+    against graded qrels — the offline metric loop every search migration
+    runs before switching rankers (trec_eval's two headline numbers).
+
+    ``run``: (query_id, doc_id, rank) — any ranker's output, rank 1-based.
+    ``qrels``: (query_id, doc_id, grade) — graded relevance, grade ≥ 1 for
+    relevant (binary AP treats grade ≥ 1 as relevant).
+
+    nDCG@k = Σ (2^grade − 1)/log2(pos+1) over the run's top-k, normalized
+    by the ideal DCG from the qrels' own grade ordering (ties by doc_id,
+    deterministic).  AP@k = mean over relevant retrieved positions of
+    precision-at-that-position, divided by min(|relevant|, k).
+
+    Shape: run⋈qrels is an equi-join on (query_id, doc_id); the ideal-DCG
+    ranking is a per-query window over qrels — everything distributes, no
+    driver math.  6-dp rounded so the SQL twin hash-matches."""
+    from pyspark.sql import Window
+
+    r = run.filter(F.col("rank") <= k)
+    hit = (r.join(qrels, ["query_id", "doc_id"], "left")
+           .withColumn("grade", F.coalesce("grade", F.lit(0))))
+    # discount = ln(pos+1)/ln(2) (not F.log2): the ln-ratio is the exact
+    # expression the DuckDB twin evaluates, and ln parity is already
+    # established across engines by the BM25 idf oracles
+    gain = (F.pow(F.lit(2.0), F.col("grade")) - 1.0) / \
+        (F.log(F.col("rank").cast("double") + 1.0) / F.log(F.lit(2.0)))
+    dcg = hit.groupBy("query_id").agg(F.sum(gain).alias("__dcg"))
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("grade"), F.asc("doc_id"))
+    ideal = (qrels.withColumn("__ipos", F.row_number().over(wq))
+             .filter(F.col("__ipos") <= k)
+             .groupBy("query_id")
+             .agg(F.sum((F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                        / (F.log(F.col("__ipos").cast("double") + 1.0)
+                           / F.log(F.lit(2.0))))
+                  .alias("__idcg")))
+
+    wr = Window.partitionBy("query_id").orderBy("rank")
+    rel = hit.withColumn("__isrel", (F.col("grade") >= 1).cast("int"))
+    prec = (rel.withColumn("__nrel_at", F.sum("__isrel").over(wr))
+            .filter(F.col("__isrel") == 1)
+            .groupBy("query_id")
+            .agg(F.sum(F.col("__nrel_at") / F.col("rank")).alias("__ap_num"),
+                 F.count("*").alias("__n_hit")))
+    nrel = qrels.filter(F.col("grade") >= 1).groupBy("query_id") \
+        .agg(F.least(F.count("*"), F.lit(k)).alias("__nrel"))
+
+    return (dcg.join(ideal, "query_id")
+            .join(nrel, "query_id")
+            .join(prec, "query_id", "left")
+            .select("query_id",
+                    F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+                    F.round(F.coalesce(F.col("__ap_num"), F.lit(0.0))
+                            / F.col("__nrel"), 6).alias("ap")))

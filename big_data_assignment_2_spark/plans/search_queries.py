@@ -478,6 +478,35 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ix["documents_info"], k=10)
 
 
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranker evaluation (operators.search.eval_rankings —
+    trec_eval's two headline numbers as distributed relational math):
+    nDCG@10 and AP@10 of the plain-BM25 page against graded qrels derived
+    from the BM25F fielded ranking (grade = 11 − fielded rank) — the
+    ranker-migration A/B question ("how far is the old ranker from the
+    new one's ordering") asked offline, deterministically."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.search import bm25_topk, eval_rankings
+
+    docs = load_table(spark, sf_dir, "documents")
+    ix = build_index(docs)
+    page = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
+                     ix["document_frequency"], ix["documents_info"], k=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    run = (page.withColumn("query_id", F.lit("q1"))
+           .withColumn("rank", F.row_number().over(w))
+           .select("query_id", "doc_id", "rank"))
+    qrels = (q_bm25f_topk(spark, sf_dir)
+             .withColumn("query_id", F.lit("q1"))
+             .withColumn("grade", F.lit(11) - F.row_number().over(w))
+             .select("query_id", "doc_id", "grade"))
+    return eval_rankings(run, qrels, k=10)
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search over the postings arrays."""
     from ..operators.index import build_index
@@ -504,6 +533,7 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "search_eval_ndcg": q_eval_ndcg,
     "search_facets": q_facets,
     "search_page_after": q_page_after,
     "search_proximity": q_proximity,
@@ -1001,3 +1031,48 @@ ORACLES["search_bm25_batch_probe"] = _batch_sql(
 # the green row's information is that the partition append + df-log sum +
 # stats append reconstruct the exact index state.
 ORACLES["search_bm25_append_probe"] = ORACLES["search_bm25_topk"]
+
+
+# Offline ranker eval: nDCG@10 / AP@10 of plain BM25 vs BM25F-graded
+# qrels — both retrievers replayed by their existing oracle statements
+# (DuckDB allows WITH inside a derived table), metric math in SQL.
+ORACLES["search_eval_ndcg"] = f"""
+WITH run AS (
+  SELECT 'q1' AS query_id, doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({ORACLES["search_bm25_topk"]})),
+qrels AS (
+  SELECT 'q1' AS query_id, doc_id,
+         11 - row_number() OVER (ORDER BY score DESC, doc_id ASC) AS grade
+  FROM ({ORACLES["search_bm25f_topk"]})),
+hit AS (
+  SELECT r.query_id, r.rank, coalesce(q.grade, 0) AS grade
+  FROM run r LEFT JOIN qrels q
+       ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
+dcg AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS d
+  FROM hit GROUP BY 1),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / (ln(ipos + 1.0) / ln(2.0))) AS i
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id ASC) AS ipos
+        FROM qrels)
+  WHERE ipos <= 10 GROUP BY 1),
+prec AS (
+  SELECT query_id, sum(nrel_at * 1.0 / rank) AS ap_num
+  FROM (SELECT query_id, rank, grade,
+               sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY query_id ORDER BY rank) AS nrel_at
+        FROM hit)
+  WHERE grade >= 1 GROUP BY 1),
+nrel AS (
+  SELECT query_id, least(count(*), 10) AS nr
+  FROM qrels WHERE grade >= 1 GROUP BY 1)
+SELECT d.query_id, round(d.d / i.i, 6) AS ndcg,
+       round(coalesce(p.ap_num, 0) / n.nr, 6) AS ap
+FROM dcg d JOIN ideal i USING (query_id) JOIN nrel n USING (query_id)
+LEFT JOIN prec p USING (query_id)
+"""

@@ -178,6 +178,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # broadcast scoring, by definition); the selection chain itself
         # is per-query equi-joins over the |Q|·C candidate relation (r14)
         "sim_mmr_diversify",
+        # ranker eval embeds BOTH retrievers under comparison (bm25 +
+        # bm25f, each with its broadcast 1-row stats relation); the
+        # metric math itself is equi-joins + windows (r14)
+        "search_eval_ndcg",
     }
     offenders = {}
     for name, fn in contract.queries().items():

@@ -85,3 +85,33 @@ def test_facets_null_value_not_misattributed(spark):
     # match set = docs 0,1 (contain 'vector'); doc 0 lang NULL, doc 1 source NULL
     assert got == {("lang", None): 1, ("lang", "en"): 1,
                    ("source", "s1"): 1, ("source", None): 1}
+
+
+def test_eval_rankings_identity_and_hand_case(spark):
+    """A run identical to the qrels ordering scores nDCG=AP=1; a
+    hand-computed 3-doc case pins the metric arithmetic."""
+    import math
+
+    from big_data_assignment_2_spark.operators.search import eval_rankings
+
+    qrels = spark.createDataFrame(
+        [("q", "a", 3), ("q", "b", 2), ("q", "c", 1)],
+        "query_id string, doc_id string, grade int")
+    perfect = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "query_id string, doc_id string, rank int")
+    row = eval_rankings(perfect, qrels, k=10).collect()[0]
+    assert row["ndcg"] == 1.0 and row["ap"] == 1.0
+
+    # reversed run, plus an irrelevant doc at rank 2
+    run = spark.createDataFrame(
+        [("q", "c", 1), ("q", "x", 2), ("q", "b", 3), ("q", "a", 4)],
+        "query_id string, doc_id string, rank int")
+    row = eval_rankings(run, qrels, k=10).collect()[0]
+    def disc(pos):
+        return math.log(pos + 1.0) / math.log(2.0)
+    dcg = (2**1 - 1)/disc(1) + 0 + (2**2 - 1)/disc(3) + (2**3 - 1)/disc(4)
+    idcg = (2**3 - 1)/disc(1) + (2**2 - 1)/disc(2) + (2**1 - 1)/disc(3)
+    ap = (1/1 + 2/3 + 3/4) / 3
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    assert row["ap"] == round(ap, 6)
