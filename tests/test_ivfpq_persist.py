@@ -212,3 +212,22 @@ def test_delete_masks_and_compaction_removes(spark, embeddings, queries_df):
         again = ivfpq_probe_persisted(spark, path, queries_df,
                                       k=5, nprobe=2).collect()
         assert sorted(map(tuple, again)) == sorted(map(tuple, after))
+
+
+def test_filtered_probe_keeps_partition_pruning(spark, embeddings,
+                                                queries_df, index_dir):
+    """The `allowed` pre-filter semi-join must not defeat the probed-list
+    partition pruning: the plan still carries the list_id PartitionFilters
+    on the code scan."""
+    from pyspark.sql import functions as F
+
+    allowed = (queries_df.select("query_id").crossJoin(
+        embeddings.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("neighbor_id") % 2 == 0))
+    probe = ivfpq_probe_persisted(spark, index_dir, queries_df, k=5,
+                                  nprobe=1, allowed=allowed)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    rows = probe.collect()
+    assert rows
+    assert all(int(r["neighbor_id"]) % 2 == 0 for r in rows)
