@@ -479,13 +479,18 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = build_index(docs)
     page = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
                      ix["document_frequency"], ix["documents_info"], k=10)
+    # query_id joins in as a 1-row RELATION, not a lit(): a literal
+    # partition key constant-folds away and every per-query window in the
+    # metric math degrades to an unpartitioned WindowExec (the
+    # single-partition warning); a scan-sourced column keeps them
+    # partitioned for the general multi-query case this row stands for.
+    qid = F.broadcast(spark.createDataFrame([("q1",)], "query_id string"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
-    run = (page.withColumn("query_id", F.lit("q1"))
+    run = (page.crossJoin(qid)
            .withColumn("rank", F.row_number().over(w))
            .select("query_id", "doc_id", "rank"))
-    qrels = (q_bm25f_topk(spark, sf_dir)
-             .withColumn("query_id", F.lit("q1"))
+    qrels = (q_bm25f_topk(spark, sf_dir).crossJoin(qid)
              .withColumn("grade", F.lit(11) - F.row_number().over(w))
              .select("query_id", "doc_id", "grade"))
     return eval_rankings(run, qrels, k=10)
