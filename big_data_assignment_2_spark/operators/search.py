@@ -501,10 +501,16 @@ def proximity_boosted_topk(spark: SparkSession, query: str,
     of the stored positions arrays (after phrase_match/snippets).
 
     min_dist(doc) = the smallest gap between occurrences of two DIFFERENT
-    query terms, computed IN-ROW from the postings' positions arrays
-    (array_min over a per-pair distance matrix — no token-level explode);
-    the pair relation is the per-doc self-join of the ≤|q| matched
-    postings rows, so its size is bounded by |q|² per document.
+    query terms, computed IN-ROW from the postings' positions arrays —
+    a LINEAR fold over the two merged (sorted) position lists, not a
+    |a|×|b| distance matrix: the min gap between two sorted sequences
+    is always achieved by an adjacent pair in their merge, so one
+    O(|a|+|b|) pass tracking the last position seen from each side
+    suffices (a matrix would materialize |a|·|b| elements in ONE row —
+    quadratic in term frequency, an executor-OOM row for two terms that
+    each occur thousands of times in a long document).  The pair
+    relation is the per-doc self-join of the ≤|q| matched postings
+    rows, so its size is bounded by |q|² per document.
 
     final = round(bm25 * (1 + 1/(1 + min_dist)), 6); single-term matches
     keep their BM25 score (no pair → boost 1).  Returns
@@ -517,12 +523,37 @@ def proximity_boosted_topk(spark: SparkSession, query: str,
     hits = (term_document.join(F.broadcast(terms_df), "term")
             .select("term", "doc_id", "positions"))
     a, b = hits.alias("a"), hits.alias("b")
-    pair_min = F.array_min(F.flatten(F.transform(
-        F.col("a.positions"),
-        lambda x: F.transform(F.col("b.positions"), lambda y: F.abs(x - y)))))
+    # Tag each side, merge-sort by position, then fold once: on an A
+    # element the candidate gap is (pos - last B seen), and vice versa.
+    # Sentinel -1 = "none seen yet"; best starts at a gap no document
+    # can exceed (positions are int32).
+    tagged = F.array_sort(F.concat(
+        F.transform(F.col("a.positions"),
+                    lambda x: F.struct(x.alias("p"),
+                                       F.lit(0).alias("side"))),
+        F.transform(F.col("b.positions"),
+                    lambda y: F.struct(y.alias("p"),
+                                       F.lit(1).alias("side")))))
+    big = F.lit(2 ** 31 - 1)
+    init = F.struct(F.lit(-1).alias("la"), F.lit(-1).alias("lb"),
+                    big.alias("best"))
+    merged_min = F.aggregate(
+        tagged, init,
+        lambda acc, s: F.struct(
+            F.when(s["side"] == 0, s["p"]).otherwise(acc["la"]).alias("la"),
+            F.when(s["side"] == 1, s["p"]).otherwise(acc["lb"]).alias("lb"),
+            F.least(
+                acc["best"],
+                F.when((s["side"] == 0) & (acc["lb"] >= 0),
+                       s["p"] - acc["lb"])
+                .when((s["side"] == 1) & (acc["la"] >= 0),
+                      s["p"] - acc["la"])
+                .otherwise(acc["best"])).alias("best")),
+        lambda acc: acc["best"])
     mind = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                    & (F.col("a.term") < F.col("b.term")))
-            .select(F.col("a.doc_id").alias("doc_id"), pair_min.alias("__d"))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    merged_min.alias("__d"))
             .groupBy("doc_id").agg(F.min("__d").alias("min_dist")))
     scores = bm25_scores(spark, query, term_document, document_frequency,
                          documents_info).withColumn("score", F.round("score", 6))
@@ -579,8 +610,7 @@ def eval_rankings(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     prec = (rel.withColumn("__nrel_at", F.sum("__isrel").over(wr))
             .filter(F.col("__isrel") == 1)
             .groupBy("query_id")
-            .agg(F.sum(F.col("__nrel_at") / F.col("rank")).alias("__ap_num"),
-                 F.count("*").alias("__n_hit")))
+            .agg(F.sum(F.col("__nrel_at") / F.col("rank")).alias("__ap_num")))
     nrel = qrels.filter(F.col("grade") >= 1).groupBy("query_id") \
         .agg(F.least(F.count("*"), F.lit(k)).alias("__nrel"))
 

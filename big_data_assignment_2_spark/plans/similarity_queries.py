@@ -320,6 +320,26 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       pq_iters=PQ_ITERS)
 
 
+def _build_shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (overwrite) the full-corpus persisted IVF+PQ index at the
+    per-sf shared path — the ONE path+training definition the plain and
+    filtered persisted-probe rows both rely on ("same path, same
+    training"); a param or path edit here moves both rows together."""
+    import os
+    import tempfile
+
+    from ..operators.persist import write_ivfpq
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        f"ivfpq_index_{sf_tag}")
+    write_ivfpq(em, base, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    return base
+
+
 def q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED ANN serving path: build-once (write_ivfpq — coarse
     centroids, sub-codebooks, and list_id-partitioned m-byte codes as
@@ -333,18 +353,9 @@ def q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist→probe cycle.  This is the number that matters at 100 TB:
     the index is built once and probed millions of times (bench times
     the probe against a prebuilt index — see bench.py)."""
-    import os
-    import tempfile
+    from ..operators.persist import ivfpq_probe_persisted
 
-    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
-
-    em = load_table(spark, sf_dir, "embeddings")
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
-                        f"ivfpq_index_{sf_tag}")
-    write_ivfpq(em, base, n_centroids=IVFPQ_COARSE_K,
-                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
-                pq_iters=PQ_ITERS)
+    base = _build_shared_ivfpq_index(spark, sf_dir)
     return ivfpq_probe_persisted(spark, base, _queries_df(spark, sf_dir),
                                  k=TOP_K, nprobe=IVFPQ_NPROBE)
 
@@ -361,20 +372,13 @@ def q_ivfpq_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes.  Reuses q_ivfpq_probe_persisted's prebuilt index
     (same path, same training), so the oracle is the in-flight replay
     plus the label pruning."""
-    import os
-    import tempfile
-
-    from ..operators.persist import ivfpq_probe_persisted, write_ivfpq
+    from ..operators.persist import ivfpq_probe_persisted
 
     em = load_table(spark, sf_dir, "embeddings")
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # Same path and training as q_ivfpq_probe_persisted; rebuilt here too
-    # (overwrite) so a stale index from an older corpus can't serve.
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
-                        f"ivfpq_index_{sf_tag}")
-    write_ivfpq(em, base, n_centroids=IVFPQ_COARSE_K,
-                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
-                pq_iters=PQ_ITERS)
+    # Shared builder: same path and training as q_ivfpq_probe_persisted,
+    # rebuilt (overwrite) so a stale index from an older corpus can't
+    # serve.
+    base = _build_shared_ivfpq_index(spark, sf_dir)
     q = (em.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
     allowed = (q.select("query_id", F.col("label").alias("__ql"))
