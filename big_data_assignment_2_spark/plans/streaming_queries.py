@@ -637,8 +637,67 @@ def q_stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=TOP_K, nprobe=IVFPQ_NPROBE)
 
 
+def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE foreachBatch sink (r14): each micro-batch writes its
+    per-type aggregate to a batch_id-keyed partition directory with
+    OVERWRITE — the idempotent-sink pattern that upgrades foreachBatch's
+    at-least-once delivery to effectively-once (a replayed batch
+    overwrites its own partition instead of appending a duplicate).
+    The replay is EXERCISED, not assumed: batch 0's emit deliberately
+    runs its write twice (the retry a task failure produces); with an
+    append sink the final counts would double for that batch.  The
+    drained sink, summed across batch partitions, must equal the global
+    per-type aggregate — the oracle is the plain batch GROUP BY, so a
+    green row certifies end-to-end effectively-once delivery."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import _MEMSINK_SEQ
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base = os.path.join(scratch,
+                        f"once_sink_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    cleanup_stale_scratch(scratch, "once_sink_*", keep=base)
+    src, sink = (os.path.join(base, d) for d in ("src", "sink"))
+
+    ev = load_table(spark, sf_dir, "events")
+    half1_files: set = set()
+    for i, keep in enumerate((0, 1)):
+        ev.filter(F.col("event_id") % 2 == keep).repartition(1) \
+            .write.mode("append").parquet(src)
+        if i == 0:
+            half1_files = _parquet_files(src)
+    _bump_mtime_after(src, half1_files)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df.groupBy("event_type")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum("value") * 100).cast("bigint")
+                    .alias("cents")))
+        part = os.path.join(sink, f"batch_id={batch_id}")
+        agg.write.mode("overwrite").parquet(part)
+        if batch_id == 0:
+            # the simulated at-least-once retry: same batch, same write —
+            # idempotent because the partition is keyed by batch_id and
+            # overwritten, never appended
+            agg.write.mode("overwrite").parquet(part)
+
+    inc = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (inc.writeStream.outputMode("append").foreachBatch(emit)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("cents").alias("total_cents")))
+
+
 QUERIES = {
     "stream_ann_ingest_live": q_stream_ann_ingest_live,
+    "stream_exactly_once_sink": q_stream_exactly_once_sink,
     "stream_dedup_rollover_restart": q_stream_dedup_rollover_restart,
     "stream_dedup_rollover_live": q_stream_dedup_rollover_live,
     "stream_dedup_near_live": q_stream_dedup_near_live,
@@ -817,6 +876,18 @@ FROM sessions GROUP BY user_id, session_id
 from .similarity_queries import ORACLES as _SIM_ORACLES  # noqa: E402
 
 ORACLES["stream_ann_ingest_live"] = _SIM_ORACLES["sim_ivfpq_append_probe"]
+
+# Exactly-once sink: sum of per-batch aggregates == global aggregate.
+# The batch split (event_id % 2) is deterministic, so the oracle mirrors
+# the per-batch cents rounding exactly (exact-integer-cents reasoning as
+# stream_stateful_totals).
+ORACLES["stream_exactly_once_sink"] = """
+SELECT event_type, sum(n) AS n_events, sum(cents) AS total_cents
+FROM (SELECT event_type, event_id % 2 AS half, count(*) AS n,
+             CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2)
+GROUP BY event_type
+"""
 ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]
 ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]
 # Single-file availableNow drain = one micro-batch, so the surviving
