@@ -279,6 +279,42 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, em, k=MMR_K, lam=MMR_LAMBDA)
 
 
+ADAPT_K = 50      # pseudo-label vec_id % 50 -> 2% filter selectivity
+ADAPT_NPROBE = 8  # widen the probe to ALL lists for the narrow filter
+
+
+def q_filtered_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADAPTIVE-NPROBE filtered-search lever as a standing contract
+    (r14 — certifies the tools/sweep_filtered_selectivity.py finding):
+    at a 2% filter (pseudo-label vec_id % 50), nprobe=2 pre-filtering
+    recalls only 0.42 and post-filtering 0.00; widening the probe to all
+    8 lists recovers recall@10 = 1.0 while staying a list-pruned
+    equi-join — the "narrow predicate -> widen probe" policy a filtered
+    vector store should run.  Deterministic end-to-end, so the per-query
+    recall VALUES are exact cross-engine."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import brute_force_topk, ivf_topk_deterministic
+
+    em = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("__plbl", F.col("vec_id") % ADAPT_K)
+    q = (em.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "__plbl"))
+    gt = brute_force_topk(em, q, k=TOP_K, same_label_col="__plbl") \
+        .select("query_id", "neighbor_id")
+    pre = ivf_topk_deterministic(
+        em, q, k=TOP_K, n_centroids=KMEANS_K, iters=KMEANS_ITERS,
+        nprobe=ADAPT_NPROBE, same_label_col="__plbl") \
+        .select("query_id", "neighbor_id")
+    n_gt = gt.groupBy("query_id").agg(F.count("*").alias("n_gt"))
+    hits = (gt.join(pre, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("hits_pre")))
+    hp = F.coalesce(F.col("hits_pre"), F.lit(0))
+    return (n_gt.join(hits, "query_id", "left")
+            .select("query_id", "n_gt", hp.alias("hits_pre"),
+                    F.round(hp / F.col("n_gt"), 6).alias("recall_pre")))
+
+
 PQ_M = 4        # subspaces (16 dims each)
 PQ_KS = 8       # codebook size per subspace
 PQ_ITERS = 1    # Lloyd rounds per codebook (unrolled in the oracle)
@@ -860,6 +896,7 @@ QUERIES = {
     "sim_ivf_topk": q_ivf_topk,
     "sim_ivf_filtered": q_ivf_filtered_topk,
     "sim_filtered_recall": q_filtered_recall,
+    "sim_filtered_adaptive": q_filtered_adaptive,
     "sim_mmr_diversify": q_mmr,
     "sim_sq8_topk": q_sq8_topk,
     "sim_kmeans_assign": q_kmeans_assign,
@@ -970,11 +1007,14 @@ SELECT vec_id, CAST(cid AS INTEGER) AS list_id FROM (
 """
 
 
-def _ivf_ctes() -> str:
+def _ivf_ctes(nprobe: int = IVF_NPROBE,
+              label_expr: str = "label") -> str:
     """The shared IVF CTE chain (Lloyd centroids, full-corpus list
     assignment, per-query nprobe probe lists, UNFILTERED candidate
-    scoring) — the common prefix of the plain, filtered, and
-    filtered-recall IVF oracles."""
+    scoring) — the common prefix of the plain, filtered,
+    filtered-recall, and adaptive-nprobe IVF oracles.  ``label_expr``
+    lets the adaptive row swap in a pseudo-label (vec_id % K) for a
+    chosen filter selectivity."""
     cfin = f"c{KMEANS_ITERS}"
     return f"""{_VECS},
 {_lloyd_cte_chain()},
@@ -990,8 +1030,8 @@ pr AS (
     SELECT q.query_id, q.v, c.cid,
            row_number() OVER (PARTITION BY q.query_id
              ORDER BY {_sq_dist('q.v', 'c.v')} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN {cfin} c) WHERE rn <= {IVF_NPROBE}),
-lbl AS (SELECT vec_id, label FROM embeddings),
+    FROM q CROSS JOIN {cfin} c) WHERE rn <= {nprobe}),
+lbl AS (SELECT vec_id, {label_expr} AS label FROM embeddings),
 scored AS (
   SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
   FROM pr a JOIN asg b ON b.cid = a.cid AND b.vec_id != a.query_id)"""
@@ -1017,6 +1057,40 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM {src})
 WHERE rank <= {TOP_K}
+"""
+
+
+def _filtered_adaptive_oracle() -> str:
+    """Exact twin of q_filtered_adaptive: pre-filter recall@k at the 2%
+    pseudo-label with the probe widened to all lists."""
+    lexpr = f"CAST(vec_id % {ADAPT_K} AS BIGINT)"
+    return f"""
+WITH {_ivf_ctes(nprobe=ADAPT_NPROBE, label_expr=lexpr)},
+prefil AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cos_sim DESC, s.neighbor_id ASC) AS rank
+    FROM scored s JOIN lbl bl ON bl.vec_id = s.neighbor_id
+         JOIN lbl ql ON ql.vec_id = s.query_id AND bl.label = ql.label)
+  WHERE rank <= {TOP_K}),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS rank
+    FROM (SELECT q.query_id, q.v, l.label FROM q
+          JOIN lbl l ON l.vec_id = q.query_id) a
+    JOIN (SELECT vecs.vec_id, vecs.v, l.label FROM vecs
+          JOIN lbl l USING (vec_id)) b
+      ON b.label = a.label AND b.vec_id != a.query_id)
+  WHERE rank <= {TOP_K}),
+ngt AS (SELECT query_id, count(*) AS n_gt FROM gt GROUP BY query_id),
+hp AS (SELECT g.query_id, count(*) AS hits_pre
+       FROM gt g JOIN prefil USING (query_id, neighbor_id) GROUP BY 1)
+SELECT n.query_id, n.n_gt, coalesce(hp.hits_pre, 0) AS hits_pre,
+       round(coalesce(hp.hits_pre, 0) / CAST(n.n_gt AS DOUBLE), 6) AS recall_pre
+FROM ngt n LEFT JOIN hp USING (query_id)
 """
 
 
@@ -1451,6 +1525,7 @@ WHERE rank <= {TOP_K}
     "sim_ivf_topk": _ivf_oracle(),
     "sim_ivf_filtered": _ivf_oracle(filtered=True),
     "sim_filtered_recall": _filtered_recall_oracle(),
+    "sim_filtered_adaptive": _filtered_adaptive_oracle(),
     "sim_mmr_diversify": _mmr_oracle(),
     # asymmetric SQ8: full-precision queries vs the reconstructed int8
     # store; quantizer expression shared with sim_quantize_int8's oracle
