@@ -638,21 +638,35 @@ def q_stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-ONCE foreachBatch sink (r14): each micro-batch writes its
-    per-type aggregate to a batch_id-keyed partition directory with
-    OVERWRITE — the idempotent-sink pattern that upgrades foreachBatch's
-    at-least-once delivery to effectively-once (a replayed batch
-    overwrites its own partition instead of appending a duplicate).
-    The replay is EXERCISED, not assumed: batch 0's emit deliberately
-    runs its write twice (the retry a task failure produces); with an
-    append sink the final counts would double for that batch.  The
-    drained sink, summed across batch partitions, must equal the global
-    per-type aggregate — the oracle is the plain batch GROUP BY, so a
-    green row certifies end-to-end effectively-once delivery."""
+    """EXACTLY-ONCE foreachBatch sink with a REAL recovery-replay (r15,
+    VERDICT r14 #1+#2): each micro-batch writes its per-type aggregate to
+    a batch_id-keyed partition directory with OVERWRITE — the
+    idempotent-sink pattern that upgrades foreachBatch's at-least-once
+    delivery to effectively-once (a replayed batch overwrites its own
+    partition instead of appending a duplicate).
+
+    The failure is INJECTED, not simulated in-call: batch 0's first
+    attempt writes a deliberately PARTIAL sink partition (one event_type
+    only) and then raises before the checkpoint can commit the batch —
+    the "task wrote some output, then the job died" shape.  The query
+    fails; a SECOND query resumes from the SAME checkpoint, Structured
+    Streaming replays batch 0 (it was never committed), and the full
+    overwrite replaces the partial partition.  With an append sink the
+    partial rows would survive AND duplicate — so a green row certifies
+    recovery-replay idempotence across a restart, not merely double-call
+    idempotence (the weaker r14 form this replaces).
+
+    Determinism (r14's one red row): cents are rounded PER EVENT to
+    bigints and only then summed — integer arithmetic is
+    order-independent, so Spark's partition order and DuckDB's scan
+    order cannot disagree (``round(sum(double))`` can flip at .5
+    boundaries; SURVEY.md §7.5's trap, same pattern as
+    stream_enrich_static_live)."""
     import os
     import tempfile
 
     from pyspark.sql import functions as F
+    from pyspark.errors import StreamingQueryException
 
     from ..streaming.windows import _MEMSINK_SEQ
 
@@ -660,7 +674,8 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(scratch,
                         f"once_sink_{os.getpid()}_{next(_MEMSINK_SEQ)}")
     cleanup_stale_scratch(scratch, "once_sink_*", keep=base)
-    src, sink = (os.path.join(base, d) for d in ("src", "sink"))
+    src, sink, ckpt = (os.path.join(base, d)
+                       for d in ("src", "sink", "ckpt"))
 
     ev = load_table(spark, sf_dir, "events")
     half1_files: set = set()
@@ -671,24 +686,48 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             half1_files = _parquet_files(src)
     _bump_mtime_after(src, half1_files)
 
+    attempts: list[int] = []  # batch_ids seen, in emit-call order
+
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         agg = (batch_df.groupBy("event_type")
                .agg(F.count("*").alias("n"),
-                    F.round(F.sum("value") * 100).cast("bigint")
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
                     .alias("cents")))
         part = os.path.join(sink, f"batch_id={batch_id}")
+        first_attempt = batch_id not in attempts
+        attempts.append(batch_id)
+        if batch_id == 0 and first_attempt:
+            # Injected crash mid-write: a partial partition lands (one
+            # event_type only), then the batch dies before its checkpoint
+            # commit — the at-least-once redelivery a real failure makes.
+            first_type = agg.select(F.min("event_type")).first()[0]
+            agg.filter(F.col("event_type") == first_type) \
+                .write.mode("overwrite").parquet(part)
+            raise RuntimeError(
+                "injected sink failure after partial write (batch 0)")
         agg.write.mode("overwrite").parquet(part)
-        if batch_id == 0:
-            # the simulated at-least-once retry: same batch, same write —
-            # idempotent because the partition is keyed by batch_id and
-            # overwritten, never appended
-            agg.write.mode("overwrite").parquet(part)
 
-    inc = (spark.readStream.schema(ev.schema)
-           .option("maxFilesPerTrigger", 1).parquet(src))
-    q = (inc.writeStream.outputMode("append").foreachBatch(emit)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    def drain() -> None:
+        inc = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (inc.writeStream.outputMode("append").foreachBatch(emit)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    try:
+        drain()  # dies inside batch 0, after the partial write
+        raise AssertionError(
+            "injected failure did not propagate — retry never exercised")
+    except StreamingQueryException:
+        pass
+    # Recovery: same checkpoint, same sink.  Batch 0 was never committed,
+    # so it replays under the SAME batch_id and the full overwrite
+    # replaces the partial partition; batch 1 then proceeds normally.
+    drain()
+    if attempts != [0, 0, 1]:
+        raise AssertionError(
+            f"expected replay sequence [0, 0, 1], saw {attempts}")
     return (spark.read.parquet(sink)
             .groupBy("event_type")
             .agg(F.sum("n").alias("n_events"),
@@ -878,15 +917,14 @@ from .similarity_queries import ORACLES as _SIM_ORACLES  # noqa: E402
 ORACLES["stream_ann_ingest_live"] = _SIM_ORACLES["sim_ivfpq_append_probe"]
 
 # Exactly-once sink: sum of per-batch aggregates == global aggregate.
-# The batch split (event_id % 2) is deterministic, so the oracle mirrors
-# the per-batch cents rounding exactly (exact-integer-cents reasoning as
-# stream_stateful_totals).
+# Cents are rounded PER EVENT to bigints before any sum (r15, VERDICT
+# r14 #1) — integer addition is order-independent and batch-split
+# independent, so the oracle is simply the global per-type aggregate
+# (rounding a summed double was order-dependent and flapped in r14).
 ORACLES["stream_exactly_once_sink"] = """
-SELECT event_type, sum(n) AS n_events, sum(cents) AS total_cents
-FROM (SELECT event_type, event_id % 2 AS half, count(*) AS n,
-             CAST(round(sum(value) * 100) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2)
-GROUP BY event_type
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY event_type
 """
 ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]
 ORACLES["stream_dedup_keys_live"] = ORACLES["stream_dedup_keys"]

@@ -86,6 +86,30 @@ def test_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     assert n1 == n2 == load_table(spark, sf_dir, "events").count()
 
 
+def test_exactly_once_recovery_replay(spark, sf_dir):
+    """The registry's exactly-once row injects a REAL failure: batch 0's
+    first attempt writes a partial sink partition then dies before the
+    checkpoint commit; a second query resumes from the same checkpoint
+    and the replayed batch's overwrite replaces the partial partition.
+    The drained sink must equal the plain batch aggregate — per-event
+    integer cents, so the comparison is exact integer arithmetic (the
+    r14 float-rounding flake cannot recur).  The query itself asserts
+    the [0, 0, 1] attempt sequence (replay really happened)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.plans.streaming_queries import (
+        q_stream_exactly_once_sink)
+
+    got = _rows(q_stream_exactly_once_sink(spark, sf_dir))
+    want = _rows(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("total_cents")))
+    assert got == want and want
+
+
 def test_foreachbatch_topk_ranking_parity(spark, sf_dir):
     """Ranked top-k over an updating streaming aggregate is not an
     incremental operator; the production pattern ranks each micro-batch's
