@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
 from .lifecycle import (append_tombstones, atomic_rewrite,
-                        drop_tombstones, mask_tombstones,
-                        read_tombstones)
+                        drop_tombstones, hadoop_delete, hadoop_rename,
+                        mask_tombstones, read_tombstones)
 
 
 def write_index(index: dict[str, DataFrame], base_path: str,
@@ -440,6 +440,70 @@ def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
                                    tomb, "neighbor_id"),
                    partition_col="list_id")
     drop_tombstones(spark, base_path)
+
+
+def ivfpq_list_stats(spark: SparkSession, base_path: str) -> DataFrame:
+    """Per-list HEALTH of a persisted IVF+PQ store: live (non-tombstoned)
+    vector count per coarse list.  The list-balance ratio max(n)/avg(n)
+    derived from this relation is the retrain trigger a production
+    deployment monitors — frozen-codebook appends (:func:`ivfpq_append`)
+    never rebalance lists, so a drifting ingest distribution skews them
+    and ADC recall decays silently until a retrain
+    (:func:`ivfpq_retrain`).  One groupBy over the code store; at 100 TB
+    the codes scan is the same partition-pruned m-byte relation the
+    probes read."""
+    codes = mask_tombstones(spark.read.parquet(f"{base_path}/codes"),
+                            _ivfpq_tombstones(spark, base_path),
+                            "neighbor_id")
+    return (codes.groupBy("list_id")
+            .agg(F.count("*").cast("bigint").alias("n_vectors")))
+
+
+def ivfpq_retrain(vectors: DataFrame, base_path: str, n_centroids: int = 4,
+                  coarse_iters: int = 1, m: int = 4, ks: int = 8,
+                  pq_iters: int = 1, dim: int = 64,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """PERIODIC RETRAIN of a persisted IVF+PQ index — the FAISS re-train
+    story (drop the index, `train()` + `add()` on the live corpus):
+    frozen-codebook appends keep serving cheaply, but after enough
+    distribution drift the coarse lists skew and codebook quantization
+    error grows, so recall decays; the remedy is retraining centroids +
+    codebooks from scratch over the LIVE corpus.
+
+    ``vectors`` is the raw-vector relation (the system of record — PQ
+    codes are lossy, so retraining needs the originals, exactly as with
+    FAISS); it is semi-joined to the store's surviving neighbor_ids so
+    tombstoned vectors neither train nor re-enter the index (retrain
+    subsumes compaction — the tombstone log is dropped).  The three
+    relations (coarse/books/codes) are trained into a scratch sibling
+    and swapped in via rename, the same maintenance-window contract as
+    :func:`ivfpq_compact`.
+
+    Determinism: `write_ivfpq` is deterministic in its input relation,
+    so a retrained index is BIT-IDENTICAL to a fresh build over the same
+    live corpus (asserted in tests/test_ivfpq_persist.py) — which is
+    what lets the `sim_ivfpq_retrain_probe` row share the fresh-build
+    first-principles oracle."""
+    import uuid
+
+    spark = vectors.sparkSession
+    live_ids = mask_tombstones(
+        spark.read.parquet(f"{base_path}/codes").select("neighbor_id"),
+        _ivfpq_tombstones(spark, base_path), "neighbor_id") \
+        .distinct().withColumnRenamed("neighbor_id", id_col)
+    live = vectors.join(live_ids, id_col, "left_semi")
+    tmp = f"{base_path}/retrain_{uuid.uuid4().hex[:8]}"
+    write_ivfpq(live, tmp, n_centroids=n_centroids,
+                coarse_iters=coarse_iters, m=m, ks=ks, pq_iters=pq_iters,
+                dim=dim, vec_col=vec_col, id_col=id_col)
+    for rel in ("coarse", "books", "codes"):
+        old = f"{base_path}/{rel}_old_{uuid.uuid4().hex[:8]}"
+        hadoop_rename(spark, f"{base_path}/{rel}", old)
+        hadoop_rename(spark, f"{tmp}/{rel}", f"{base_path}/{rel}")
+        hadoop_delete(spark, old)
+    hadoop_delete(spark, tmp)
+    if _ivfpq_tombstones(spark, base_path) is not None:
+        drop_tombstones(spark, base_path)
 
 
 def ivfpq_probe_persisted(spark: SparkSession, base_path: str,

@@ -819,6 +819,152 @@ q_ivfpq_quality_boundedc.__doc__ = q_ivfpq_quality_boundedc.__doc__.format(
     mr=QUALITY_MEAN_RECALL, fr=QUALITY_FLOOR_RECALL)
 
 
+# Append-health + retrain-recovery certification (r15, VERDICT r14 #6):
+# frozen-codebook appends never rebalance lists or refit codebooks, so
+# after enough growth recall decays and list sizes skew SILENTLY.  This
+# row pins the decay at an aggressive 50% corpus growth (codebooks
+# trained on HALF the final corpus: measured mean recall@10 drops
+# 0.90 -> 0.76 at sf0.1), asserts it stays above a serving floor, then
+# RETRAINS and asserts recall recovers to the fresh-index quality bar
+# (retrained == fresh full-corpus build, so the sim_ivfpq_quality
+# thresholds apply verbatim).  The list-balance ratio is the cheap
+# trigger a deployment monitors between recall audits.
+APPEND_HEALTH_MOD = 2        # base = even vec_ids; appended = odd (50%)
+APPEND_BALANCE_MAX = 2.0     # live max/mean list-size ratio retrain trigger
+APPEND_MEAN_RECALL = 0.70    # decayed floor after 50% frozen growth
+APPEND_FLOOR_RECALL = 0.50   # no single query below this, even decayed
+
+
+def q_ivfpq_append_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index HEALTH after heavy frozen-codebook growth, and the
+    retrain REMEDY, in one certified row: build the persisted IVF+PQ
+    index at the production quality config (m={m}/ks={ks}) on HALF the
+    corpus (even vec_ids), append the other half against the FROZEN
+    codebooks (persist.ivfpq_append — the FAISS add() path), and certify
+    three things about the ADC top-C (C = max({fl}, N/{dv}),
+    nprobe={np}) + exact-rerank top-{k} pipeline against brute force
+    over the FULL corpus:
+
+    - grown_*_ok — the decayed index still serves above the floor
+      (mean >= {amr}, per-query min >= {afr}; measured 0.76 mean at
+      sf0.1 vs 0.90 fresh — the silent decay this row makes loud);
+    - balance_ok — live max/mean list-size ratio <= {bal}
+      (persist.ivfpq_list_stats), the cheap retrain trigger;
+    - retrained_*_ok — after persist.ivfpq_retrain recall RECOVERS to
+      the fresh-index quality bar (mean >= {mr}, min >= {fr} — the
+      sim_ivfpq_quality thresholds, valid because retrained ==
+      fresh full-corpus build by determinism).
+
+    Tolerance-boolean oracle (the sim_ivfpq_quality pattern): DuckDB
+    pins the exact query count; the pipeline is deterministic."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (ivfpq_append, ivfpq_list_stats,
+                                     ivfpq_probe_persisted, ivfpq_retrain,
+                                     write_ivfpq)
+    from ..operators.similarity import exact_rerank
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    nid = F.col("vec_id").cast("bigint")
+    base = em.filter((nid % APPEND_HEALTH_MOD) == 0)
+    new = em.filter((nid % APPEND_HEALTH_MOD) != 0)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_health_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_health_{sf_tag}_*", keep=path)
+    write_ivfpq(base, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=QUALITY_PQ_M,
+                ks=QUALITY_PQ_KS, pq_iters=QUALITY_PQ_ITERS)
+    ivfpq_append(new, path)
+    c = quality_c_for(em.count())
+    bf = brute_force_topk(em, qs, k=TOP_K) \
+        .select("query_id", "neighbor_id")
+
+    def recall_agg(prefix: str):
+        cand = ivfpq_probe_persisted(spark, path, qs, k=c,
+                                     nprobe=QUALITY_NPROBE)
+        rr = exact_rerank(cand, em, qs, k=TOP_K) \
+            .select("query_id", "neighbor_id")
+        mean_bar = (APPEND_MEAN_RECALL if prefix == "grown"
+                    else QUALITY_MEAN_RECALL)
+        min_bar = (APPEND_FLOOR_RECALL if prefix == "grown"
+                   else QUALITY_FLOOR_RECALL)
+        return _recall_per_query(bf, rr).agg(
+            F.count("*").cast("bigint").alias(f"__n_{prefix}"),
+            (F.avg("recall") >= mean_bar).alias(f"{prefix}_mean_ok"),
+            (F.min("recall") >= min_bar).alias(f"{prefix}_min_ok"))
+
+    # The grown-index metrics must MATERIALIZE before retrain swaps the
+    # store out from under their lazy scans (1 row each — the bounded
+    # driver-collect contract), then re-enter the plan as literal rows.
+    grown = spark.createDataFrame(recall_agg("grown").collect())
+    balance = spark.createDataFrame(
+        ivfpq_list_stats(spark, path).agg(
+            ((F.max("n_vectors") / F.avg("n_vectors"))
+             <= APPEND_BALANCE_MAX).alias("balance_ok")).collect())
+    ivfpq_retrain(em, path, n_centroids=IVFPQ_COARSE_K,
+                  coarse_iters=IVFPQ_COARSE_ITERS, m=QUALITY_PQ_M,
+                  ks=QUALITY_PQ_KS, pq_iters=QUALITY_PQ_ITERS)
+    retrained = recall_agg("retrained")
+    # 1-row x 1-row x 1-row assembly (the documented stats-crossJoin shape)
+    return (grown.crossJoin(balance).crossJoin(retrained)
+            .select(F.col("__n_grown").alias("n_queries"),
+                    F.lit(TOP_K).alias("k"),
+                    "grown_mean_ok", "grown_min_ok", "balance_ok",
+                    "retrained_mean_ok", "retrained_min_ok"))
+
+
+q_ivfpq_append_recall.__doc__ = q_ivfpq_append_recall.__doc__.format(
+    m=QUALITY_PQ_M, ks=QUALITY_PQ_KS, fl=QUALITY_C_FLOOR, dv=QUALITY_C_DIV,
+    np=QUALITY_NPROBE, k=TOP_K, mr=QUALITY_MEAN_RECALL,
+    fr=QUALITY_FLOOR_RECALL, bal=APPEND_BALANCE_MAX,
+    amr=APPEND_MEAN_RECALL, afr=APPEND_FLOOR_RECALL)
+
+
+def q_ivfpq_retrain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN equivalence, hash-certified (r15, VERDICT r14 #6): build
+    the persisted IVF+PQ index on the base corpus
+    (vec_id % {mod} != {rem}), grow it with frozen-codebook appends,
+    then RETRAIN (persist.ivfpq_retrain) over the live corpus and answer
+    the query set.  write_ivfpq is deterministic in its input relation,
+    so the retrained index is BIT-IDENTICAL to a fresh full-corpus build
+    — the oracle is the fresh-build first-principles replay (the same
+    SQL as sim_ivfpq_probe_persisted, full-corpus Lloyd), making the
+    FAISS re-train story an exact cross-engine certification rather
+    than a recall bound."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (ivfpq_append, ivfpq_probe_persisted,
+                                     ivfpq_retrain, write_ivfpq)
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    base = em.filter((nid % APPEND_MOD) != APPEND_REM)
+    new = em.filter((nid % APPEND_MOD) == APPEND_REM)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"ivfpq_retrain_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"ivfpq_retrain_{sf_tag}_*", keep=path)
+    write_ivfpq(base, path, n_centroids=IVFPQ_COARSE_K,
+                coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                pq_iters=PQ_ITERS)
+    ivfpq_append(new, path)
+    ivfpq_retrain(em, path, n_centroids=IVFPQ_COARSE_K,
+                  coarse_iters=IVFPQ_COARSE_ITERS, m=PQ_M, ks=PQ_KS,
+                  pq_iters=PQ_ITERS)
+    return ivfpq_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                                 k=TOP_K, nprobe=IVFPQ_NPROBE)
+
+
+q_ivfpq_retrain_probe.__doc__ = q_ivfpq_retrain_probe.__doc__.format(
+    mod=APPEND_MOD, rem=APPEND_REM)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine top-k over the documents table via the
     inverted-index term join (operators/similarity.py tfidf_cosine_topk) —
@@ -888,6 +1034,8 @@ QUERIES = {
     "sim_ivfpq_quality": q_ivfpq_quality,
     "sim_ivfpq_quality_boundedc": q_ivfpq_quality_boundedc,
     "sim_ivfpq_append_probe": q_ivfpq_append_probe,
+    "sim_ivfpq_append_recall": q_ivfpq_append_recall,
+    "sim_ivfpq_retrain_probe": q_ivfpq_retrain_probe,
     "sim_ivfpq_probe_persisted": q_ivfpq_probe_persisted,
     "sim_ivfpq_filtered_probe": q_ivfpq_filtered_probe,
     "sim_ivfpq_topk": q_ivfpq_topk,
@@ -1737,6 +1885,23 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
 # exact query count; the recall thresholds are deterministic booleans of
 # the frozen-training pipeline (r14, VERDICT r13 #2).
 ORACLES["sim_ivfpq_quality_boundedc"] = ORACLES["sim_ivfpq_quality"]
+
+# Append-health row (r15): tolerance-boolean — exact query count from the
+# data; recall + list-balance booleans are deterministic properties of
+# the frozen-training pipeline, asserted Spark-side against Spark's own
+# brute force and live list stats.
+ORACLES["sim_ivfpq_append_recall"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, {TOP_K} AS k,
+       TRUE AS grown_mean_ok, TRUE AS grown_min_ok, TRUE AS balance_ok,
+       TRUE AS retrained_mean_ok, TRUE AS retrained_min_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+# Retrain equivalence (r15): retrain-on-live-corpus after appends is
+# bit-identical to a fresh full-corpus build (write_ivfpq is
+# deterministic), so the oracle IS the fresh-build replay — exact
+# cross-engine hash certification of the FAISS re-train story.
+ORACLES["sim_ivfpq_retrain_probe"] = _ivfpq_oracle()
 
 # Recall of the two-stage pipeline, as an exact relation: the composed
 # re-rank replay intersected with the brute-force replay per query.

@@ -231,3 +231,73 @@ def test_filtered_probe_keeps_partition_pruning(spark, embeddings,
     rows = probe.collect()
     assert rows
     assert all(int(r["neighbor_id"]) % 2 == 0 for r in rows)
+
+
+def test_retrain_equals_fresh_build(spark, embeddings, queries_df):
+    """persist.ivfpq_retrain (r15): after frozen-codebook appends, a
+    retrain over the live corpus must be BIT-IDENTICAL to a fresh
+    full-corpus build — write_ivfpq is deterministic in its input
+    relation, which is what lets sim_ivfpq_retrain_probe share the
+    fresh-build first-principles oracle."""
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_append, ivfpq_retrain)
+
+    nid = F.col("vec_id").cast("bigint")
+    with tempfile.TemporaryDirectory() as d:
+        grown, fresh = (os.path.join(d, p) for p in ("grown", "fresh"))
+        write_ivfpq(embeddings.filter((nid % 10) != 9), grown, **PARAMS)
+        ivfpq_append(embeddings.filter((nid % 10) == 9), grown)
+        ivfpq_retrain(embeddings, grown, **PARAMS)
+        write_ivfpq(embeddings, fresh, **PARAMS)
+        a = sorted(map(tuple, ivfpq_probe_persisted(
+            spark, grown, queries_df, k=10, nprobe=2).collect()))
+        b = sorted(map(tuple, ivfpq_probe_persisted(
+            spark, fresh, queries_df, k=10, nprobe=2).collect()))
+        assert a == b and a
+        # the scratch training dir is swept after the swap
+        assert not [p for p in os.listdir(grown) if p.startswith("retrain_")]
+
+
+def test_retrain_excludes_tombstones_and_drops_log(spark, embeddings,
+                                                   queries_df):
+    """Retrain subsumes compaction: tombstoned vectors neither train nor
+    re-enter the rebuilt index (== a fresh build on the survivor set),
+    and the tombstone log is dropped."""
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_delete, ivfpq_retrain)
+
+    victims = [7, 11, 13]
+    with tempfile.TemporaryDirectory() as d:
+        path, fresh = (os.path.join(d, p) for p in ("ix", "fresh"))
+        write_ivfpq(embeddings, path, **PARAMS)
+        ivfpq_delete(spark, path, victims)
+        ivfpq_retrain(embeddings, path, **PARAMS)
+        assert not os.path.exists(f"{path}/tombstones")
+        left = {int(r["neighbor_id"]) for r in
+                spark.read.parquet(f"{path}/codes")
+                .select("neighbor_id").collect()}
+        assert left.isdisjoint(victims)
+        write_ivfpq(embeddings.filter(~F.col("vec_id").cast("bigint")
+                                      .isin(victims)), fresh, **PARAMS)
+        a = sorted(map(tuple, ivfpq_probe_persisted(
+            spark, path, queries_df, k=10, nprobe=2).collect()))
+        b = sorted(map(tuple, ivfpq_probe_persisted(
+            spark, fresh, queries_df, k=10, nprobe=2).collect()))
+        assert a == b and a
+
+
+def test_list_stats_counts_live_rows(spark, embeddings):
+    """ivfpq_list_stats: per-list counts sum to the live corpus and drop
+    tombstoned rows — the retrain-trigger relation is the serving view."""
+    from big_data_assignment_2_spark.operators.persist import (
+        ivfpq_delete, ivfpq_list_stats)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ix")
+        write_ivfpq(embeddings, path, **PARAMS)
+        n = embeddings.count()
+        stats = ivfpq_list_stats(spark, path)
+        assert stats.agg(F.sum("n_vectors")).first()[0] == n
+        ivfpq_delete(spark, path, [0, 1])
+        assert (ivfpq_list_stats(spark, path)
+                .agg(F.sum("n_vectors")).first()[0] == n - 2)
