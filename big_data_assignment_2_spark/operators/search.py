@@ -475,15 +475,21 @@ def bm25_page_after(spark: SparkSession, query: str, term_document: DataFrame,
     evaluated as a predicate on the scored relation — never OFFSET, which
     at scale ranks and discards every earlier page on every request.
 
-    ``cursor`` is a 1-row (score, doc_id) relation — in serving it comes
-    from the client's last row; here the caller derives it in-plan.  The
-    predicate composes with TakeOrderedAndProject exactly like page one:
-    per-partition top-k after the pushed-down filter, k-row driver merge.
+    ``cursor`` MUST be exactly one (score, doc_id) row — the client's
+    last row; here the caller derives it in-plan.  More than one row
+    would cross-join duplicate pages, and an EMPTY cursor (e.g. built
+    from an empty page one) would silently return an empty page two
+    instead of page-one semantics — both are caller bugs, so the
+    operator bounds the relation with limit(1) and documents the empty
+    case as empty-result (r14 advice: fail predictable, not surprising).
+    The predicate composes with TakeOrderedAndProject exactly like page
+    one: per-partition top-k after the pushed-down filter, k-row driver
+    merge.
     """
     scores = bm25_scores(spark, query, term_document, document_frequency,
                          documents_info).withColumn("score", F.round("score", 6))
     cur = F.broadcast(cursor.select(F.col("score").alias("__cs"),
-                                    F.col("doc_id").alias("__cd")))
+                                    F.col("doc_id").alias("__cd")).limit(1))
     return (scores.crossJoin(cur)
             .filter((F.col("score") < F.col("__cs"))
                     | ((F.col("score") == F.col("__cs"))
@@ -614,10 +620,21 @@ def eval_rankings(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     nrel = qrels.filter(F.col("grade") >= 1).groupBy("query_id") \
         .agg(F.least(F.count("*"), F.lit(k)).alias("__nrel"))
 
-    return (dcg.join(ideal, "query_id")
-            .join(nrel, "query_id")
+    # Every run query scores (r14 advice): a query with no qrels rows (or
+    # none at grade >= 1) must report ndcg=0 / ap=0, not silently vanish
+    # from the output under-reporting eval coverage — so the spine is the
+    # run's distinct query_ids with LEFT joins, and the ratios guard
+    # explicitly (no engine-dependent division-by-zero/NULL semantics).
+    return (r.select("query_id").distinct()
+            .join(dcg, "query_id", "left")
+            .join(ideal, "query_id", "left")
+            .join(nrel, "query_id", "left")
             .join(prec, "query_id", "left")
             .select("query_id",
-                    F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
-                    F.round(F.coalesce(F.col("__ap_num"), F.lit(0.0))
-                            / F.col("__nrel"), 6).alias("ap")))
+                    F.round(F.when(F.col("__idcg") > 0,
+                                   F.col("__dcg") / F.col("__idcg"))
+                            .otherwise(0.0), 6).alias("ndcg"),
+                    F.round(F.when(F.col("__nrel") > 0,
+                                   F.coalesce(F.col("__ap_num"), F.lit(0.0))
+                                   / F.col("__nrel"))
+                            .otherwise(0.0), 6).alias("ap")))

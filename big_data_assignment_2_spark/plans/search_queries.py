@@ -1060,8 +1060,11 @@ prec AS (
 nrel AS (
   SELECT query_id, least(count(*), 10) AS nr
   FROM qrels WHERE grade >= 1 GROUP BY 1)
-SELECT d.query_id, round(d.d / i.i, 6) AS ndcg,
-       round(coalesce(p.ap_num, 0) / n.nr, 6) AS ap
-FROM dcg d JOIN ideal i USING (query_id) JOIN nrel n USING (query_id)
-LEFT JOIN prec p USING (query_id)
+SELECT b.query_id,
+       round(CASE WHEN i.i > 0 THEN d.d / i.i ELSE 0 END, 6) AS ndcg,
+       round(CASE WHEN n.nr > 0 THEN coalesce(p.ap_num, 0) / n.nr
+             ELSE 0 END, 6) AS ap
+FROM (SELECT DISTINCT query_id FROM run) b
+LEFT JOIN dcg d USING (query_id) LEFT JOIN ideal i USING (query_id)
+LEFT JOIN nrel n USING (query_id) LEFT JOIN prec p USING (query_id)
 """

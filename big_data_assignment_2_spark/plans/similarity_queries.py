@@ -132,7 +132,8 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     v = as_double("embedding")
     amax = F.array_max(F.transform(v, F.abs))
-    scale = amax / F.lit(127.0)
+    # zero-vector guard (r14 advice) — same floor as sq8_dequantized
+    scale = F.greatest(amax / F.lit(127.0), F.lit(1e-30))
     q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     recon_err = F.array_max(
         F.zip_with(v, q, lambda x, qq: F.abs(x - qq.cast("double") * scale)))
@@ -1680,7 +1681,8 @@ WHERE rank <= {TOP_K}
     "sim_sq8_topk": f"""
 WITH {_VECS},
 s AS (SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             greatest(list_max(list_transform(v, x -> abs(x)))
+                      / 127.0, 1e-30) AS scale
       FROM vecs),
 dq AS (SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS v
        FROM s),
@@ -1727,7 +1729,8 @@ WHERE rank <= {TOP_K}
     "sim_quantize_int8": f"""
 WITH {_VECS},
 s AS (SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             greatest(list_max(list_transform(v, x -> abs(x)))
+                      / 127.0, 1e-30) AS scale
       FROM vecs),
 q AS (SELECT vec_id, scale, v,
              list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv

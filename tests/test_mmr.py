@@ -74,3 +74,22 @@ def test_mmr_structure(spark, sf_dir):
         assert len({p[1] for p in picks}) == K  # no repeats
     for r in rows:
         assert (r["query_id"], r["neighbor_id"]) in cand_ids
+
+
+def test_mmr_cache_registry_releases_caches(spark, sf_dir):
+    """The cache_registry hook (r14 advice): every persisted intermediate
+    is handed back so a serving loop can unpersist deterministically —
+    same result, and all handles release cleanly."""
+    em, cand = _fixture(spark, sf_dir)
+    baseline = sorted(map(tuple, mmr_rerank(cand, em, k=K, lam=LAM).collect()))
+    reg: list = []
+    got = sorted(map(tuple,
+                     mmr_rerank(cand, em, k=K, lam=LAM,
+                                cache_registry=reg).collect()))
+    assert got == baseline
+    # candidates + pairs + one pick level per step 2..K
+    assert len(reg) == 2 + (K - 1)
+    for df in reg:
+        assert df.is_cached
+        df.unpersist()
+        assert not df.is_cached

@@ -64,7 +64,13 @@ def test_proximity_boost_bounds_and_single_term_identity(spark, sf_dir):
             assert r["boosted"] == r["score"]
         else:
             assert r["min_dist"] >= 1
-            assert r["score"] < r["boosted"] <= round(2 * r["score"], 6) + 1e-9
+            # assert the formula itself, not strict score < boosted: for a
+            # huge min_dist the 6-dp-rounded boost legitimately rounds
+            # back to exactly score (r14 advice — data-dependent assert);
+            # 1e-6 tolerance absorbs HALF_UP-vs-banker's at the 7th digit
+            assert abs(r["boosted"]
+                       - r["score"] * (1 + 1 / (1 + r["min_dist"]))) <= 1e-6
+            assert r["boosted"] <= round(2 * r["score"], 6) + 1e-9
 
 
 def test_facets_null_value_not_misattributed(spark):
@@ -115,3 +121,22 @@ def test_eval_rankings_identity_and_hand_case(spark):
     ap = (1/1 + 2/3 + 3/4) / 3
     assert row["ndcg"] == round(dcg / idcg, 6)
     assert row["ap"] == round(ap, 6)
+
+
+def test_eval_rankings_unjudged_query_scores_zero(spark):
+    """A run query with NO qrels rows (or none at grade >= 1) must appear
+    in the output with ndcg=ap=0, not vanish and under-report coverage
+    (r14 advice)."""
+    from big_data_assignment_2_spark.operators.search import eval_rankings
+
+    qrels = spark.createDataFrame(
+        [("q1", "a", 2), ("q3", "a", 0)],  # q2 unjudged; q3 all grade-0
+        "query_id string, doc_id string, grade int")
+    run = spark.createDataFrame(
+        [("q1", "a", 1), ("q2", "a", 1), ("q3", "a", 1)],
+        "query_id string, doc_id string, rank int")
+    rows = {r["query_id"]: r for r in eval_rankings(run, qrels, k=10).collect()}
+    assert set(rows) == {"q1", "q2", "q3"}
+    assert rows["q1"]["ndcg"] == 1.0 and rows["q1"]["ap"] == 1.0
+    for q in ("q2", "q3"):
+        assert rows[q]["ndcg"] == 0.0 and rows[q]["ap"] == 0.0

@@ -197,3 +197,19 @@ def test_ivfpq_degenerate_residuals_reduce_to_coarse_distance(spark):
     assert {r["neighbor_id"] for r in got} == set(members)
     for r in got:
         assert r["adc_dist"] == d2(r["neighbor_id"] % 8)
+
+
+def test_sq8_zero_vector_reconstructs_finite(spark):
+    """Zero-vector guard (r14 advice): an all-zero embedding must
+    dequantize to exactly zeros (not NULL/NaN from a 0 divisor), and a
+    normal vector's reconstruction is unaffected by the tiny floor."""
+    from big_data_assignment_2_spark.operators.similarity import (
+        sq8_dequantized)
+
+    em = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.27] * 64)],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r["embedding"]
+            for r in sq8_dequantized(em).collect()}
+    assert rows[0] == [0.0] * 64
+    assert all(x is not None and abs(x - 1.27) < 0.01 for x in rows[1])
