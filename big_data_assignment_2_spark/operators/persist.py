@@ -29,20 +29,36 @@ from .lifecycle import (append_tombstones, atomic_rewrite,
 
 
 def write_index(index: dict[str, DataFrame], base_path: str,
-                term_buckets: int = 16) -> None:
+                term_buckets: int = 16,
+                delta_positions: bool = False) -> None:
     """Persist the three index tables; postings term-bucket-partitioned.
 
     The postings relation is cached across the writes: document_frequency
     is derived FROM postings (operators/index.doc_freq), so without the
     cache its write re-runs the whole tokenize+explode+agg lineage a
     second time — at 100 TB that's a full extra corpus pass per index
-    build."""
+    build.
+
+    ``delta_positions`` (r15, VERDICT r14 #7): store positions arrays
+    gap-encoded (:func:`delta_encode_positions` — the Lucene postings
+    layout); read back the logical view via
+    ``read_index(..., delta_positions=True)``.  The BM25 probe path
+    never reads positions (column-pruned at the scan), so scoring over
+    an encoded store is identical with no flag; positional consumers
+    (phrase/snippet/proximity) decode through read_index."""
     from pyspark import StorageLevel
 
+    # Persist the UNTRANSFORMED postings: document_frequency's lineage
+    # matches this plan, so its write hits the cache; the delta encode
+    # rides on top as a projection of the cached relation.
     td = index["term_document"].persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        out = td
+        if delta_positions:
+            out = td.withColumn("positions",
+                                delta_encode_positions("positions"))
         partition_postings_by_term_bucket(
-            td, f"{base_path}/term_document", term_buckets)
+            out, f"{base_path}/term_document", term_buckets)
         index["document_frequency"].write.mode("overwrite") \
             .parquet(f"{base_path}/document_frequency")
         index["documents_info"].write.mode("overwrite") \
@@ -166,12 +182,48 @@ def compact_index(spark: SparkSession, base_path: str) -> None:
     drop_tombstones(spark, base_path)
 
 
-def read_index(spark: SparkSession, base_path: str) -> dict[str, DataFrame]:
+def read_index(spark: SparkSession, base_path: str,
+               delta_positions: bool = False) -> dict[str, DataFrame]:
+    td = spark.read.parquet(f"{base_path}/term_document")
+    if delta_positions:
+        td = td.withColumn("positions",
+                           delta_decode_positions("positions"))
     return {
-        "term_document": spark.read.parquet(f"{base_path}/term_document"),
+        "term_document": td,
         "document_frequency": spark.read.parquet(f"{base_path}/document_frequency"),
         "documents_info": spark.read.parquet(f"{base_path}/documents_info"),
     }
+
+
+def delta_encode_positions(col):
+    """GAP-encode a sorted positions array for storage: [p0, p1, p2] →
+    [p0, p1−p0, p2−p1].  Positions are ascending by construction
+    (index.build_postings sort_array), so gaps are small non-negative
+    ints and parquet's bit-packed encoding stores them in far fewer bits
+    than absolute offsets — the classic postings-compression lever
+    (Lucene stores positions exactly this way).  Zigzag is deliberately
+    NOT layered on top: it exists to fold negatives into the unsigned
+    space (n → 2n±1), and gaps here are never negative — zigzagging
+    would WIDEN every stored value by a bit.  Pure array expression,
+    map-side, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x, i: F.when(i == 0, x).otherwise(x - F.get(c, i - 1)))
+
+
+def delta_decode_positions(col):
+    """Inverse of :func:`delta_encode_positions`: running-sum the gaps
+    back to absolute positions inside one ``aggregate`` fold.  The
+    accumulator append copies are bounded by tf (positions-per-posting),
+    not corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    # try_element_at: element_at(-1) THROWS on the empty first-fold
+    # accumulator; the try_ variant yields NULL -> coalesce 0.
+    return F.aggregate(
+        c, F.array().cast("array<int>"),
+        lambda acc, x: F.concat(acc, F.array(
+            (F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x)
+            .cast("int"))))
 
 
 def term_bucket(col, n_buckets: int):

@@ -66,6 +66,27 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("positions", ",").alias("positions"))
 
 
+def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-encoded postings (r15, VERDICT r14 #7): the STORED form of the
+    positions arrays under ``write_index(delta_positions=True)`` —
+    [p0, p1-p0, p2-p1, ...] (the Lucene positions layout; halves the
+    stored int magnitudes, so parquet bit-packing shrinks the postings
+    footprint — measured in SCALE.md r15).  The oracle recomputes
+    first+gaps from first principles (lag window over the ordered token
+    positions), so a green row certifies the ENCODING itself
+    cross-engine; the write -> read_index roundtrip and probe equality
+    are pinned in tests/test_persist.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.persist import delta_encode_positions
+
+    toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
+    return build_postings(toks).select(
+        "term", "doc_id", "tf",
+        F.array_join(delta_encode_positions("positions"), ",")
+        .alias("positions_delta"))
+
+
 def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: document frequency per term."""
     toks = tokenize_positions(load_table(spark, sf_dir, "documents"))
@@ -541,6 +562,7 @@ QUERIES = {
     "search_phrase_match": q_phrase_match,
     "search_tokenize": q_tokenize,
     "search_postings": q_postings,
+    "search_postings_delta": q_postings_delta,
     "search_doc_freq": q_doc_freq,
     "search_doc_stats": q_doc_stats,
     "search_bm25_topk": q_bm25_topk,
@@ -636,6 +658,18 @@ WITH {_TOKENS_CTE}
 SELECT term, doc_id, CAST(count(*) AS INTEGER) AS tf,
        array_to_string(list(position ORDER BY position), ',') AS positions
 FROM tokens GROUP BY term, doc_id
+""",
+    "search_postings_delta": f"""
+WITH {_TOKENS_CTE},
+pos AS (
+  SELECT term, doc_id, position,
+         position - coalesce(lag(position) OVER (PARTITION BY term, doc_id
+                                                  ORDER BY position), 0)
+             AS gap
+  FROM tokens)
+SELECT term, doc_id, CAST(count(*) AS INTEGER) AS tf,
+       array_to_string(list(gap ORDER BY position), ',') AS positions_delta
+FROM pos GROUP BY term, doc_id
 """,
     "search_doc_freq": f"""
 WITH {_TOKENS_CTE}

@@ -215,3 +215,63 @@ def test_append_to_index_equals_full_build(spark, sf_dir, tmp_path_factory):
     fresh = {r["term"]: r["df"] for r in spark.read
              .parquet(f"{full}/document_frequency").collect()}
     assert summed == fresh
+
+
+def test_delta_positions_roundtrip_probe_equality_and_size(
+        spark, sf_dir, index_path, tmp_path_factory):
+    """Gap-encoded postings (r15): write_index(delta_positions=True) must
+    (a) round-trip to the identical logical positions via
+    read_index(delta_positions=True), (b) serve positional consumers
+    (phrase_match) and the BM25 probe identically to the plain store,
+    and (c) shrink the on-disk postings footprint (smaller stored ints →
+    fewer parquet bit-packing bits)."""
+    from big_data_assignment_2_spark.operators.persist import (
+        bm25_probe_persisted)
+    from big_data_assignment_2_spark.operators.search import phrase_match
+    from big_data_assignment_2_spark.plans.search_queries import (
+        FLAGSHIP_QUERY)
+
+    delta_path = str(tmp_path_factory.mktemp("index_delta"))
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    write_index(ix, delta_path, term_buckets=8, delta_positions=True)
+
+    plain = read_index(spark, index_path)["term_document"]
+    decoded = read_index(spark, delta_path,
+                         delta_positions=True)["term_document"]
+    key = lambda r: (r["term"], r["doc_id"])
+    a = sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]))
+                for r in plain.collect()))
+    b = sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]))
+                for r in decoded.collect()))
+    assert a == b and a
+
+    # the stored form really is gaps (not absolutes)
+    raw = read_index(spark, delta_path)["term_document"]
+    multi = raw.filter(F.size("positions") >= 2).limit(5).collect()
+    for r in multi:
+        dec = [r["positions"][0]]
+        for g in r["positions"][1:]:
+            assert g >= 0
+            dec.append(dec[-1] + g)
+        assert dec == sorted(dec)
+
+    # positional consumer equality
+    pm_plain = sorted(map(tuple, phrase_match(
+        plain, ["vector", "query"]).collect()))
+    pm_delta = sorted(map(tuple, phrase_match(
+        decoded, ["vector", "query"]).collect()))
+    assert pm_plain == pm_delta
+
+    # scoring path equality (positions are column-pruned, no flag needed)
+    probe_plain = sorted(map(tuple, bm25_probe_persisted(
+        spark, index_path, FLAGSHIP_QUERY, k=10, n_buckets=8).collect()))
+    probe_delta = sorted(map(tuple, bm25_probe_persisted(
+        spark, delta_path, FLAGSHIP_QUERY, k=10, n_buckets=8).collect()))
+    assert probe_plain == probe_delta and probe_plain
+
+    def du(p):
+        return sum(os.path.getsize(os.path.join(d, f))
+                   for d, _, fs in os.walk(os.path.join(p, "term_document"))
+                   for f in fs)
+    plain_b, delta_b = du(index_path), du(delta_path)
+    assert delta_b < plain_b, (delta_b, plain_b)
