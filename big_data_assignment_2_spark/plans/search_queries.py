@@ -252,6 +252,32 @@ def q_bm25_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
 
 
+def q_bm25_probe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GAP-ENCODED index on the serving path (r15, VERDICT r14 #7):
+    build the persisted index with ``delta_positions=True`` (positions
+    stored as first+gaps — the Lucene layout; 5.4x smaller postings on a
+    long-doc corpus, SCALE.md r15) and probe the flagship query.  BM25
+    scoring never reads positions (column-pruned scan), so the probe
+    must be IDENTICAL to the plain store's — the search_bm25_topk oracle
+    applies verbatim, certifying through the driver gate that the
+    storage optimization is invisible to the query path.  The encoding
+    itself is hash-certified by search_postings_delta; positional
+    consumers' decode equality is pinned in tests/test_persist.py."""
+    import os
+    import tempfile
+
+    from ..operators.index import build_index
+    from ..operators.persist import bm25_probe_persisted, write_index
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_delta_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_delta_*", keep=ixdir)
+    write_index(build_index(docs), ixdir, delta_positions=True)
+    return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
+
+
 BATCH_QUERIES = {
     "q_vec": "vector query stream",
     "q_join": "join merge hash",
@@ -567,6 +593,7 @@ QUERIES = {
     "search_doc_stats": q_doc_stats,
     "search_bm25_topk": q_bm25_topk,
     "search_bm25_append_probe": q_bm25_append_probe,
+    "search_bm25_probe_delta": q_bm25_probe_delta,
 }
 
 def _phrase_oracle(terms: list[str]) -> str:
@@ -1054,6 +1081,9 @@ ORACLES["search_bm25_batch_probe"] = _batch_sql(
 # the green row's information is that the partition append + df-log sum +
 # stats append reconstruct the exact index state.
 ORACLES["search_bm25_append_probe"] = ORACLES["search_bm25_topk"]
+# Gap-encoded store serves identically: positions never reach the BM25
+# probe plan, so the full-corpus replay applies verbatim.
+ORACLES["search_bm25_probe_delta"] = ORACLES["search_bm25_topk"]
 
 
 # Offline ranker eval: nDCG@10 / AP@10 of plain BM25 vs BM25F-graded
