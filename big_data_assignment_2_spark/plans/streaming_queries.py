@@ -721,6 +721,12 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "injected failure did not propagate — retry never exercised")
     except StreamingQueryException:
         pass
+    except RuntimeError as e:
+        # Depending on session context the foreachBatch helper re-raises
+        # the ORIGINAL Python exception instead of wrapping it in
+        # StreamingQueryException — accept only OUR injected failure.
+        if "injected sink failure" not in str(e):
+            raise
     # Recovery: same checkpoint, same sink.  Batch 0 was never committed,
     # so it replays under the SAME batch_id and the full overwrite
     # replaces the partial partition; batch 1 then proceeds normally.

@@ -182,6 +182,15 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # bm25f, each with its broadcast 1-row stats relation); the
         # metric math itself is equi-joins + windows (r14)
         "search_eval_ndcg",
+        # gap-encoded store probe IS bm25_probe_persisted (broadcast
+        # 1-row stats relation, same as every bm25 row) — the delta
+        # layout never changes the probe plan (r15)
+        "search_bm25_probe_delta",
+        # append-health embeds the brute-force ground truth (broadcast
+        # scoring, by definition — the recall is measured against it)
+        # plus the documented 1-row x 1-row x 1-row stats assembly;
+        # both probed indexes stay list-pruned equi-joins (r15)
+        "sim_ivfpq_append_recall",
     }
     offenders = {}
     for name, fn in contract.queries().items():
