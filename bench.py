@@ -284,10 +284,21 @@ def main() -> None:
         # so the single timed build below isn't billed JIT/IO-warmup noise.
         write_index(build_index(load_table(spark, sf_dir, "documents")),
                     warmdir)
+    # min-of-2 (r15): this was the bench's only single-run row and the
+    # only one to false-flag a regression (sf1 r15: 6.69 under co-tenant
+    # load vs 2.8-3.9 idle) — one extra build buys the same noise
+    # resistance every other row has.
+    build_runs = []
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as ixtmp:
+            t0 = time.perf_counter()
+            write_index(build_index(load_table(spark, sf_dir, "documents")),
+                        ixtmp)
+            build_runs.append(time.perf_counter() - t0)
+    timings["index_build_persist"] = round(min(build_runs), 3)
+    medians["index_build_persist"] = round(max(build_runs), 3)
     with tempfile.TemporaryDirectory() as ixdir:
-        t0 = time.perf_counter()
         write_index(build_index(load_table(spark, sf_dir, "documents")), ixdir)
-        timings["index_build_persist"] = round(time.perf_counter() - t0, 3)
         record("search_bm25_probe_persisted",
                timed_runs(lambda: bm25_probe_persisted(
                    spark, ixdir, FLAGSHIP_QUERY),

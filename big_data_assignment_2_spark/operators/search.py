@@ -200,6 +200,52 @@ def bm25_fuzzy_topk(spark: SparkSession, query: str,
     return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def prefix_expand_terms(terms_df: DataFrame,
+                        document_frequency: DataFrame) -> DataFrame:
+    """Trailing-wildcard query-term expansion (r15) — Lucene's
+    PrefixQuery rewrite: a query term ending in ``*`` expands to EVERY
+    vocabulary term starting with its stem; plain terms pass through
+    unchanged.  Same scale shape as :func:`fuzzy_expand_terms`: the
+    pattern join is the tiny broadcast wildcard relation × the
+    VOCABULARY relation (``document_frequency``, zipf-bounded — never
+    the postings); the expanded terms then probe postings by ordinary
+    equi-join.  One row per scoring occurrence (a term matched both
+    exactly and via a wildcard contributes twice — the occurrence
+    convention fuzzy expansion set)."""
+    wild = (terms_df.filter(F.col("term").endswith("*"))
+            .select(F.regexp_replace("term", r"\*+$", "").alias("__stem"))
+            .filter(F.length("__stem") > 0))
+    plain = terms_df.filter(~F.col("term").endswith("*"))
+    expanded = (document_frequency.select("term")
+                .join(F.broadcast(wild),
+                      F.col("term").startswith(F.col("__stem")))
+                .select("term"))
+    return plain.unionByName(expanded)
+
+
+def bm25_prefix_topk(spark: SparkSession, query: str,
+                     term_document: DataFrame,
+                     document_frequency: DataFrame,
+                     documents_info: DataFrame, k: int = 10,
+                     k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+                     round_to: int | None = 6) -> DataFrame:
+    """BM25 top-k with trailing-wildcard expansion
+    (:func:`prefix_expand_terms`) — the ``vec*`` serving path every
+    search box grows.  The query is whitespace-split and lowercased
+    (NOT run through the tokenizer, which would strip the ``*``);
+    expanded terms score as ordinary query terms with their own df."""
+    terms = [t.lower() for t in query.split() if t]
+    if not terms:
+        return spark.createDataFrame([], "doc_id string, score double")
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    eff = prefix_expand_terms(terms_df, document_frequency)
+    scores = _bm25_scores_from_terms(eff, term_document, document_frequency,
+                                     documents_info, k1, b)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def bm25f_topk(spark: SparkSession, query: str,
                fields: dict[str, dict[str, DataFrame]],
                weights: dict[str, float], k: int = 10,

@@ -377,6 +377,24 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10)
 
 
+PREFIX_QUERY = "vec* merge"
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with trailing-wildcard expansion
+    (operators.search.bm25_prefix_topk — Lucene's PrefixQuery rewrite):
+    'vec*' expands to every vocabulary term starting with 'vec', scored
+    as ordinary query terms beside the plain term.  The pattern join is
+    wildcards × VOCABULARY (the df table), never × postings."""
+    from ..operators.index import build_index
+    from ..operators.search import bm25_prefix_topk
+
+    ix = build_index(load_table(spark, sf_dir, "documents"))
+    return bm25_prefix_topk(spark, PREFIX_QUERY, ix["term_document"],
+                            ix["document_frequency"], ix["documents_info"],
+                            k=10)
+
+
 # Hybrid retrieval (r14): BM25 and dense-vector lists fused by
 # reciprocal-rank fusion — the production shape for "semantic + lexical"
 # search.  The corpus embedding for doc d is embeddings.vec_id = d (the
@@ -575,6 +593,7 @@ QUERIES = {
     "search_proximity": q_proximity,
     "search_bm25f_topk": q_bm25f_topk,
     "search_fuzzy_topk": q_fuzzy_topk,
+    "search_prefix_topk": q_prefix_topk,
     "search_hybrid_rrf": q_hybrid_rrf,
     "search_snippet": q_snippet,
     "search_more_like_this": q_more_like_this,
@@ -1039,6 +1058,39 @@ qterms AS (
     JOIN (SELECT qterm FROM rawq
           WHERE qterm NOT IN (SELECT term FROM dfreq)) o
       ON levenshtein(v.term, o.qterm) <= 1
+),
+scored AS (
+    SELECT p.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) )
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+ORACLES["search_prefix_topk"] = f"""
+WITH {_TOKENS_CTE},
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (
+    SELECT v.term FROM dfreq v WHERE v.term LIKE 'vec%'
+    UNION ALL
+    SELECT 'merge' AS term
 ),
 scored AS (
     SELECT p.doc_id,

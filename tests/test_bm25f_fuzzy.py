@@ -209,3 +209,36 @@ def test_more_like_this_golden(spark):
                               ix["documents_info"]).collect()
            if r["doc_id"] != "d1"]
     assert got == exp and [d for d, _ in got] == ["d3"]
+
+
+def _prefix(spark, ix, q):
+    from big_data_assignment_2_spark.operators.search import bm25_prefix_topk
+    return [(r["doc_id"], r["score"])
+            for r in bm25_prefix_topk(spark, q, ix["term_document"],
+                                      ix["document_frequency"],
+                                      ix["documents_info"]).collect()]
+
+
+def test_prefix_wildcard_expands_to_vocab(spark, flat_index):
+    # 'ch*' matches exactly 'cherry' in the corpus vocabulary
+    assert _prefix(spark, flat_index, "ch* banana") == \
+        _exact(spark, flat_index, "cherry banana")
+
+
+def test_prefix_plain_terms_pass_through(spark, flat_index):
+    assert _prefix(spark, flat_index, "apple banana") == \
+        _exact(spark, flat_index, "apple banana")
+
+
+def test_prefix_multi_match_scores_each_term(spark, flat_index):
+    # 'b*' -> banana; 'a*' -> apple; both expansions together == the
+    # two-term exact query (each matched term scored with its own df)
+    assert _prefix(spark, flat_index, "a* b*") == \
+        _exact(spark, flat_index, "apple banana")
+
+
+def test_prefix_bare_star_and_no_match_contribute_nothing(spark, flat_index):
+    # a bare '*' is guarded (empty stem would match the whole vocabulary
+    # by accident); 'zz*' matches nothing
+    assert _prefix(spark, flat_index, "* zz* apple") == \
+        _exact(spark, flat_index, "apple")
