@@ -494,6 +494,51 @@ def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
     drop_tombstones(spark, base_path)
 
 
+def write_sq8(vectors: DataFrame, path: str, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> None:
+    """Persist the SQ8 MEMORY TIER (r15): per-vector symmetric int8
+    codes (code = round(x/scale), scale = max|x|/127 floored at 1e-30 —
+    the zero-vector guard shared with ``similarity.sq8_dequantized``)
+    plus the one double scale — 1 byte/dim + 8 bytes vs 8 bytes/dim for
+    the float64 store, the FAISS ``IndexScalarQuantizer`` layout.  The
+    codes are exact small integers, so parquet stores them losslessly
+    and the probe reconstructs BIT-IDENTICALLY to the in-flight
+    ``sq8_topk`` (round(x/scale) is a whole double ≤ 127 — the tinyint
+    cast and the read-back multiply are both exact)."""
+    from .similarity import as_double
+
+    v = as_double(vec_col)
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
+                       F.lit(1e-30))
+    (vectors.select(F.col(id_col).alias("vec_id"), v.alias("__v"),
+                    scale.alias("scale"))
+     .select("vec_id", "scale",
+             F.transform("__v", lambda x: F.round(x / F.col("scale"))
+                         .cast("tinyint")).alias("codes"))
+     .write.mode("overwrite").parquet(path))
+
+
+def sq8_probe_persisted(spark: SparkSession, path: str, queries: DataFrame,
+                        k: int = 10, vec_col: str = "embedding",
+                        q_id_col: str = "query_id") -> DataFrame:
+    """Serve ASYMMETRIC SQ8 search from the persisted int8 store:
+    reconstruct each stored vector in-row (codes × scale — one map-side
+    transform over the 4x-smaller scan) and score full-precision queries
+    with the exact cosine path.  Identical results to the in-flight
+    ``similarity.sq8_topk`` by exact-arithmetic construction (asserted
+    in tests/test_persist.py), so the ``sim_sq8_topk`` oracle applies
+    verbatim to the persisted row."""
+    from .similarity import brute_force_topk
+
+    store = spark.read.parquet(path)
+    dq = store.select(
+        "vec_id",
+        F.transform("codes", lambda c: c.cast("double") * F.col("scale"))
+        .alias(vec_col))
+    return brute_force_topk(dq, queries, k=k, vec_col=vec_col,
+                            id_col="vec_id", q_id_col=q_id_col)
+
+
 def ivfpq_list_stats(spark: SparkSession, base_path: str) -> DataFrame:
     """Per-list HEALTH of a persisted IVF+PQ store: live (non-tombstoned)
     vector count per coarse list.  The list-balance ratio max(n)/avg(n)

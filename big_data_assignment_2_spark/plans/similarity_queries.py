@@ -162,6 +162,32 @@ KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
 
+def q_sq8_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 memory tier PERSISTED and served (r15): write the int8
+    code store (persist.write_sq8 — 1 byte/dim + one scale, the FAISS
+    IndexScalarQuantizer layout; measured 5.2x smaller than the float64
+    parquet at sf0.1, SCALE.md r15), then answer the query set from it
+    (persist.sq8_probe_persisted: in-row codes x scale reconstruction
+    over the 4x-smaller scan, exact-cosine asymmetric scoring).  Exact
+    arithmetic end-to-end, so the in-flight sim_sq8_topk oracle applies
+    VERBATIM — a green row certifies the persisted tier serves
+    bit-identically to first principles."""
+    import os
+    import tempfile
+
+    from ..operators.persist import sq8_probe_persisted, write_sq8
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"sq8_store_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"sq8_store_{sf_tag}_*", keep=path)
+    write_sq8(em, path)
+    return sq8_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                               k=TOP_K)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (deterministic init, rounded centroid
     updates) — the oracle replays BOTH iterations in SQL, so this is an
@@ -1048,6 +1074,7 @@ QUERIES = {
     "sim_filtered_adaptive": q_filtered_adaptive,
     "sim_mmr_diversify": q_mmr,
     "sim_sq8_topk": q_sq8_topk,
+    "sim_sq8_probe_persisted": q_sq8_probe_persisted,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -1698,6 +1725,10 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
     "sim_pq_topk": _pq_oracle(),
+    # persisted SQ8 tier: exact arithmetic end-to-end (codes and scale
+    # round-trip parquet losslessly), so the in-flight replay IS the
+    # persisted probe's oracle
+    "sim_sq8_probe_persisted": None,  # assigned below (shares sim_sq8_topk)
     "sim_ivfpq_topk": _ivfpq_oracle(),
     "sim_ivfpq_filtered_probe": _ivfpq_oracle(filtered=True),
     # The persisted probe returns the identical relation to the in-flight
@@ -1833,6 +1864,8 @@ WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 # the per-query intersection count is hash-checkable, not a sampled
 # estimate — the persisted-probe replay joined against the brute-force
 # replay, counted per query.
+ORACLES["sim_sq8_probe_persisted"] = ORACLES["sim_sq8_topk"]
+
 ORACLES["sim_ivfpq_recall"] = f"""
 WITH ann AS (SELECT query_id, neighbor_id
              FROM ({_ivfpq_oracle()}) ivfpq_full),

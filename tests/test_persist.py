@@ -275,3 +275,32 @@ def test_delta_positions_roundtrip_probe_equality_and_size(
                    for f in fs)
     plain_b, delta_b = du(index_path), du(delta_path)
     assert delta_b < plain_b, (delta_b, plain_b)
+
+
+def test_sq8_persisted_probe_equals_inflight_and_shrinks(spark, sf_dir,
+                                                         tmp_path_factory):
+    """Persisted SQ8 tier (r15): the int8 store probe must equal the
+    in-flight sq8_topk BIT-FOR-BIT (codes are whole doubles <= 127 —
+    tinyint cast and read-back multiply are both exact), and the store
+    must be materially smaller than the float64 parquet."""
+    from big_data_assignment_2_spark.operators.persist import (
+        sq8_probe_persisted, write_sq8)
+    from big_data_assignment_2_spark.operators.similarity import sq8_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    path = str(tmp_path_factory.mktemp("sq8")) + "/store"
+    write_sq8(em, path)
+    a = sorted(map(tuple, sq8_topk(em, q, k=10).collect()))
+    b = sorted(map(tuple, sq8_probe_persisted(spark, path, q,
+                                              k=10).collect()))
+    assert a == b and a
+
+    def du(p):
+        if os.path.isdir(p):
+            return sum(os.path.getsize(os.path.join(d, f))
+                       for d, _, fs in os.walk(p) for f in fs)
+        return os.path.getsize(p)
+    raw = du(os.path.join(sf_dir, "embeddings.parquet"))
+    assert du(path) < raw / 2, (du(path), raw)
