@@ -206,6 +206,57 @@ def q_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append")
 
 
+OUTER_JOIN_HORIZON = "1 hour"     # join window
+OUTER_JOIN_DELAY = "1 hour"       # events_stream's watermark delay
+OUTER_JOIN_MARGIN = "1 minute"    # boundary guard below the final watermark
+
+
+def q_interval_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join through the REAL runtime
+    (r15): clicks with no purchase in the following hour emit a
+    NULL-padded row once the watermark proves no match can still arrive
+    — the funnel-drop-off attribution only a stateful streaming engine
+    can produce incrementally.  Drained single-batch (the documented
+    dropDuplicatesWithinWatermark convention: one batch regardless of
+    part-file count, so no row is ever late against a mid-drain
+    watermark), then restricted to the CLOSED region on BOTH engines:
+    rows whose join window the drain never closed are still in engine
+    state at shutdown and belong to neither side.
+
+    The closed bound derives from the watermark THE ENGINE ACTUALLY
+    COMPUTES, pinned empirically via StreamingQueryProgress: Catalyst
+    pushes the event_type filters below the EventTimeWatermark operator,
+    so the watermark node only ever SEES click/purchase rows and the
+    final watermark is max(ts over clicks ∪ purchases) − delay — NOT the
+    global max (the sf0.01 global max is a 'view' event 19 min later,
+    which made a naive global-max bound off by one row).  A left row's
+    null emits iff l_ts + horizon < that watermark; the row restricts to
+    l_ts + horizon < (side-max − delay − margin), margin covering the
+    engine's ms-truncation of the watermark.  The oracle is the batch
+    LEFT JOIN under the same bound, so a green row certifies outer-state
+    eviction and exactly-one null emission per unmatched click."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import interval_join_outer
+
+    out = run_stream_to_df(
+        spark,
+        interval_join_outer(events_stream(spark, sf_dir, single_batch=True)),
+        output_mode="append")
+    mx = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .agg(F.max(F.col("ts").cast("timestamp"))).first()[0])
+    closed = ((F.col("l_ts") + F.expr(f"INTERVAL {OUTER_JOIN_HORIZON}"))
+              < (F.lit(mx) - F.expr(f"INTERVAL {OUTER_JOIN_DELAY}")
+                 - F.expr(f"INTERVAL {OUTER_JOIN_MARGIN}")))
+    return (out.filter(closed)
+            .select("user_id",
+                    F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("left_ts"),
+                    F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("right_ts")))
+
+
 def q_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production pattern for rank-over-updating-aggregate: foreachBatch
     ranks each complete-mode aggregate snapshot and overwrites a parquet
@@ -756,6 +807,7 @@ QUERIES = {
     "stream_dedup_within_wm_live": q_dedup_within_wm_live,
     "stream_enrich_static_live": q_enrich_static_live,
     "stream_interval_join_1h_live": q_interval_join_live,
+    "stream_interval_join_outer_live": q_interval_join_outer_live,
     "stream_topk_foreachbatch": q_topk_foreachbatch,
     "stream_topk_per_day": q_topk_window,
     "stream_dedup_keys": q_dedup,
@@ -948,4 +1000,19 @@ FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
 GROUP BY 1, 2
 """
 ORACLES["stream_interval_join_1h_live"] = ORACLES["stream_interval_join_1h"]
+# Outer interval join: the batch LEFT JOIN restricted to the closed
+# region (join window strictly below the final watermark minus the
+# margin) — the same deterministic bound the engine row applies.
+ORACLES["stream_interval_join_outer_live"] = """
+WITH b AS (SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 1 MINUTE AS wm
+           FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS left_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS right_ts
+FROM events l
+LEFT JOIN events r ON r.user_id = l.user_id AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+CROSS JOIN b
+WHERE l.event_type = 'click' AND l.ts + INTERVAL 1 HOUR < b.wm
+"""
 ORACLES["stream_topk_foreachbatch"] = ORACLES["stream_topk_per_day"]

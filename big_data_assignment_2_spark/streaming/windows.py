@@ -155,6 +155,35 @@ def interval_join(events: DataFrame, left_type: str = "click",
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("right_ts"))
 
 
+def interval_join_outer(events: DataFrame, left_type: str = "click",
+                        right_type: str = "purchase",
+                        horizon: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream interval join (r15): like
+    :func:`interval_join`, but clicks with NO purchase in the horizon
+    ALSO emit — with a NULL right side — once the watermark passes their
+    join window (click→purchase attribution including the non-buyers,
+    the funnel-drop-off measurement).  The outer rows are the part only
+    the STREAMING runtime can certify: the engine must hold the left row
+    in state until the watermark proves no match can still arrive, then
+    emit exactly one null-padded row and evict.
+
+    Returns RAW (user_id, l_ts, r_ts) — callers apply the closed-region
+    restriction (l_ts + horizon safely BELOW the final watermark) before
+    comparing against a batch left join: rows whose join window the
+    drained stream never closed are still in state at shutdown and must
+    be excluded from BOTH engines (deterministic, data-derived bound).
+    In batch the same plan is a plain left equi-join with the range
+    predicate."""
+    l = (events.filter(F.col("event_type") == left_type)
+         .select("user_id", F.col("ts").alias("l_ts")))
+    r = (events.filter(F.col("event_type") == right_type)
+         .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")))
+    cond = ((F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")))
+    return l.join(r, cond, "leftOuter").select("user_id", "l_ts", "r_ts")
+
+
 def topk_types_per_window(events: DataFrame, width: str = "1 day",
                           k: int = 3) -> DataFrame:
     """Trending-items shape: top-k event types per tumbling window by

@@ -208,3 +208,37 @@ def test_stream_dedup_history_matches_batch_anti_join(spark, sf_dir):
             .join(hist, "__k", "left_anti")
             .select("doc_id", "source").collect()}
     assert got == want and want
+
+
+def test_interval_join_outer_stream_batch_parity(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: the drained stream,
+    restricted to the closed region (join window below the engine's
+    final watermark — which derives from max(click ∪ purchase) ts, the
+    only rows the pushed-below-filter watermark node ever sees), must
+    equal the batch left join under the same bound, and must contain
+    BOTH matched and null-padded rows (the nulls are the part only the
+    stateful runtime can produce)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.plans.streaming_queries import (
+        q_interval_join_outer_live)
+    from big_data_assignment_2_spark.streaming.windows import (
+        interval_join_outer)
+
+    got = _rows(q_interval_join_outer_live(spark, sf_dir))
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = (ev.filter(F.col("event_type").isin("click", "purchase"))
+          .agg(F.max("ts")).first()[0])
+    closed = ((F.col("l_ts") + F.expr("INTERVAL 1 hour"))
+              < (F.lit(mx) - F.expr("INTERVAL 1 hour")
+                 - F.expr("INTERVAL 1 minute")))
+    want = _rows(interval_join_outer(ev).filter(closed)
+                 .select("user_id",
+                         F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                         .alias("left_ts"),
+                         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                         .alias("right_ts")))
+    assert got == want and want
+    assert any(r[2] is None for r in got)      # unmatched clicks emitted
+    assert any(r[2] is not None for r in got)  # matched pairs too
