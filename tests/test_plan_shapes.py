@@ -186,6 +186,14 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # 1-row stats relation, same as every bm25 row) — the delta
         # layout never changes the probe plan (r15)
         "search_bm25_probe_delta",
+        # prefix expansion: wildcards × VOCABULARY theta-join (the
+        # PrefixQuery rewrite — same shape as search_fuzzy_topk), then
+        # bm25's broadcast 1-row stats relation (r15)
+        "search_prefix_topk",
+        # persisted SQ8 tier serves via exact brute-force scoring over
+        # the reconstructed store — broadcast scoring is the operator's
+        # definition, same as sim_sq8_topk (r15)
+        "sim_sq8_probe_persisted",
         # append-health embeds the brute-force ground truth (broadcast
         # scoring, by definition — the recall is measured against it)
         # plus the documented 1-row x 1-row x 1-row stats assembly;
