@@ -494,6 +494,20 @@ def ivfpq_compact(spark: SparkSession, base_path: str) -> None:
     drop_tombstones(spark, base_path)
 
 
+def _sq8_codes(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(vec_id, scale, codes tinyint[]) — the SQ8 storage relation."""
+    from .similarity import as_double
+
+    v = as_double(vec_col)
+    scale = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
+                       F.lit(1e-30))
+    return (vectors.select(F.col(id_col).alias("vec_id"), v.alias("__v"),
+                           scale.alias("scale"))
+            .select("vec_id", "scale",
+                    F.transform("__v", lambda x: F.round(x / F.col("scale"))
+                                .cast("tinyint")).alias("codes")))
+
+
 def write_sq8(vectors: DataFrame, path: str, vec_col: str = "embedding",
               id_col: str = "vec_id") -> None:
     """Persist the SQ8 MEMORY TIER (r15): per-vector symmetric int8
@@ -505,17 +519,20 @@ def write_sq8(vectors: DataFrame, path: str, vec_col: str = "embedding",
     and the probe reconstructs BIT-IDENTICALLY to the in-flight
     ``sq8_topk`` (round(x/scale) is a whole double ≤ 127 — the tinyint
     cast and the read-back multiply are both exact)."""
-    from .similarity import as_double
+    _sq8_codes(vectors, vec_col, id_col).write.mode("overwrite") \
+        .parquet(path)
 
-    v = as_double(vec_col)
-    scale = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
-                       F.lit(1e-30))
-    (vectors.select(F.col(id_col).alias("vec_id"), v.alias("__v"),
-                    scale.alias("scale"))
-     .select("vec_id", "scale",
-             F.transform("__v", lambda x: F.round(x / F.col("scale"))
-                         .cast("tinyint")).alias("codes"))
-     .write.mode("overwrite").parquet(path))
+
+def sq8_append(vectors: DataFrame, path: str, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> None:
+    """GROW the persisted SQ8 store: per-vector quantization carries NO
+    trained state (each row's scale is its own max|x|/127), so ingesting
+    new vectors is a pure partition append — no codebooks to freeze, no
+    drift, no retrain decision, ever.  The contrast to the IVF+PQ add()
+    path is the point: scalar quantization trades 8× compression for
+    zero maintenance; PQ trades deeper compression for the
+    frozen-codebook decay the append-recall row certifies."""
+    _sq8_codes(vectors, vec_col, id_col).write.mode("append").parquet(path)
 
 
 def sq8_probe_persisted(spark: SparkSession, path: str, queries: DataFrame,

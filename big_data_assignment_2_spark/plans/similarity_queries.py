@@ -188,6 +188,33 @@ def q_sq8_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=TOP_K)
 
 
+def q_sq8_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 store GROWTH (r15): write the int8 tier from 90% of the
+    corpus, append the remaining 10% (persist.sq8_append — a pure
+    partition append: per-vector scales mean NO trained state, no
+    codebook freeze, no drift), probe the query set.  The grown store
+    must serve exactly like a fresh full-corpus store — and since the
+    encode is per-row deterministic, exactly like the in-flight
+    sq8_topk, whose oracle applies VERBATIM.  The zero-maintenance
+    counterpoint to sim_ivfpq_append_recall's frozen-codebook decay."""
+    import os
+    import tempfile
+
+    from ..operators.persist import sq8_append, sq8_probe_persisted, write_sq8
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"sq8_append_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"sq8_append_{sf_tag}_*", keep=path)
+    write_sq8(em.filter((nid % APPEND_MOD) != APPEND_REM), path)
+    sq8_append(em.filter((nid % APPEND_MOD) == APPEND_REM), path)
+    return sq8_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                               k=TOP_K)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (deterministic init, rounded centroid
     updates) — the oracle replays BOTH iterations in SQL, so this is an
@@ -1075,6 +1102,7 @@ QUERIES = {
     "sim_mmr_diversify": q_mmr,
     "sim_sq8_topk": q_sq8_topk,
     "sim_sq8_probe_persisted": q_sq8_probe_persisted,
+    "sim_sq8_append_probe": q_sq8_append_probe,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -1865,6 +1893,9 @@ WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
 # estimate — the persisted-probe replay joined against the brute-force
 # replay, counted per query.
 ORACLES["sim_sq8_probe_persisted"] = ORACLES["sim_sq8_topk"]
+# Growth is a pure append of per-row-encoded codes, so the grown store
+# is exactly the fresh store — same in-flight replay.
+ORACLES["sim_sq8_append_probe"] = ORACLES["sim_sq8_topk"]
 
 ORACLES["sim_ivfpq_recall"] = f"""
 WITH ann AS (SELECT query_id, neighbor_id

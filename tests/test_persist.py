@@ -304,3 +304,27 @@ def test_sq8_persisted_probe_equals_inflight_and_shrinks(spark, sf_dir,
         return os.path.getsize(p)
     raw = du(os.path.join(sf_dir, "embeddings.parquet"))
     assert du(path) < raw / 2, (du(path), raw)
+
+
+def test_sq8_append_equals_fresh_full_store(spark, sf_dir,
+                                            tmp_path_factory):
+    """sq8_append (r15): per-vector scales mean no trained state, so
+    base-write + append must probe identically to a fresh full-corpus
+    store — bit-for-bit."""
+    from big_data_assignment_2_spark.operators.persist import (
+        sq8_append, sq8_probe_persisted, write_sq8)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    nid = F.col("vec_id").cast("bigint")
+    d = str(tmp_path_factory.mktemp("sq8app"))
+    grown, fresh = d + "/grown", d + "/fresh"
+    write_sq8(em.filter((nid % 10) != 9), grown)
+    sq8_append(em.filter((nid % 10) == 9), grown)
+    write_sq8(em, fresh)
+    a = sorted(map(tuple, sq8_probe_persisted(spark, grown, q,
+                                              k=10).collect()))
+    b = sorted(map(tuple, sq8_probe_persisted(spark, fresh, q,
+                                              k=10).collect()))
+    assert a == b and a

@@ -193,7 +193,7 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # persisted SQ8 tier serves via exact brute-force scoring over
         # the reconstructed store — broadcast scoring is the operator's
         # definition, same as sim_sq8_topk (r15)
-        "sim_sq8_probe_persisted",
+        "sim_sq8_probe_persisted", "sim_sq8_append_probe",
         # append-health embeds the brute-force ground truth (broadcast
         # scoring, by definition — the recall is measured against it)
         # plus the documented 1-row x 1-row x 1-row stats assembly;
