@@ -979,9 +979,15 @@ ORACLES["stream_ann_ingest_live"] = _SIM_ORACLES["sim_ivfpq_append_probe"]
 # r14 #1) — integer addition is order-independent and batch-split
 # independent, so the oracle is simply the global per-type aggregate
 # (rounding a summed double was order-dependent and flapped in r14).
+# The outer CAST is load-bearing (r16, VERDICT r15 #1): DuckDB's
+# sum(BIGINT) returns HUGEINT, which pandas fetches as float64 and the
+# driver's type-sensitive value hash sees 10195100.0 vs Spark's
+# 10195100 — identical values, flipped hash. Same pattern as the green
+# sibling stream_enrich_static_live below.
 ORACLES["stream_exactly_once_sink"] = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
 FROM events GROUP BY event_type
 """
 ORACLES["stream_session_30m_live"] = ORACLES["stream_session_30m"]

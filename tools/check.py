@@ -32,6 +32,39 @@ def normalize(rows, columns):
     return sorted(out, key=repr)
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint", "byte", "short",
+                   "integer", "long"}
+
+
+def dtype_parity_problems(sdf, con, sql):
+    """Driver-emulating type check (VERDICT r15 #2).
+
+    The driver fetches the oracle via pandas ``fetchdf()``, which is
+    type-lossy: DuckDB HUGEINT (the result type of sum(BIGINT)) and
+    DECIMAL both materialize as float64, so an integer-valued oracle can
+    hash as ``10195100.0`` against Spark's ``10195100`` and flip the
+    driver's type-sensitive value hash even though values are equal.
+    ``fetchall()`` (used below for value comparison) hides this by
+    returning Python ints — so we re-fetch through the lossy path and
+    fail when a Spark-integral column comes back floating with no NULLs
+    (NULL-bearing int columns are float64 in pandas regardless of the
+    declared type; the driver tolerates those, so we do too).
+    """
+    problems = []
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    odf = con.execute(sql).fetchdf()
+    for col in odf.columns:
+        stype = spark_types.get(col)
+        if stype in _INTEGRAL_SPARK and str(odf[col].dtype).startswith("float"):
+            if not odf[col].isna().any():
+                problems.append(
+                    f"oracle column '{col}' fetches as {odf[col].dtype} but "
+                    f"Spark type is {stype} (NaN-free) — likely HUGEINT from "
+                    f"sum(BIGINT) or a DECIMAL projection; wrap in an outer "
+                    f"CAST(... AS BIGINT)")
+    return problems
+
+
 def main() -> int:
     import duckdb
 
@@ -86,6 +119,11 @@ def main() -> int:
             problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if not problems:
+            try:
+                problems.extend(dtype_parity_problems(sdf, con, oracles[name]))
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"dtype-parity fetchdf error: {e}")
         if not problems:
             a, b = normalize(srows, scols), normalize(orows, ocols)
             if a != b:
