@@ -518,9 +518,13 @@ def write_sq8(vectors: DataFrame, path: str, vec_col: str = "embedding",
     codes are exact small integers, so parquet stores them losslessly
     and the probe reconstructs BIT-IDENTICALLY to the in-flight
     ``sq8_topk`` (round(x/scale) is a whole double ≤ 127 — the tinyint
-    cast and the read-back multiply are both exact)."""
+    cast and the read-back multiply are both exact).
+
+    Layout (r16): ``{path}/codes`` + an optional ``{path}/tombstones``
+    log — the same base-path shape as the IVF+PQ and BM25 stores, so
+    the shared ``lifecycle`` delete/compact mechanics apply verbatim."""
     _sq8_codes(vectors, vec_col, id_col).write.mode("overwrite") \
-        .parquet(path)
+        .parquet(f"{path}/codes")
 
 
 def sq8_append(vectors: DataFrame, path: str, vec_col: str = "embedding",
@@ -532,7 +536,42 @@ def sq8_append(vectors: DataFrame, path: str, vec_col: str = "embedding",
     path is the point: scalar quantization trades 8× compression for
     zero maintenance; PQ trades deeper compression for the
     frozen-codebook decay the append-recall row certifies."""
-    _sq8_codes(vectors, vec_col, id_col).write.mode("append").parquet(path)
+    _sq8_codes(vectors, vec_col, id_col).write.mode("append") \
+        .parquet(f"{path}/codes")
+
+
+def sq8_delete(spark: SparkSession, path: str, vec_ids) -> None:
+    """TOMBSTONE vectors out of the persisted SQ8 store (r16, VERDICT
+    r15 #4) — the takedown/GDPR path, completing the "every persisted
+    store has the same lifecycle" story: identical append-only tombstone
+    log as the IVF+PQ (``ivfpq_delete``), BM25, and fingerprint stores
+    (shared ``lifecycle`` mechanics).  :func:`sq8_probe_persisted` masks
+    the ids out of the code scan before scoring; :func:`sq8_compact`
+    removes the rows physically.  Unlike IVF+PQ there is no trained
+    state to go stale — a delete is complete the moment the log row
+    lands.
+
+    ``vec_ids``: a DataFrame whose first column is the vector id, or a
+    Python iterable of ints."""
+    append_tombstones(spark, path, vec_ids, "__nid", "bigint")
+
+
+def sq8_compact(spark: SparkSession, path: str) -> None:
+    """Physically remove tombstoned vectors' code rows and drop the
+    tombstone log — same maintenance-window contract and FS-API
+    directory swap as ``ivfpq_compact`` (shared ``lifecycle``
+    mechanics).  No-op when nothing was ever deleted.  Post-condition
+    (asserted in tests/test_persist.py): a compacted store probes
+    bit-identically to a fresh ``write_sq8`` over the surviving
+    vectors — per-vector scales make the store row-independent, so
+    dropping rows cannot perturb the survivors."""
+    tomb = read_tombstones(spark, path, "__nid")
+    if tomb is None:
+        return
+    atomic_rewrite(spark, path, "codes",
+                   mask_tombstones(spark.read.parquet(f"{path}/codes"),
+                                   tomb, "vec_id"))
+    drop_tombstones(spark, path)
 
 
 def sq8_probe_persisted(spark: SparkSession, path: str, queries: DataFrame,
@@ -544,10 +583,13 @@ def sq8_probe_persisted(spark: SparkSession, path: str, queries: DataFrame,
     with the exact cosine path.  Identical results to the in-flight
     ``similarity.sq8_topk`` by exact-arithmetic construction (asserted
     in tests/test_persist.py), so the ``sim_sq8_topk`` oracle applies
-    verbatim to the persisted row."""
+    verbatim to the persisted row.  Tombstoned ids (``sq8_delete``) are
+    masked out of the scan before scoring — a deleted vector stops being
+    a neighbor immediately, before any compaction."""
     from .similarity import brute_force_topk
 
-    store = spark.read.parquet(path)
+    store = mask_tombstones(spark.read.parquet(f"{path}/codes"),
+                            read_tombstones(spark, path, "__nid"), "vec_id")
     dq = store.select(
         "vec_id",
         F.transform("codes", lambda c: c.cast("double") * F.col("scale"))

@@ -215,6 +215,58 @@ def q_sq8_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=TOP_K)
 
 
+def _sq8_lifecycle_store(spark: SparkSession, sf_dir: str, tag: str,
+                         compact: bool) -> DataFrame:
+    """write_sq8(full) → sq8_delete(takedown set) → optional sq8_compact
+    → probe: the shared body of the r16 delete/compact rows (VERDICT
+    r15 #4 — the SQ8 tier now has the same tombstone lifecycle as its
+    IVF+PQ, BM25, and fingerprint siblings, `operators/lifecycle.py`).
+    Per-vector scales carry no trained state, so unlike IVF+PQ there is
+    no frozen-codebook asymmetry to replay: the oracle is simply the
+    in-flight SQ8 ranking with the tombstoned ids excluded as
+    NEIGHBORS (queries untouched)."""
+    import os
+    import tempfile
+
+    from ..operators.persist import (sq8_compact, sq8_delete,
+                                     sq8_probe_persisted, write_sq8)
+    from ..sources.io import cleanup_stale_scratch
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    path = os.path.join(scratch, f"sq8_{tag}_{sf_tag}_{os.getpid()}")
+    cleanup_stale_scratch(scratch, f"sq8_{tag}_{sf_tag}_*", keep=path)
+    write_sq8(em, path)
+    sq8_delete(spark, path,
+               em.filter((nid % DELETE_MOD) == DELETE_REM).select("vec_id"))
+    if compact:
+        sq8_compact(spark, path)
+    return sq8_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                               k=TOP_K)
+
+
+def q_sq8_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 tier TOMBSTONE deletes (r16): write the full int8 store,
+    tombstone the DELETE_MOD/DELETE_REM takedown set (persist.sq8_delete
+    — the shared append-only lifecycle log), probe: survivors only,
+    top-k refilled from the remaining rows, the delete visible before
+    any compaction."""
+    return _sq8_lifecycle_store(spark, sf_dir, "delete", compact=False)
+
+
+def q_sq8_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 tier COMPACTION (r16): same takedown set, but physically
+    rewritten (persist.sq8_compact — the shared atomic directory swap)
+    and the tombstone log dropped before probing.  Compaction is
+    result-invariant over the masked probe, so the oracle is identical
+    to the delete row's: a green row certifies the rewrite left exactly
+    the survivors' codes (also asserted bit-for-bit against a fresh
+    survivors-only write_sq8 in tests/test_persist.py)."""
+    return _sq8_lifecycle_store(spark, sf_dir, "compact", compact=True)
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (deterministic init, rounded centroid
     updates) — the oracle replays BOTH iterations in SQL, so this is an
@@ -1103,6 +1155,8 @@ QUERIES = {
     "sim_sq8_topk": q_sq8_topk,
     "sim_sq8_probe_persisted": q_sq8_probe_persisted,
     "sim_sq8_append_probe": q_sq8_append_probe,
+    "sim_sq8_delete_probe": q_sq8_delete_probe,
+    "sim_sq8_compact_probe": q_sq8_compact_probe,
     "sim_kmeans_assign": q_kmeans_assign,
     "sim_quantize_int8": q_quantize_int8,
     "sim_cosine_near_dups": q_cosine_near_dups,
@@ -1699,6 +1753,36 @@ FROM dist d LEFT JOIN dropped dr ON dr.vec_id = d.vec_id
 """
 
 
+def _sq8_oracle(neighbor_pred: str | None = None) -> str:
+    """Asymmetric SQ8 replay: full-precision queries vs the
+    int8-quantized-then-reconstructed corpus (quantizer expression
+    shared with sim_quantize_int8's oracle).  ``neighbor_pred``
+    restricts the NEIGHBOR side only (the r16 delete/compact rows:
+    tombstoned vectors stop being neighbors; the query set and every
+    survivor's per-vector scale are untouched — scales carry no trained
+    state, so deletion cannot perturb the survivors' reconstruction)."""
+    pred = f" AND b.vec_id {neighbor_pred}" if neighbor_pred else ""
+    return f"""
+WITH {_VECS},
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x)))
+                      / 127.0, 1e-30) AS scale
+      FROM vecs),
+dq AS (SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS v
+       FROM s),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
+  FROM q a JOIN dq b ON b.vec_id != a.query_id{pred})
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 ORACLES = {
     "sim_tfidf_topk": f"""
 WITH {_TOKENS_CTE},
@@ -1733,25 +1817,7 @@ WHERE rank <= {TOP_K}
     "sim_mmr_diversify": _mmr_oracle(),
     # asymmetric SQ8: full-precision queries vs the reconstructed int8
     # store; quantizer expression shared with sim_quantize_int8's oracle
-    "sim_sq8_topk": f"""
-WITH {_VECS},
-s AS (SELECT vec_id, v,
-             greatest(list_max(list_transform(v, x -> abs(x)))
-                      / 127.0, 1e-30) AS scale
-      FROM vecs),
-dq AS (SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS v
-       FROM s),
-q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT a.query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cos_sim
-  FROM q a JOIN dq b ON b.vec_id != a.query_id)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT query_id, neighbor_id, cos_sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-  FROM scored)
-WHERE rank <= {TOP_K}
-""",
+    "sim_sq8_topk": _sq8_oracle(),
     "sim_pq_topk": _pq_oracle(),
     # persisted SQ8 tier: exact arithmetic end-to-end (codes and scale
     # round-trip parquet losslessly), so the in-flight replay IS the
@@ -1896,6 +1962,12 @@ ORACLES["sim_sq8_probe_persisted"] = ORACLES["sim_sq8_topk"]
 # Growth is a pure append of per-row-encoded codes, so the grown store
 # is exactly the fresh store — same in-flight replay.
 ORACLES["sim_sq8_append_probe"] = ORACLES["sim_sq8_topk"]
+# Delete masks the takedown set out of the NEIGHBOR side only; compact
+# is result-invariant over the masked probe (same oracle — a green row
+# certifies the physical rewrite left exactly the survivors' codes).
+ORACLES["sim_sq8_delete_probe"] = _sq8_oracle(
+    f"% {DELETE_MOD} <> {DELETE_REM}")
+ORACLES["sim_sq8_compact_probe"] = ORACLES["sim_sq8_delete_probe"]
 
 ORACLES["sim_ivfpq_recall"] = f"""
 WITH ann AS (SELECT query_id, neighbor_id

@@ -328,3 +328,54 @@ def test_sq8_append_equals_fresh_full_store(spark, sf_dir,
     b = sorted(map(tuple, sq8_probe_persisted(spark, fresh, q,
                                               k=10).collect()))
     assert a == b and a
+
+
+def test_sq8_delete_masks_and_compact_equals_filtered_fresh(
+        spark, sf_dir, tmp_path_factory):
+    """SQ8 lifecycle (r16, VERDICT r15 #4): tombstoned ids must vanish
+    from probe results immediately (masked scan, before compaction);
+    compaction must leave a store that is RESULT-identical to the
+    masked probe AND bit-identical on disk semantics to a fresh
+    survivors-only write (per-vector scales are row-independent, so
+    dropping rows cannot perturb survivors); the tombstone log must be
+    gone afterwards so later probes pay no anti-join."""
+    from big_data_assignment_2_spark.operators.persist import (
+        sq8_compact, sq8_delete, sq8_probe_persisted, write_sq8)
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5) \
+        .selectExpr("vec_id AS query_id", "embedding")
+    nid = F.col("vec_id").cast("bigint")
+    d = str(tmp_path_factory.mktemp("sq8del"))
+    live_path, fresh_path = d + "/live", d + "/fresh"
+    write_sq8(em, live_path)
+    dead = em.filter((nid % 7) == 2).select("vec_id")
+    dead_ids = {r[0] for r in dead.collect()}
+    assert dead_ids
+    sq8_delete(spark, live_path, dead)
+
+    masked = sq8_probe_persisted(spark, live_path, q, k=10).collect()
+    assert masked
+    assert not {r["neighbor_id"] for r in masked} & {str(i) for i in
+                                                     dead_ids} \
+        and not {r["neighbor_id"] for r in masked} & dead_ids
+
+    sq8_compact(spark, live_path)
+    assert not os.path.exists(live_path + "/tombstones")
+    compacted = sq8_probe_persisted(spark, live_path, q, k=10).collect()
+    assert sorted(map(tuple, compacted)) == sorted(map(tuple, masked))
+
+    write_sq8(em.filter((nid % 7) != 2), fresh_path)
+    fresh = sq8_probe_persisted(spark, fresh_path, q, k=10).collect()
+    assert sorted(map(tuple, compacted)) == sorted(map(tuple, fresh))
+    # physical removal, not just masking: the survivors' code rows only
+    n_live = spark.read.parquet(live_path + "/codes").count()
+    n_fresh = spark.read.parquet(fresh_path + "/codes").count()
+    assert n_live == n_fresh
+
+    # compact with no tombstone log is a no-op, not an error
+    sq8_compact(spark, fresh_path)
+    assert sorted(map(tuple,
+                      sq8_probe_persisted(spark, fresh_path, q,
+                                          k=10).collect())) \
+        == sorted(map(tuple, fresh))

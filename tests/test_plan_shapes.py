@@ -194,6 +194,10 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # the reconstructed store — broadcast scoring is the operator's
         # definition, same as sim_sq8_topk (r15)
         "sim_sq8_probe_persisted", "sim_sq8_append_probe",
+        # lifecycle rows probe through the same broadcast brute-force
+        # serving path; the tombstone mask is a broadcast anti-join on
+        # top (r16)
+        "sim_sq8_delete_probe", "sim_sq8_compact_probe",
         # append-health embeds the brute-force ground truth (broadcast
         # scoring, by definition — the recall is measured against it)
         # plus the documented 1-row x 1-row x 1-row stats assembly;
