@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
 from .lifecycle import (append_tombstones, atomic_rewrite,
-                        drop_tombstones, hadoop_delete, hadoop_rename,
-                        mask_tombstones, read_tombstones)
+                        drop_tombstones, hadoop_delete, hadoop_fs,
+                        hadoop_rename, mask_tombstones, read_tombstones)
 
 
 def write_index(index: dict[str, DataFrame], base_path: str,
@@ -41,10 +41,14 @@ def write_index(index: dict[str, DataFrame], base_path: str,
 
     ``delta_positions`` (r15, VERDICT r14 #7): store positions arrays
     gap-encoded (:func:`delta_encode_positions` — the Lucene postings
-    layout); read back the logical view via
-    ``read_index(..., delta_positions=True)``.  The BM25 probe path
-    never reads positions (column-pruned at the scan), so scoring over
-    an encoded store is identical with no flag; positional consumers
+    layout).  The encoded store is SELF-DESCRIBING (r16 advice): the
+    stored column is renamed ``positions_delta``, so a reader can never
+    silently consume gap values as absolute positions — ``read_index``
+    auto-detects the layout from the schema and fails fast on a
+    flag/layout contradiction, and ``append_to_index`` encodes each
+    batch to match the live store.  The BM25 probe path never reads
+    positions (column-pruned at the scan), so scoring over an encoded
+    store is identical with no flag; positional consumers
     (phrase/snippet/proximity) decode through read_index."""
     from pyspark import StorageLevel
 
@@ -56,7 +60,8 @@ def write_index(index: dict[str, DataFrame], base_path: str,
         out = td
         if delta_positions:
             out = td.withColumn("positions",
-                                delta_encode_positions("positions"))
+                                delta_encode_positions("positions")) \
+                .withColumnRenamed("positions", "positions_delta")
         partition_postings_by_term_bucket(
             out, f"{base_path}/term_document", term_buckets)
         index["document_frequency"].write.mode("overwrite") \
@@ -89,13 +94,30 @@ def append_to_index(docs: DataFrame, base_path: str,
 
     The batch index is built from the incoming docs only — one batch
     pass, never a rebuild; at 100 TB this is the difference between a
-    nightly full-corpus index job and appending the day's crawl."""
+    nightly full-corpus index job and appending the day's crawl.
+
+    The batch adopts the LIVE store's positions layout (r16 advice:
+    the store is self-describing — a gap-encoded store carries
+    ``positions_delta``; appending absolute rows into it would corrupt
+    every positional consumer silently, so the batch is encoded to
+    match)."""
     from pyspark import StorageLevel
 
     from .index import build_index
 
+    spark = docs.sparkSession
+    live = f"{base_path}/term_document"
+    fs, hlive = hadoop_fs(spark, live)
+    live_delta = fs.exists(hlive) and \
+        "positions_delta" in spark.read.parquet(live).columns
+
     index = build_index(docs)
-    td = index["term_document"].persist(StorageLevel.MEMORY_AND_DISK)
+    td = cached = index["term_document"].persist(
+        StorageLevel.MEMORY_AND_DISK)
+    if live_delta:
+        td = td.withColumn("positions",
+                           delta_encode_positions("positions")) \
+            .withColumnRenamed("positions", "positions_delta")
     try:
         (td.withColumn("term_bucket", term_bucket(F.col("term"), term_buckets))
          .repartition(F.col("term_bucket"))
@@ -107,7 +129,7 @@ def append_to_index(docs: DataFrame, base_path: str,
         index["documents_info"].write.mode("append") \
             .parquet(f"{base_path}/documents_info")
     finally:
-        td.unpersist()
+        cached.unpersist()
 
 
 def delete_from_index(spark: SparkSession, base_path: str, doc_ids) -> None:
@@ -184,10 +206,26 @@ def compact_index(spark: SparkSession, base_path: str) -> None:
 
 def read_index(spark: SparkSession, base_path: str,
                delta_positions: bool = False) -> dict[str, DataFrame]:
+    """Logical view of a persisted index: always presents ABSOLUTE
+    positions under ``positions``, whatever the stored layout.  The
+    layout is read from the store itself (a gap-encoded store carries
+    ``positions_delta`` instead of ``positions`` — r16 advice: the two
+    layouts were previously indistinguishable on disk, so a missing or
+    spurious flag silently fed gap values to positional consumers as
+    absolute positions).  ``delta_positions`` survives as an optional
+    ASSERTION about what the caller expects to find: True on a
+    plain-layout store fails fast instead of double-decoding."""
     td = spark.read.parquet(f"{base_path}/term_document")
-    if delta_positions:
+    is_delta = "positions_delta" in td.columns
+    if delta_positions and not is_delta:
+        raise ValueError(
+            f"index at {base_path} stores absolute positions "
+            f"('positions' column) but delta_positions=True was "
+            f"asserted — refusing to decode a plain store")
+    if is_delta:
         td = td.withColumn("positions",
-                           delta_decode_positions("positions"))
+                           delta_decode_positions("positions_delta")) \
+            .drop("positions_delta")
     return {
         "term_document": td,
         "document_frequency": spark.read.parquet(f"{base_path}/document_frequency"),

@@ -217,6 +217,38 @@ def test_append_to_index_equals_full_build(spark, sf_dir, tmp_path_factory):
     assert summed == fresh
 
 
+def test_append_to_delta_store_encodes_batch_to_match(spark, sf_dir,
+                                                      tmp_path_factory):
+    """Appending into a gap-encoded store (r16 advice): the batch must
+    adopt the live store's positions_delta layout — a plain-positions
+    append would silently corrupt positional consumers.  The grown
+    store's decoded logical view must equal a fresh full delta build's."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment_2_spark.operators.index import build_index
+    from big_data_assignment_2_spark.operators.persist import (
+        append_to_index, read_index, write_index)
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    inc = str(tmp_path_factory.mktemp("ixd_inc"))
+    full = str(tmp_path_factory.mktemp("ixd_full"))
+    write_index(build_index(docs.filter((nid % 2) == 0)), inc,
+                delta_positions=True)
+    append_to_index(docs.filter((nid % 2) == 1), inc)
+    write_index(build_index(docs), full, delta_positions=True)
+    # on disk: one uniform layout, no mixed columns
+    raw = spark.read.parquet(f"{inc}/term_document")
+    assert "positions_delta" in raw.columns and \
+        "positions" not in raw.columns
+    key = lambda r: (r["term"], r["doc_id"])
+    a = sorted(((r["term"], r["doc_id"], list(r["positions"]))
+                for r in read_index(spark, inc)["term_document"].collect()))
+    b = sorted(((r["term"], r["doc_id"], list(r["positions"]))
+                for r in read_index(spark, full)["term_document"].collect()))
+    assert a == b and a
+
+
 def test_delta_positions_roundtrip_probe_equality_and_size(
         spark, sf_dir, index_path, tmp_path_factory):
     """Gap-encoded postings (r15): write_index(delta_positions=True) must
@@ -245,15 +277,31 @@ def test_delta_positions_roundtrip_probe_equality_and_size(
                 for r in decoded.collect()))
     assert a == b and a
 
-    # the stored form really is gaps (not absolutes)
-    raw = read_index(spark, delta_path)["term_document"]
-    multi = raw.filter(F.size("positions") >= 2).limit(5).collect()
+    # the stored form really is gaps, under the self-describing column
+    # name (r16 advice: a delta store must be distinguishable on disk)
+    raw = spark.read.parquet(delta_path + "/term_document")
+    assert "positions_delta" in raw.columns
+    assert "positions" not in raw.columns
+    multi = raw.filter(F.size("positions_delta") >= 2).limit(5).collect()
     for r in multi:
-        dec = [r["positions"][0]]
-        for g in r["positions"][1:]:
+        dec = [r["positions_delta"][0]]
+        for g in r["positions_delta"][1:]:
             assert g >= 0
             dec.append(dec[-1] + g)
         assert dec == sorted(dec)
+
+    # flag-free read of a delta store auto-decodes (self-describing):
+    # identical logical view, no flag required
+    auto = read_index(spark, delta_path)["term_document"]
+    c = sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]))
+                for r in auto.collect()))
+    assert c == a
+
+    # asserting delta on a PLAIN store fails fast instead of
+    # double-decoding
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absolute positions"):
+        read_index(spark, index_path, delta_positions=True)
 
     # positional consumer equality
     pm_plain = sorted(map(tuple, phrase_match(
