@@ -284,21 +284,23 @@ def main() -> None:
         # so the single timed build below isn't billed JIT/IO-warmup noise.
         write_index(build_index(load_table(spark, sf_dir, "documents")),
                     warmdir)
-    # min-of-2 (r15): this was the bench's only single-run row and the
-    # only one to false-flag a regression (sf1 r15: 6.69 under co-tenant
-    # load vs 2.8-3.9 idle) — one extra build buys the same noise
-    # resistance every other row has.
-    build_runs = []
-    for _ in range(2):
-        with tempfile.TemporaryDirectory() as ixtmp:
-            t0 = time.perf_counter()
-            write_index(build_index(load_table(spark, sf_dir, "documents")),
-                        ixtmp)
-            build_runs.append(time.perf_counter() - t0)
-    timings["index_build_persist"] = round(min(build_runs), 3)
-    medians["index_build_persist"] = round(max(build_runs), 3)
+    # min-of-3 with a TRUE median (r16 advice: the r15 "median" of two
+    # runs was max(build_runs) — not a median, inflating the row's
+    # min→median spread vs the min-of-3 rows).  The LAST timed build
+    # writes into the probes' ixdir, so the serving rows reuse a timed
+    # build instead of paying a fourth, untimed tokenize+explode+agg
+    # corpus pass per bench invocation (second r16 advice item).
     with tempfile.TemporaryDirectory() as ixdir:
-        write_index(build_index(load_table(spark, sf_dir, "documents")), ixdir)
+        build_runs = []
+        for i in range(3):
+            with tempfile.TemporaryDirectory() as ixtmp:
+                tgt = ixdir if i == 2 else ixtmp
+                t0 = time.perf_counter()
+                write_index(
+                    build_index(load_table(spark, sf_dir, "documents")), tgt)
+                build_runs.append(time.perf_counter() - t0)
+        timings["index_build_persist"] = round(min(build_runs), 3)
+        medians["index_build_persist"] = round(sorted(build_runs)[1], 3)
         record("search_bm25_probe_persisted",
                timed_runs(lambda: bm25_probe_persisted(
                    spark, ixdir, FLAGSHIP_QUERY),
@@ -312,6 +314,40 @@ def main() -> None:
                timed_runs(lambda: bm25_probe_persisted_batch(
                    spark, ixdir, BATCH_QUERIES, k=5),
                    REPEATS + EXTRA_REPEATS, "search_bm25_batch_probe"),
+               extra_timings)
+        # Plain-store positional consumer: the baseline the delta rows
+        # below compare against (same index, same session).
+        from big_data_assignment_2_spark.operators.persist import read_index
+        from big_data_assignment_2_spark.operators.search import phrase_match
+        record("search_phrase_probe",
+               timed_runs(lambda: phrase_match(
+                   read_index(spark, ixdir)["term_document"],
+                   ["vector", "query"]),
+                   REPEATS + EXTRA_REPEATS, "search_phrase_probe"),
+               extra_timings)
+
+    # Gap-encoded store on the SERVING path (r16, VERDICT r15 #6): the
+    # storage win (0.18x postings on long docs) is certified elsewhere;
+    # these rows PRICE the read side.  BM25 never reads positions, so
+    # probe_delta must be in-band with search_bm25_probe_persisted (the
+    # column-pruned scan makes the layout invisible); phrase_delta pays
+    # the aggregate-fold decode and is directly comparable to
+    # search_phrase_probe above — the honest decode cost, not just the
+    # storage win.  Build is untimed setup (amortized serving, as with
+    # every probe row).
+    with tempfile.TemporaryDirectory() as dxdir:
+        write_index(build_index(load_table(spark, sf_dir, "documents")),
+                    dxdir, delta_positions=True)
+        record("search_bm25_probe_delta",
+               timed_runs(lambda: bm25_probe_persisted(
+                   spark, dxdir, FLAGSHIP_QUERY),
+                   REPEATS + EXTRA_REPEATS, "search_bm25_probe_delta"),
+               extra_timings)
+        record("search_phrase_probe_delta",
+               timed_runs(lambda: phrase_match(
+                   read_index(spark, dxdir)["term_document"],
+                   ["vector", "query"]),
+                   REPEATS + EXTRA_REPEATS, "search_phrase_probe_delta"),
                extra_timings)
 
     # ANN serving path (round 10, VERDICT r9 #1): train the IVF+PQ index

@@ -521,21 +521,25 @@ def bm25_page_after(spark: SparkSession, query: str, term_document: DataFrame,
     evaluated as a predicate on the scored relation — never OFFSET, which
     at scale ranks and discards every earlier page on every request.
 
-    ``cursor`` MUST be exactly one (score, doc_id) row — the client's
-    last row; here the caller derives it in-plan.  More than one row
-    would cross-join duplicate pages, and an EMPTY cursor (e.g. built
-    from an empty page one) would silently return an empty page two
-    instead of page-one semantics — both are caller bugs, so the
-    operator bounds the relation with limit(1) and documents the empty
-    case as empty-result (r14 advice: fail predictable, not surprising).
-    The predicate composes with TakeOrderedAndProject exactly like page
-    one: per-partition top-k after the pushed-down filter, k-row driver
+    ``cursor`` SHOULD be exactly one (score, doc_id) row — the client's
+    last row; here the caller derives it in-plan.  A multi-row cursor
+    (a buggy caller passing its whole page) is resolved DETERMINISTICALLY
+    as "resume after that page": the row deepest in the total order —
+    min score, then max doc_id — is taken (r16 advice: the previous bare
+    ``limit(1)`` on an unordered relation picked an ARBITRARY row, so a
+    buggy caller got a run-to-run-varying page instead of the documented
+    predictable behavior).  An EMPTY cursor (e.g. built from an empty
+    page one) still returns an empty page two, not page-one semantics
+    (r14 advice: fail predictable, not surprising).  The predicate
+    composes with TakeOrderedAndProject exactly like page one:
+    per-partition top-k after the pushed-down filter, k-row driver
     merge.
     """
     scores = bm25_scores(spark, query, term_document, document_frequency,
                          documents_info).withColumn("score", F.round("score", 6))
     cur = F.broadcast(cursor.select(F.col("score").alias("__cs"),
-                                    F.col("doc_id").alias("__cd")).limit(1))
+                                    F.col("doc_id").alias("__cd"))
+                      .orderBy(F.asc("__cs"), F.desc("__cd")).limit(1))
     return (scores.crossJoin(cur)
             .filter((F.col("score") < F.col("__cs"))
                     | ((F.col("score") == F.col("__cs"))

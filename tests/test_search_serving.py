@@ -51,6 +51,22 @@ def test_page_after_is_ranks_11_to_20(spark, sf_dir):
     assert not {r["doc_id"] for r in page2} & {r["doc_id"] for r in page1.collect()}
 
 
+def test_page_after_multirow_cursor_resumes_after_the_page(spark, sf_dir):
+    """A buggy caller passing its WHOLE page as the cursor must get a
+    deterministic result — page two, as if it had passed the page's last
+    row (r16 advice: the previous bare limit(1) picked an arbitrary row,
+    so the page varied run-to-run)."""
+    docs, ix = _ix(spark, sf_dir)
+    args = (ix["term_document"], ix["document_frequency"], ix["documents_info"])
+    page1 = bm25_topk(spark, QUERY, *args, k=10)
+    last_row = page1.orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
+    want = [tuple(r) for r in
+            bm25_page_after(spark, QUERY, *args, last_row, k=10).collect()]
+    got = [tuple(r) for r in
+           bm25_page_after(spark, QUERY, *args, page1, k=10).collect()]
+    assert got == want and got
+
+
 def test_proximity_boost_bounds_and_single_term_identity(spark, sf_dir):
     """boosted ∈ [score, 2·score]; docs without a term pair keep their
     BM25 score exactly (boost 1); min_dist ≥ 1 whenever present."""
