@@ -903,21 +903,40 @@ def ppjoin_candidates(ordered: DataFrame, threshold: float,
       (common-before ≤ both left slices, common-after ≤ both right
       slices, because the global order makes shared tokens appear in the
       same relative order in both docs).  J ≥ t needs overlap ≥ α =
-      ⌈t/(1+t)·(|A|+|B|)⌉, so any matched row whose bound is below α is
-      pruned.
+      ⌈t/(1+t)·(|A|+|B|)⌉.
 
-    LOSSLESS: for a qualifying pair EVERY matched row's positional bound
-    is ≥ its true overlap ≥ α and the length test holds, so at least one
-    (in fact every) generating row survives to the distinct.  Both
-    filters use threshold − 1e-6 so a pair that only passes the verify's
-    6-dp-rounded ratio can never be pruned here.
+    TIGHTEST-BOUND upgrade (r16, from the sf1 stage decomposition —
+    SCALE.md r16): the bound above holds for EVERY shared prefix token,
+    so the true overlap is ≤ the MIN of the bounds over all of a pair's
+    matched rows.  The r9 form pruned per-row before the distinct, which
+    admits a pair once ANY of its matched rows passes; aggregating
+    min(bound) per pair and filtering once prunes every pair that has
+    even ONE tight matched row: a matched row at distant positions
+    (|i−j| > ≈(1−t)·n on same-length docs) becomes a veto instead of
+    noise.  The distinct is subsumed by the groupBy — same shuffle key,
+    one hash-agg instead of two, so the tightening is ~free.  Honest
+    sizing (SCALE.md r16): the extra veto is SMALL everywhere measured —
+    harness sf1 34.2M → 33.0M (−3.5%; 9.6M of the candidates are TRUE
+    pairs, the synthetic near-dup density's irreducible floor), the
+    adversarial small-vocab corpus 5,148 → 5,096 (−1%) — because a pair
+    surviving the per-row test usually shares only close-position
+    prefix tokens.  Kept because it is strictly-no-looser at zero cost;
+    the conclusion that matters at 10× is the inverse one: candidate
+    volume is already near its floor, so further speedup must come
+    from cheaper verification, not fewer candidates.
+
+    LOSSLESS: for a qualifying pair the true overlap is ≥ α, and every
+    matched row's bound is ≥ the true overlap, so min(bound) ≥ α and the
+    pair survives.  Both filters use threshold − 1e-6 so a pair that
+    only passes the verify's 6-dp-rounded ratio can never be pruned
+    here.
 
     Why it matters at scale: the bare prefix filter admits a pair once
     ANY prefix token collides; on a small-vocabulary (or stop-word-heavy)
     corpus prefix tokens are common and candidates balloon superlinearly
     (measured 54 s @ sf1 pre-filter).  Length + positional tests are
     per-row arithmetic on (pos, size) — no extra joins, no extra shuffle
-    — and cut the distinct/verify input, which is the dominant stage.
+    — and cut the verify input, which is the dominant stage.
     """
     t = threshold - 1e-6
     n = F.size("__toks")
@@ -931,19 +950,25 @@ def ppjoin_candidates(ordered: DataFrame, threshold: float,
     pairs = (skew_safe_self_pairs(prefix, ["term"],
                                   ["doc_id", "__n", "__pos"])
              .filter(F.col("doc_id_a") < F.col("doc_id_b")))
-    if ppjoin_filters:
-        na, nb = F.col("__n_a"), F.col("__n_b")
-        ia, jb = F.col("__pos_a"), F.col("__pos_b")
-        alpha = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
-        pairs = (pairs
-                 .filter(F.least(na, nb).cast("double")
-                         >= F.lit(t) * F.greatest(na, nb))
-                 .filter((F.least(ia, jb) - F.lit(1)
-                          + F.lit(1)
-                          + F.least(na - ia, nb - jb)) >= alpha))
-    return (pairs.select(F.col("doc_id_a").alias("doc_a"),
-                         F.col("doc_id_b").alias("doc_b"))
-            .distinct())
+    if not ppjoin_filters:
+        return (pairs.select(F.col("doc_id_a").alias("doc_a"),
+                             F.col("doc_id_b").alias("doc_b"))
+                .distinct())
+    na, nb = F.col("__n_a"), F.col("__n_b")
+    ia, jb = F.col("__pos_a"), F.col("__pos_b")
+    # per-row: min(i-1, j-1) + 1 + min(|A|-i, |B|-j)
+    bound = F.least(ia, jb) + F.least(na - ia, nb - jb)
+    return (pairs
+            # length filter: per-pair constant, applied pre-shuffle
+            .filter(F.least(na, nb).cast("double")
+                    >= F.lit(t) * F.greatest(na, nb))
+            .groupBy(F.col("doc_id_a").alias("doc_a"),
+                     F.col("doc_id_b").alias("doc_b"))
+            .agg(F.min(bound).alias("__ub"),
+                 F.first(na + nb).alias("__nsum"))
+            .filter(F.col("__ub")
+                    >= F.ceil(F.lit(t / (1.0 + t)) * F.col("__nsum")))
+            .select("doc_a", "doc_b"))
 
 
 def prefix_jaccard_pairs(docs: DataFrame, threshold: float = 0.9,
