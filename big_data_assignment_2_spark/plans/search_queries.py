@@ -174,6 +174,40 @@ def q_bm25_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
 
 
+def q_phrase_append_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r16 self-describing delta store certified THROUGH a positional
+    consumer: build the gap-encoded index (positions stored as
+    ``positions_delta``) from 3/4 of the corpus, APPEND the remaining
+    quarter (``append_to_index`` detects the live layout and encodes the
+    batch to match — the silent-corruption case the r15 advice flagged),
+    read back through the layout-auto-detecting ``read_index``, and run
+    the phrase query.  BM25 probes can't certify any of this (scoring
+    never reads positions), so this row is the one that would flip if a
+    batch were appended in the wrong layout or gaps were served as
+    absolutes: the plain in-flight search_phrase_match oracle applies
+    verbatim because the final corpus is the full document set."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.index import build_index
+    from ..operators.persist import (append_to_index, read_index,
+                                     write_index)
+    from ..operators.search import phrase_match
+    from ..sources.io import cleanup_stale_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nid = F.col("doc_id").cast("bigint")
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    ixdir = os.path.join(scratch, f"ix_appdelta_{os.getpid()}")
+    cleanup_stale_scratch(scratch, "ix_appdelta_*", keep=ixdir)
+    write_index(build_index(docs.filter((nid % 4) != 0)), ixdir,
+                delta_positions=True)
+    append_to_index(docs.filter((nid % 4) == 0), ixdir)
+    return phrase_match(read_index(spark, ixdir)["term_document"], PHRASE)
+
+
 IX_DELETE_MOD, IX_DELETE_REM = 7, 3   # doc_id % 7 == 3 plays the takedowns
 
 
@@ -613,6 +647,7 @@ QUERIES = {
     "search_bm25_topk": q_bm25_topk,
     "search_bm25_append_probe": q_bm25_append_probe,
     "search_bm25_probe_delta": q_bm25_probe_delta,
+    "search_phrase_append_delta": q_phrase_append_delta,
 }
 
 def _phrase_oracle(terms: list[str]) -> str:
@@ -1133,6 +1168,9 @@ ORACLES["search_bm25_batch_probe"] = _batch_sql(
 # the green row's information is that the partition append + df-log sum +
 # stats append reconstruct the exact index state.
 ORACLES["search_bm25_append_probe"] = ORACLES["search_bm25_topk"]
+# delta-layout write + layout-matching append + auto-decode read ==
+# the in-flight full-corpus index, so the plain phrase oracle applies.
+ORACLES["search_phrase_append_delta"] = ORACLES["search_phrase_match"]
 # Gap-encoded store serves identically: positions never reach the BM25
 # probe plan, so the full-corpus replay applies verbatim.
 ORACLES["search_bm25_probe_delta"] = ORACLES["search_bm25_topk"]

@@ -688,6 +688,58 @@ def q_stream_ann_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  k=TOP_K, nprobe=IVFPQ_NPROBE)
 
 
+def q_stream_sq8_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SQ8 INGEST (r16): the zero-maintenance counterpoint to
+    q_stream_ann_ingest_live — new vectors arrive as micro-batches and
+    are folded into the persisted SQ8 tier by per-row encoding + pure
+    partition append (persist.sq8_append: per-vector scales carry no
+    trained state, so unlike the IVF+PQ twin there are no frozen
+    codebooks to encode against and no drift to retrain away — EVER).
+    The grown store must serve bit-identically to the in-flight
+    sq8_topk, whose oracle applies verbatim; a green row certifies that
+    continuous ingest through the real micro-batch runtime is
+    indistinguishable from a one-shot full-corpus write."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.persist import sq8_append, sq8_probe_persisted, write_sq8
+    from ..streaming.windows import _MEMSINK_SEQ
+    from .similarity_queries import (APPEND_MOD, APPEND_REM, TOP_K,
+                                     _queries_df)
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    base_dir = os.path.join(scratch,
+                            f"sq8_ingest_{os.getpid()}_{next(_MEMSINK_SEQ)}")
+    cleanup_stale_scratch(scratch, "sq8_ingest_*", keep=base_dir)
+    path, src = (os.path.join(base_dir, d) for d in ("store", "src"))
+
+    em = load_table(spark, sf_dir, "embeddings")
+    nid = F.col("vec_id").cast("bigint")
+    write_sq8(em.filter((nid % APPEND_MOD) != APPEND_REM), path)
+
+    # Two ingest "days" of new vectors, one source file each (drained
+    # oldest-first, one micro-batch per file).
+    delta = em.filter((nid % APPEND_MOD) == APPEND_REM)
+    day1_files: set = set()
+    for day, rem in enumerate((APPEND_REM, APPEND_MOD + APPEND_REM)):
+        delta.filter((nid % (2 * APPEND_MOD)) == rem).repartition(1) \
+            .write.mode("append").parquet(src)
+        if day == 0:
+            day1_files = _parquet_files(src)
+    _bump_mtime_after(src, day1_files)
+
+    inc = (spark.readStream.schema(em.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (inc.writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: sq8_append(b, path))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sq8_probe_persisted(spark, path, _queries_df(spark, sf_dir),
+                               k=TOP_K)
+
+
 def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE foreachBatch sink with a REAL recovery-replay (r15,
     VERDICT r14 #1+#2): each micro-batch writes its per-type aggregate to
@@ -793,6 +845,7 @@ def q_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_ann_ingest_live": q_stream_ann_ingest_live,
+    "stream_sq8_ingest_live": q_stream_sq8_ingest_live,
     "stream_exactly_once_sink": q_stream_exactly_once_sink,
     "stream_dedup_rollover_restart": q_stream_dedup_rollover_restart,
     "stream_dedup_rollover_live": q_stream_dedup_rollover_live,
@@ -973,6 +1026,9 @@ FROM sessions GROUP BY user_id, session_id
 from .similarity_queries import ORACLES as _SIM_ORACLES  # noqa: E402
 
 ORACLES["stream_ann_ingest_live"] = _SIM_ORACLES["sim_ivfpq_append_probe"]
+# SQ8 ingest carries no trained state: drained appends == fresh full
+# store == the in-flight sq8_topk replay, verbatim.
+ORACLES["stream_sq8_ingest_live"] = _SIM_ORACLES["sim_sq8_topk"]
 
 # Exactly-once sink: sum of per-batch aggregates == global aggregate.
 # Cents are rounded PER EVENT to bigints before any sum (r15, VERDICT

@@ -198,6 +198,9 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # serving path; the tombstone mask is a broadcast anti-join on
         # top (r16)
         "sim_sq8_delete_probe", "sim_sq8_compact_probe",
+        # streaming SQ8 ingest ends in the same broadcast brute-force
+        # probe over the grown store (r16)
+        "stream_sq8_ingest_live",
         # append-health embeds the brute-force ground truth (broadcast
         # scoring, by definition — the recall is measured against it)
         # plus the documented 1-row x 1-row x 1-row stats assembly;
