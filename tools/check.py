@@ -77,6 +77,12 @@ def main() -> int:
     spark = get_spark("check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     import os
+    # Heavy oracle replays (the sf1 PPJoin candidate join peaks far above
+    # RAM) must SPILL, not OOM-kill the process: cap DuckDB below the
+    # machine and give it a temp dir (r16 — an uncapped sf1 run died at
+    # 128 GB inside the dedup_prefix_jaccard oracle).
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         # Driver testdata are single files; Spark-written tables (e.g. the
