@@ -445,6 +445,22 @@ def main() -> None:
                           "sim_ivfpq_boundedc_probe"),
                extra_timings)
 
+    # SQ8 memory-tier serving (r16): probe the persisted int8 store —
+    # the 5.2x-smaller-scan serving path — timed beside
+    # sim_ann_bruteforce (the float64 exact path over the same corpus
+    # and query set) so one JSON prices what the tier buys.  Build is
+    # untimed setup, as with every probe row.
+    from big_data_assignment_2_spark.operators.persist import (
+        sq8_probe_persisted, write_sq8)
+    with tempfile.TemporaryDirectory() as sq8dir:
+        write_sq8(em, sq8dir)
+        materialize(sq8_probe_persisted(spark, sq8dir, qdf, k=10))
+        record("sim_sq8_probe_persisted",
+               timed_runs(lambda: sq8_probe_persisted(
+                   spark, sq8dir, qdf, k=10),
+                   REPEATS + EXTRA_REPEATS, "sim_sq8_probe_persisted"),
+               extra_timings)
+
     # Fingerprint-store serving path (round 11, VERDICT r10 #2): build the
     # historical store ONCE (timed as the build row — the nightly batch
     # cost), then time flag_batch_against_store ALONE as the serving row —
