@@ -23,6 +23,7 @@ billed to the first query.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -148,11 +149,17 @@ COMPACT_BUDGET = 1500
 
 def _compact_line(out: dict) -> str:
     """Render the driver-facing JSON line, degrading gracefully: drop
-    suspect entries (keeping a count) until it fits COMPACT_BUDGET."""
+    tail suspect names first (the top ones also key "load"), then tail
+    load verdicts, keeping counts, until it fits COMPACT_BUDGET."""
     line = json.dumps(out, separators=(",", ":"))
-    while len(line) > COMPACT_BUDGET and out.get("suspect"):
-        out["suspect"] = out["suspect"][:-1]
-        out["n_suspect_dropped"] = out.get("n_suspect_dropped", 0) + 1
+    while len(line) > COMPACT_BUDGET and (out.get("suspect")
+                                          or out.get("load")):
+        if out.get("suspect"):
+            out["suspect"] = out["suspect"][:-1]
+            out["n_suspect_dropped"] = out.get("n_suspect_dropped", 0) + 1
+        else:
+            del out["load"][list(out["load"])[-1]]
+            out["n_load_dropped"] = out.get("n_load_dropped", 0) + 1
         line = json.dumps(out, separators=(",", ":"))
     return line
 
@@ -165,6 +172,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = all_queries()
+
+    # Pre-existing machine pressure, sampled BEFORE any Spark work: the
+    # bench's own 32-thread execution drives 1-min loadavg into the
+    # 8-11 range even on an idle machine, so per-row loadavg alone can't
+    # separate self-load from co-tenants — the start sample can.
+    load_start = round(os.getloadavg()[0], 2)
 
     sf_name = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -293,8 +306,12 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as ixdir:
         build_runs = []
         for i in range(3):
-            with tempfile.TemporaryDirectory() as ixtmp:
-                tgt = ixdir if i == 2 else ixtmp
+            # last build writes the probes' ixdir; the throwaway tmpdir is
+            # only entered for the discarded builds (r16 advice: no tmpdir
+            # churn inside the timed region on the final iteration)
+            with contextlib.ExitStack() as stack:
+                tgt = (ixdir if i == 2 else
+                       stack.enter_context(tempfile.TemporaryDirectory()))
                 t0 = time.perf_counter()
                 write_index(
                     build_index(load_table(spark, sf_dir, "documents")), tgt)
@@ -505,11 +522,41 @@ def main() -> None:
     suspect = sorted((n for n, s in spread.items() if s > NOISE_BAND),
                      key=lambda n: -spread[n])
 
+    # Load self-adjudication (r17, VERDICT r16 #4): r16's driver headline
+    # read 1.73x r15 purely from sandbox load, and only out-of-band idle
+    # re-runs could prove it.  Now the bench adjudicates itself: every
+    # HEADLINE row whose repeats disagreed beyond NOISE_BAND is re-run
+    # in-bench (fresh min-of-REPEATS at the end, when transient co-tenant
+    # spikes have had time to pass), its min is updated from the combined
+    # evidence, and a per-row verdict {load_ok, max_loadavg, rerun_min}
+    # rides INTO the driver-captured stdout tail.  load_ok means the
+    # re-run block internally agreed (spread <= NOISE_BAND), i.e. the
+    # recorded min is now trustworthy without an out-of-band run.
+    RERUN_CAP = 6  # bound the added wall time on a genuinely loaded box
+    load_rows: dict[str, dict] = {}
+    for name in [n for n in suspect if n in HEADLINE][:RERUN_CAP]:
+        fn = qs[name]
+        rr = timed_runs(lambda: fn(spark, sf_dir), REPEATS,
+                        f"{name}__rerun")
+        rr_min, rr_med = min(rr), sorted(rr)[len(rr) // 2]
+        new_min = round(min(rr_min, all_mins[name]), 3)
+        load_rows[name] = {
+            "load_ok": bool((rr_med - rr_min) / rr_min <= NOISE_BAND),
+            "max_loadavg": max(loadavg.get(name, [0.0])
+                               + loadavg.get(f"{name}__rerun", [0.0])),
+            "rerun_min": round(rr_min, 3),
+        }
+        timings[name] = new_min
+        all_mins[name] = new_min
+        spread[name] = round((medians[name] - new_min) / new_min, 3)
+
     full = {
         "metric": "headline_suite_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf_val,
+        "load_start": load_start,
+        "load_rows": load_rows,
         "queries": all_mins,
         # per-query MEDIAN alongside the min: a real plan regression moves
         # both; co-tenant noise moves the median while the min holds — so
@@ -540,6 +587,11 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,          # headline mins only — fits the tail
         "suspect": suspect,
+        # self-adjudication verdict in the driver-visible tail: 1-min
+        # loadavg BEFORE any Spark work (co-tenant pressure, untainted by
+        # the bench's own threads) and the per-suspect re-run verdicts.
+        "load_start": load_start,
+        "load": load_rows,
         "detail": "BENCH_LOCAL.json",
     }
     line = _compact_line(compact)

@@ -30,6 +30,46 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
+# CJK codepoint classes with no inherent word delimiters: hiragana +
+# katakana, CJK Unified (incl. ext A), hangul syllables.  BMP-only, so the
+# class behaves identically in Java regex (UTF-16) and RE2 (UTF-8).
+CJK_CLASS = ("\u3040-\u30ff"    # hiragana + katakana
+             "\u3400-\u4dbf"    # CJK unified ideographs extension A
+             "\u4e00-\u9fff"    # CJK unified ideographs
+             "\uac00-\ud7af")   # hangul syllables
+
+
+def tokenize_cjk(col: Column | str) -> Column:
+    """Script-aware tokenizer variant (r17, VERDICT r16 #6): the reference
+    tokenizer (F1) emits one giant token for an unsegmented CJK sentence —
+    correct reference parity, wrong for dedup/BM25 over multilingual web
+    text.  This OPT-IN variant keeps F1 semantics for space-delimited
+    scripts and falls back to character BIGRAMS for CJK runs (the standard
+    n-gram CJK indexing strategy, used by e.g. Lucene's CJKAnalyzer):
+
+    lower → strip punctuation (same ``(?U)[^\\w\\s]`` as F1) → isolate
+    each CJK codepoint run with surrounding spaces → split on whitespace →
+    every CJK run of length >= 2 becomes its overlapping character
+    bigrams, everything else (Latin/Cyrillic/digit runs, single CJK
+    chars) passes through unchanged, in document order.
+
+    All native column expressions (regexp_replace + higher-order
+    transform/flatten — no UDF on the 100 TB path); the DuckDB oracle
+    replays the identical pipeline with explicit codepoint classes."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), TOKEN_STRIP_PATTERN, " ")
+    isolated = F.regexp_replace(stripped, f"([{CJK_CLASS}]+)", " $1 ")
+    toks = F.filter(F.split(isolated, r"\s+"), lambda t: t != F.lit(""))
+
+    def expand(t: Column) -> Column:
+        bigrams = F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                              lambda i: F.substring(t, i, F.lit(2)))
+        return F.when(t.rlike(f"^[{CJK_CLASS}]{{2,}}$"),
+                      bigrams).otherwise(F.array(t))
+
+    return F.flatten(F.transform(toks, expand))
+
+
 def tokenize_query(query: str) -> list[str]:
     """F3 query normalization (`app/query.py:82-85`): ``lower`` +
     ``re.findall(r'\\w+')`` — provably token-equivalent to :func:`tokenize`

@@ -873,12 +873,17 @@ def df_ordered_token_arrays(docs: DataFrame, text_col: str = "text",
     verification)."""
     from pyspark import StorageLevel
 
+    from ..hints import broadcast_if_source_small
+
     num_id = F.col(id_col).cast("bigint")
     toks = docs.select(num_id.alias("doc_id"),
                        F.explode(F.array_distinct(tokenize(text_col)))
                        .alias("term"))
     dfreq = toks.groupBy("term").agg(F.count("*").alias("__df"))
-    return (toks.join(F.broadcast(dfreq), "term")
+    # dfreq is vocabulary-sized — broadcastable at bench scale, NOT at
+    # web scale (billions of distinct shingles); size-gate the hint on
+    # the corpus so AQE decides past the gate.
+    return (toks.join(broadcast_if_source_small(dfreq, docs), "term")
             .groupBy("doc_id")
             .agg(F.transform(
                 F.sort_array(F.collect_list(F.struct("__df", "term"))),
@@ -1037,12 +1042,15 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.95,
     """
     from pyspark import StorageLevel
 
+    from ..hints import broadcast_if_source_small
+
     num_id = F.col(id_col).cast("bigint")
     toks = docs.select(num_id.alias("doc_id"),
                        F.explode(F.array_distinct(tokenize(text_col)))
                        .alias("term"))
     dfreq = toks.groupBy("term").agg(F.count("*").alias("__df"))
-    ordered = (toks.join(F.broadcast(dfreq), "term")
+    # vocabulary-sized dfreq: size-gated hint (see df_ordered_token_arrays)
+    ordered = (toks.join(broadcast_if_source_small(dfreq, docs), "term")
                .groupBy("doc_id")
                .agg(F.transform(
                    F.sort_array(F.collect_list(F.struct("__df", "term"))),

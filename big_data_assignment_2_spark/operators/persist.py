@@ -214,14 +214,26 @@ def read_index(spark: SparkSession, base_path: str,
     spurious flag silently fed gap values to positional consumers as
     absolute positions).  ``delta_positions`` survives as an optional
     ASSERTION about what the caller expects to find: True on a
-    plain-layout store fails fast instead of double-decoding."""
+    plain-layout store fails fast instead of double-decoding.
+
+    FORMAT BREAK (r16): stores written by the r15-era encoder kept gaps
+    under the plain ``positions`` name — such a store (none can exist in
+    this harness: every store lives in pid-keyed process-lifetime
+    scratch) would auto-detect as plain and serve gaps as absolutes.
+    Any long-lived deployment upgrading across r16 must rewrite
+    delta stores once (read with the r15 code, write with this one);
+    asserting ``delta_positions=True`` on such a store fails fast
+    below rather than double-decoding."""
     td = spark.read.parquet(f"{base_path}/term_document")
     is_delta = "positions_delta" in td.columns
     if delta_positions and not is_delta:
         raise ValueError(
-            f"index at {base_path} stores absolute positions "
-            f"('positions' column) but delta_positions=True was "
-            f"asserted — refusing to decode a plain store")
+            f"index at {base_path} carries a 'positions' column but "
+            f"delta_positions=True was asserted — either this is a plain "
+            f"store (drop the flag; layout is auto-detected) or an "
+            f"r15-era gap-encoded store predating the self-describing "
+            f"'positions_delta' layout (rewrite it; see read_index "
+            f"docstring) — refusing to guess")
     if is_delta:
         td = td.withColumn("positions",
                            delta_decode_positions("positions_delta")) \

@@ -338,14 +338,16 @@ def more_like_this(spark: SparkSession, doc_id: str,
 
     Plan: term selection reads ONLY the source doc's postings row-group
     (an equi-filter on doc_id — with a doc-bucketed layout that is one
-    partition), joins the |doc|-sized term set against df (broadcast) and
-    the 1-row N relation, and ranks via orderBy().limit(n_terms) —
+    partition), joins the |doc|-sized term set against df — the HINT is
+    on the bounded |doc|-sized side (document_frequency is
+    vocabulary-sized and must never be broadcast wholesale) — and the
+    1-row N relation, and ranks via orderBy().limit(n_terms) —
     TakeOrderedAndProject, never a corpus sort.  Scoring then reuses the
     standard broadcast-terms BM25 plan."""
     nrel = F.broadcast(documents_info.agg(F.count("*").alias("__n")))
-    src = (term_document.filter(F.col("doc_id") == doc_id)
-           .select("term", "tf")
-           .join(F.broadcast(document_frequency), "term")
+    src = (F.broadcast(term_document.filter(F.col("doc_id") == doc_id)
+                       .select("term", "tf"))
+           .join(document_frequency, "term")
            .crossJoin(nrel)
            .select("term",
                    F.round(F.col("tf")

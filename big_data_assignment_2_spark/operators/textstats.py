@@ -106,7 +106,11 @@ def bpe_encode(docs: DataFrame, text_col: str = "text",
              .select("word",
                      F.array_join(encoded, " ").alias("__pieces_str"),
                      F.size(encoded).alias("__n_pieces")))
-    return (words.join(F.broadcast(vocab), "word")
+    from ..hints import broadcast_if_source_small
+
+    # vocab is vocabulary-sized (distinct words of the corpus): hint only
+    # while the source corpus bounds it; at web scale AQE decides.
+    return (words.join(broadcast_if_source_small(vocab, docs), "word")
             .groupBy("doc_id")
             .agg(F.sum("__n_pieces").alias("n_pieces"),
                  F.array_join(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import broadcast_if_small
 from ..operators.graph import label_propagation, pagerank, triangle_count
 from ..sources.io import load_table
 
@@ -65,9 +66,9 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    return (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    return (li.join(broadcast_if_small(s), li["l_suppkey"] == s["s_suppkey"])
             .join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(broadcast_if_small(c), o["o_custkey"] == c["c_custkey"])
             .groupBy(F.col("s_nationkey").alias("src"),
                      F.col("c_nationkey").alias("dst"))
             .agg(F.count(F.lit(1)).alias("w")))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import broadcast_if_small
 from ..operators.relational import asof_join
 from ..sources.io import cleanup_stale_scratch, load_table
 
@@ -132,7 +133,7 @@ def q_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") != F.col("__sk"))
     sole = (l1.join(l2, same_order, "leftsemi")     # another supplier exists
             .join(l3, same_order, "leftanti"))      # ...but none returned
-    return (sole.join(F.broadcast(s),
+    return (sole.join(broadcast_if_small(s),
                       F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name").agg(F.count("*").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
@@ -167,7 +168,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1999-06-01"))
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     out = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
            .groupBy("l_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
            .agg(F.sum(rev).cast("double").alias("revenue")))
@@ -200,8 +201,8 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+            .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
             .filter(c.c_nationkey == s.s_nationkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -240,8 +241,8 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("supp_nation"))
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+            .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(cn), c.c_nationkey == cn.c_nk)
             .join(F.broadcast(sn), s.s_nationkey == sn.s_nk)
             .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -258,7 +259,7 @@ def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     out = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
            .groupBy("c_custkey", "c_name", "c_mktsegment")
            .agg(F.round(F.sum(rev).cast("double"), 4).alias("lost_revenue"),
                 F.count("*").alias("n_returned")))
@@ -463,7 +464,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's list price × quantity (discount-adjusted)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), (li.l_partkey == p.p_partkey)
+    j = li.join(broadcast_if_small(p), (li.l_partkey == p.p_partkey)
                 & (li.l_extendedprice > li.l_quantity * p.p_retailprice))
     return j.groupBy("p_brand").agg(
         F.count("*").alias("n_overpriced"),

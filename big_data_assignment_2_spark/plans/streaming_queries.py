@@ -379,14 +379,19 @@ def q_stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tokenset_key
     from ..streaming.windows import docs_stream, run_stream_to_df
 
-    hist = (load_table(spark, sf_dir, "documents")
-            .filter((F.col("doc_id").cast("bigint") % 5) != 0)
+    from ..hints import broadcast_if_source_small
+
+    base = load_table(spark, sf_dir, "documents")
+    hist = (base.filter((F.col("doc_id").cast("bigint") % 5) != 0)
             .select(tokenset_key("text").alias("__k"))
             .distinct())
     inc = (docs_stream(spark, sf_dir)
            .filter((F.col("doc_id").cast("bigint") % 5) == 0)
            .withColumn("__k", tokenset_key("text")))
-    fresh = (inc.join(F.broadcast(hist), "__k", "left_anti")
+    # history keys scale with the corpus: size-gate the hint; past the
+    # gate a real deployment keys history as a bucketed table and AQE
+    # plans the stream-static join from runtime sizes.
+    fresh = (inc.join(broadcast_if_source_small(hist, base), "__k", "left_anti")
              .select(F.col("doc_id").cast("string").alias("doc_id"),
                      "source"))
     return run_stream_to_df(spark, fresh, output_mode="append")

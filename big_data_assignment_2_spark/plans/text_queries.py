@@ -215,6 +215,79 @@ _UNI_EXPECTED = ", ".join(
     for i, tok in enumerate(_ref_tokenize(text)))
 
 
+# --- CJK script-aware tokenization (r17, VERDICT r16 #6) -------------------
+# The `(?U)\w`-run tokenizer emits ONE token for an unsegmented CJK
+# sentence — reference parity, but wrong for the LLM-data north star
+# (dedup/BM25 over multilingual web text).  tokenize_cjk is the opt-in
+# script-aware variant: CJK codepoint runs → character bigrams, all other
+# runs unchanged.  The harness corpus is pure ASCII, so the query appends
+# a deterministic per-doc CJK snippet (fixed literals, doc_id-indexed) and
+# the oracle REPLAYS the full pipeline in DuckDB — a computed oracle, not
+# golden VALUES: RE2 lacks `(?U)\w`, but on lowercased ASCII+CJK data the
+# explicit class [a-z0-9_ + CJK ranges] is exactly Unicode-\w's behavior.
+_CJK_SNIPPETS = [
+    "深度学习的模型",        # Han run
+    "スパークは速い",        # katakana + hiragana run
+    "빅데이터 처리 엔진",    # hangul with spaces
+    "spark引擎很快",         # Latin run abutting a Han run
+    "数据123处理",           # Han / digit / Han (digits are \w, not CJK)
+]
+
+# DuckDB RE2 spelling of functions.text.CJK_CLASS (same BMP ranges).
+_CJK_RE2 = (r"\x{3040}-\x{30ff}\x{3400}-\x{4dbf}"
+            r"\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}")
+_CJK_MAX_ID = 40
+
+
+def q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize_cjk
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").cast("bigint") < _CJK_MAX_ID)
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _CJK_SNIPPETS]),
+        (F.col("doc_id").cast("bigint") % len(_CJK_SNIPPETS) + 1)
+        .cast("int"))
+    mixed = F.concat(F.col("text"), F.lit(" "), snip)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(tokenize_cjk(mixed)).alias("position", "term"))
+
+
+_CJK_SNIPS_SQL = "[" + ", ".join(f"'{s}'" for s in _CJK_SNIPPETS) + "]"
+
+_TOKENIZE_CJK_SQL = f"""
+WITH mixed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         lower(text) || ' ' ||
+         {_CJK_SNIPS_SQL}[CAST(CAST(doc_id AS BIGINT)
+                               % {len(_CJK_SNIPPETS)} + 1 AS INTEGER)] AS t
+  FROM documents WHERE CAST(doc_id AS BIGINT) < {_CJK_MAX_ID}),
+isolated AS (
+  SELECT doc_id,
+         regexp_replace(
+             regexp_replace(t, '[^a-z0-9_\\s{_CJK_RE2}]', ' ', 'g'),
+             '([{_CJK_RE2}]+)', ' \\1 ', 'g') AS t
+  FROM mixed),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks
+  FROM isolated),
+ex AS (
+  SELECT doc_id,
+         flatten(list_transform(toks, tok ->
+           CASE WHEN regexp_matches(tok, '^[{_CJK_RE2}]{{2,}}$')
+                THEN list_transform(range(1, length(tok)),
+                                    i -> substr(tok, CAST(i AS INTEGER), 2))
+                ELSE [tok] END)) AS toks
+  FROM toks)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS position,
+       unnest(toks) AS term
+FROM ex
+"""
+
+
 # --- PII redaction ---------------------------------------------------------
 # Training-data scrubbing: emails / URLs / phone-ish numbers → typed tags.
 # Patterns are restricted to syntax Java regex and RE2 share (no lookaround,
@@ -669,6 +742,7 @@ QUERIES = {
     "pipeline_split_train_eval": q_split_train_eval,
     "text_contamination": q_contamination,
     "text_tokenize_unicode": q_tokenize_unicode,
+    "text_tokenize_cjk": q_tokenize_cjk,
     "text_redact_pii": q_redact_pii,
     "text_repetition": q_repetition,
     "pipeline_mixture_weights": q_mixture_weights,
@@ -898,6 +972,7 @@ FROM b
 SELECT doc_id, position, term
 FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
 """,
+    "text_tokenize_cjk": _TOKENIZE_CJK_SQL,
     "text_entropy": """
 WITH ch AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n,

@@ -212,7 +212,6 @@ def test_delete_compact_on_delta_store_preserves_positions(spark, docs,
     # decoded positions equal a fresh survivors-only delta build
     write_index(build_index(docs.filter(nid % 3 != 1)), fresh,
                 delta_positions=True)
-    key = lambda r: (r["term"], r["doc_id"])
     a = sorted(((r["term"], r["doc_id"], list(r["positions"]))
                 for r in read_index(spark, path)["term_document"].collect()))
     b = sorted(((r["term"], r["doc_id"], list(r["positions"]))

@@ -241,7 +241,6 @@ def test_append_to_delta_store_encodes_batch_to_match(spark, sf_dir,
     raw = spark.read.parquet(f"{inc}/term_document")
     assert "positions_delta" in raw.columns and \
         "positions" not in raw.columns
-    key = lambda r: (r["term"], r["doc_id"])
     a = sorted(((r["term"], r["doc_id"], list(r["positions"]))
                 for r in read_index(spark, inc)["term_document"].collect()))
     b = sorted(((r["term"], r["doc_id"], list(r["positions"]))
@@ -270,7 +269,6 @@ def test_delta_positions_roundtrip_probe_equality_and_size(
     plain = read_index(spark, index_path)["term_document"]
     decoded = read_index(spark, delta_path,
                          delta_positions=True)["term_document"]
-    key = lambda r: (r["term"], r["doc_id"])
     a = sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]))
                 for r in plain.collect()))
     b = sorted(((r["term"], r["doc_id"], r["tf"], list(r["positions"]))

@@ -44,6 +44,63 @@ def test_tokenizer_parity_random_unicode(spark):
         assert got[i] == tokenize_query(t), repr(t)
 
 
+def _ref_tokenize_cjk(text: str) -> list[str]:
+    """Pure-Python reference of functions.text.tokenize_cjk."""
+    import re
+
+    cjk = "぀-ヿ㐀-䶿一-鿿가-힯"
+    t = re.sub(r"[^\w\s]", " ", text.lower())
+    t = re.sub(f"([{cjk}]+)", r" \1 ", t)
+    out: list[str] = []
+    for tok in t.split():
+        if re.fullmatch(f"[{cjk}]{{2,}}", tok):
+            out += [tok[i:i + 2] for i in range(len(tok) - 1)]
+        else:
+            out.append(tok)
+    return out
+
+
+def test_tokenize_cjk_golden(spark):
+    """Golden mixed Latin/CJK expectations (r17, VERDICT r16 #6): CJK runs
+    become overlapping character bigrams in document order; Latin/digit
+    runs and single CJK chars pass through; scripts separate at run
+    boundaries even with no whitespace between them."""
+    from big_data_assignment_2_spark.functions.text import tokenize_cjk
+
+    cases = [
+        ("Spark很快! データ処理 엔진 test",
+         ["spark", "很快", "デー", "ータ", "タ処", "処理", "엔진", "test"]),
+        ("深度学习的模型",
+         ["深度", "度学", "学习", "习的", "的模", "模型"]),
+        ("数据123处理 mixed", ["数据", "123", "处理", "mixed"]),
+        ("一 single char", ["一", "single", "char"]),
+        ("plain ascii only", ["plain", "ascii", "only"]),
+        ("", []),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               "id long, text string")
+    got = {r["id"]: r["toks"] for r in
+           df.select("id", tokenize_cjk("text").alias("toks")).collect()}
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, (text, got[i], want)
+        assert _ref_tokenize_cjk(text) == want, text
+
+
+def test_tokenize_cjk_parity_random_unicode(spark):
+    """Spark tokenize_cjk ≡ Python reference on random unicode batches
+    (ALPHABET includes Han + katakana, so CJK runs actually occur)."""
+    from big_data_assignment_2_spark.functions.text import tokenize_cjk
+
+    rng = random.Random(1742)
+    texts = random_texts(rng, 300)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r["id"]: r["toks"] for r in
+           df.select("id", tokenize_cjk("text").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_tokenize_cjk(t), repr(t)
+
+
 def test_index_invariants_random(spark):
     rng = random.Random(7)
     texts = random_texts(rng, 200)

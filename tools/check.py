@@ -45,17 +45,33 @@ def dtype_parity_problems(sdf, con, sql):
     hash as ``10195100.0`` against Spark's ``10195100`` and flip the
     driver's type-sensitive value hash even though values are equal.
     ``fetchall()`` (used below for value comparison) hides this by
-    returning Python ints — so we re-fetch through the lossy path and
+    returning Python ints — so we check through the lossy path and
     fail when a Spark-integral column comes back floating with no NULLs
     (NULL-bearing int columns are float64 in pandas regardless of the
     declared type; the driver tolerates those, so we do too).
+
+    Cost control (r16 advice): a plan-only ``DESCRIBE`` probe reads the
+    DECLARED result types without executing the oracle a second time —
+    only when a Spark-integral column is declared HUGEINT / DECIMAL /
+    floating (the only types that can fetch as NaN-free float64) do we
+    pay the ``fetchdf()`` re-execution to apply the NULL exemption
+    exactly as the driver sees it.  A clean oracle (all 243 today) never
+    re-executes.
     """
     problems = []
     spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    hazards = [row[0] for row in desc
+               if spark_types.get(row[0]) in _INTEGRAL_SPARK
+               and str(row[1]).upper().startswith(
+                   ("HUGEINT", "UHUGEINT", "DECIMAL", "DOUBLE", "FLOAT",
+                    "REAL"))]
+    if not hazards:
+        return problems
     odf = con.execute(sql).fetchdf()
-    for col in odf.columns:
+    for col in hazards:
         stype = spark_types.get(col)
-        if stype in _INTEGRAL_SPARK and str(odf[col].dtype).startswith("float"):
+        if str(odf[col].dtype).startswith("float"):
             if not odf[col].isna().any():
                 problems.append(
                     f"oracle column '{col}' fetches as {odf[col].dtype} but "
