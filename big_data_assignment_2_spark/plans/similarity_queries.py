@@ -1109,6 +1109,24 @@ def semdedup_k_for(n: int) -> int:
     return max(2, n // SEMDEDUP_K_DIV)
 
 
+def q_semdedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the greedy KEEP-CHAIN policy (r17, VERDICT r16 #7):
+    per-cluster sequential scan in (cdist, vec_id) order dropping a
+    vector iff a SURVIVING predecessor is an above-threshold neighbor —
+    the transitive-representative policy, vs sim_semdedup's declarative
+    pairwise-precedence rule.  Runs as Arrow-batched applyInPandas per
+    cluster (bounded by the k ∝ N contract); the oracle replays the
+    identical greedy chain with a recursive CTE carrying each cluster's
+    kept-vector list, so a green row certifies the exact transitive
+    keep/drop set.  Guaranteed ⊇ the pairwise keep set (a pairwise-kept
+    vector has NO above-threshold predecessor at all)."""
+    from ..operators.similarity import semdedup_chain
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return semdedup_chain(em, k=KMEANS_K, iters=KMEANS_ITERS,
+                          threshold=COSINE_DUP_THRESHOLD)
+
+
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at its documented production shape (r12, VERDICT r11 #2):
     k ∝ corpus size — k = max(2, N // {div}) — so each Lloyd cluster
@@ -1168,6 +1186,7 @@ QUERIES = {
     "sim_cosine_top_pairs_scaled": q_cosine_top_pairs_scaled,
     "sim_cosine_near_dups_banded": q_cosine_near_dups_banded,
     "sim_semdedup": q_semdedup,
+    "sim_semdedup_chain": q_semdedup_chain,
     "sim_semdedup_scaled": q_semdedup_scaled,
 }
 
@@ -1753,6 +1772,64 @@ FROM dist d LEFT JOIN dropped dr ON dr.vec_id = d.vec_id
 """
 
 
+def _semdedup_chain_oracle(k: int = KMEANS_K) -> str:
+    """Replays semdedup_chain: the shared Lloyd/assignment/normalize
+    front end, then the GREEDY per-cluster chain as a recursive CTE —
+    state is one row per cluster carrying (rank, kept vector list, kept
+    id list); each step consumes the cluster's next-ranked vector and
+    appends it iff no kept vector is an above-threshold (6-dp-rounded)
+    cosine neighbor.  Terminates when every cluster's rank is exhausted
+    (no rank r+1 row to join)."""
+    cfin = f"c{KMEANS_ITERS}"
+    return f"""
+WITH RECURSIVE {_VECS},
+{_lloyd_cte_chain(k)},
+asg AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {_sq_dist('x.v', 'c.v')} ASC, c.cid ASC) AS rn
+    FROM vecs x CROSS JOIN {cfin} c) WHERE rn = 1),
+dist AS MATERIALIZED (
+  SELECT a.vec_id, a.cid,
+         list_transform(a.v, x -> x / sqrt(list_sum(
+             list_transform(a.v, y -> y * y)))) AS vn,
+         round({_sq_dist('a.v', 'c.v')}, 6) AS cdist
+  FROM asg a JOIN {cfin} c USING (cid)),
+ranked AS MATERIALIZED (
+  SELECT vec_id, cid, cdist, vn,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cdist ASC, vec_id ASC) AS r
+  FROM dist),
+chain AS (
+  SELECT cid, 1 AS r, [vn] AS kept_vns, [vec_id] AS kept_ids
+  FROM ranked WHERE r = 1
+  UNION ALL
+  SELECT cid, r,
+         CASE WHEN dup THEN kept_vns
+              ELSE list_append(kept_vns, vn) END,
+         CASE WHEN dup THEN kept_ids
+              ELSE list_append(kept_ids, vec_id) END
+  FROM (
+    SELECT ch.cid, ch.r + 1 AS r, ch.kept_vns, ch.kept_ids,
+           nx.vn, nx.vec_id,
+           len(list_filter(ch.kept_vns, kv ->
+               round(list_sum(list_transform(range(1, 65),
+                                             i -> kv[i] * nx.vn[i])), 6)
+               >= {COSINE_DUP_THRESHOLD})) > 0 AS dup
+    FROM chain ch JOIN ranked nx
+      ON nx.cid = ch.cid AND nx.r = ch.r + 1)),
+fin AS (
+  SELECT cid, kept_ids FROM (
+    SELECT cid, kept_ids,
+           row_number() OVER (PARTITION BY cid ORDER BY r DESC) AS rn
+    FROM chain) WHERE rn = 1)
+SELECT d.vec_id, CAST(d.cid AS INTEGER) AS list_id, d.cdist,
+       list_contains(f.kept_ids, d.vec_id) AS keep
+FROM dist d JOIN fin f ON f.cid = d.cid
+"""
+
+
 def _sq8_oracle(neighbor_pred: str | None = None) -> str:
     """Asymmetric SQ8 replay: full-precision queries vs the
     int8-quantized-then-reconstructed corpus (quantizer expression
@@ -1846,6 +1923,7 @@ WHERE rank <= {TOP_K}
         score_pred=f"r.vec_id % {DELETE_MOD} <> {DELETE_REM}"),
     "sim_kmeans_assign": _kmeans_oracle(),
     "sim_semdedup": _semdedup_oracle(),
+    "sim_semdedup_chain": _semdedup_chain_oracle(),
     # k re-derived from count(*) with the same integer formula as
     # semdedup_k_for — the adaptive production shape, hash-certified.
     "sim_semdedup_scaled": _semdedup_oracle(

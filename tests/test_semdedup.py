@@ -129,3 +129,58 @@ def test_semdedup_scaled_k_crosses_join_threshold(spark):
     finally:
         sim.LITERAL_ARGMIN_MAX_K = old
     assert out_join == out_lit
+
+
+def test_chain_superset_of_pairwise_keep_set(spark, sf_dir):
+    """Theorem pin: a pairwise-kept vector has NO above-threshold
+    predecessor at all, so the greedy keep-chain (which only drops on a
+    SURVIVING predecessor) must keep it too — chain keep-set ⊇ pairwise
+    keep-set on the real corpus."""
+    from big_data_assignment_2_spark.operators.similarity import (
+        semdedup_chain)
+    from big_data_assignment_2_spark.sources.io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    pw = {r["vec_id"] for r in
+          semdedup(em, k=4, iters=2, threshold=0.4).collect() if r["keep"]}
+    ch = {r["vec_id"] for r in
+          semdedup_chain(em, k=4, iters=2, threshold=0.4).collect()
+          if r["keep"]}
+    assert pw <= ch, sorted(pw - ch)[:5]
+
+
+def test_chain_reinstates_vector_whose_predecessor_dropped(spark):
+    """The policy divergence itself: a → b → c where b duplicates a and
+    c duplicates only b.  Pairwise precedence drops BOTH b and c (c has
+    the nearer-to-centroid neighbor b, dropped or not); the keep-chain
+    drops b but re-instates c because its only near-duplicate
+    predecessor did not survive."""
+    import math as m
+
+    from big_data_assignment_2_spark.operators.similarity import (
+        semdedup_chain)
+
+    theta = m.acos(0.96)
+
+    def unit(angle):
+        v = [m.cos(angle), m.sin(angle)] + [0.0] * (DIM - 2)
+        return [round(x, 6) for x in v]
+
+    # a at 0, b at θ, c at 2θ (cos(a,b)=cos(b,c)=0.96 ≥ t;
+    # cos(a,c)=cos 2θ ≈ 0.843 < t); d at −40° drags the centroid toward
+    # a so the scan order is a, b, c; decoys far away hold cluster 2.
+    rows = [(0, unit(0.0)), (1, unit(theta)), (2, unit(2 * theta)),
+            (3, unit(m.radians(-40))),
+            (10, [0.0] * (DIM - 1) + [5.0]),
+            (11, [0.0] * (DIM - 2) + [0.1, 5.0])]
+    df = _df(spark, rows)
+    pw = {r["vec_id"]: r["keep"]
+          for r in semdedup(df, k=2, iters=2, threshold=0.95,
+                            dim=DIM).collect()}
+    ch = {r["vec_id"]: r["keep"]
+          for r in semdedup_chain(df, k=2, iters=2, threshold=0.95,
+                                  dim=DIM).collect()}
+    assert pw[0] and ch[0]            # a survives under both policies
+    assert not pw[1] and not ch[1]    # b drops under both
+    assert not pw[2]                  # pairwise: c drops (b precedes it)
+    assert ch[2]                      # chain: c re-instated (b was dropped)
