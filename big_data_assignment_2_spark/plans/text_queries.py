@@ -256,35 +256,121 @@ def q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CJK_SNIPS_SQL = "[" + ", ".join(f"'{s}'" for s in _CJK_SNIPPETS) + "]"
 
-_TOKENIZE_CJK_SQL = f"""
-WITH mixed AS (
+
+def _cjk_docs_ctes(max_id: int | None) -> str:
+    """CTE chain replaying the CJK-mixed corpus + tokenize_cjk pipeline,
+    ending in ``cjk_docs (doc_id, toks)`` — shared by the tokenize row
+    and the BM25-over-bigrams row."""
+    where = (f"WHERE CAST(doc_id AS BIGINT) < {max_id}"
+             if max_id is not None else "")
+    return f"""mixed AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          lower(text) || ' ' ||
          {_CJK_SNIPS_SQL}[CAST(CAST(doc_id AS BIGINT)
                                % {len(_CJK_SNIPPETS)} + 1 AS INTEGER)] AS t
-  FROM documents WHERE CAST(doc_id AS BIGINT) < {_CJK_MAX_ID}),
+  FROM documents {where}),
 isolated AS (
   SELECT doc_id,
          regexp_replace(
              regexp_replace(t, '[^a-z0-9_\\s{_CJK_RE2}]', ' ', 'g'),
              '([{_CJK_RE2}]+)', ' \\1 ', 'g') AS t
   FROM mixed),
-toks AS (
+pretoks AS (
   SELECT doc_id,
          list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks
   FROM isolated),
-ex AS (
+cjk_docs AS MATERIALIZED (
   SELECT doc_id,
          flatten(list_transform(toks, tok ->
            CASE WHEN regexp_matches(tok, '^[{_CJK_RE2}]{{2,}}$')
                 THEN list_transform(range(1, length(tok)),
                                     i -> substr(tok, CAST(i AS INTEGER), 2))
                 ELSE [tok] END)) AS toks
-  FROM toks)
+  FROM pretoks)"""
+
+
+_TOKENIZE_CJK_SQL = f"""
+WITH {_cjk_docs_ctes(_CJK_MAX_ID)}
 SELECT doc_id,
        CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS position,
        unnest(toks) AS term
-FROM ex
+FROM cjk_docs
+"""
+
+# tokenize_cjk("深度学习 vector") — CJK run → overlapping bigrams, the
+# ASCII term passes through; parity with the engine tokenizer is pinned
+# by tests/test_properties.py.
+_CJK_QUERY = "深度学习 vector"
+_CJK_QUERY_TERMS = ("深度", "度学", "学习", "vector")
+
+
+def q_bm25_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a CJK-BIGRAM index (r17): the tokenize_cjk variant wired
+    through the real indexing + scoring path — postings/df/doc-stats
+    built from bigram tokens over the CJK-mixed corpus (every doc gets
+    its deterministic CJK snippet), then the standard broadcast-terms
+    BM25 plan scores a mixed CJK/ASCII query.  This is the north-star
+    case the plain (?U)\\w tokenizer cannot serve: an unsegmented CJK
+    query can only match an unsegmented CJK document through a shared
+    sub-word unit, which the bigram index provides.  The oracle replays
+    corpus construction, bigram tokenization, and the exact reference
+    BM25 formula in SQL."""
+    from ..functions.text import tokenize_cjk
+    from ..operators.index import build_postings, doc_freq
+    from ..operators.search import (B_DEFAULT, K1_DEFAULT,
+                                    _bm25_scores_from_terms)
+
+    docs = load_table(spark, sf_dir, "documents")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _CJK_SNIPPETS]),
+        (F.col("doc_id").cast("bigint") % len(_CJK_SNIPPETS) + 1)
+        .cast("int"))
+    mixed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), snip).alias("text"))
+    tokens = mixed.select(
+        "doc_id",
+        F.posexplode(tokenize_cjk("text")).alias("position", "term"))
+    postings = build_postings(tokens)
+    stats = mixed.select(
+        "doc_id", F.size(tokenize_cjk("text")).alias("length"))
+    terms_df = spark.createDataFrame(
+        [(t,) for t in _CJK_QUERY_TERMS], "term string")
+    scores = _bm25_scores_from_terms(terms_df, postings,
+                                     doc_freq(postings), stats,
+                                     K1_DEFAULT, B_DEFAULT)
+    return (scores.withColumn("score", F.round("score", 6))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+_CJK_QTERMS_SQL = ", ".join(f"('{t}')" for t in _CJK_QUERY_TERMS)
+
+_BM25_CJK_SQL = f"""
+WITH {_cjk_docs_ctes(None)},
+tokens AS (SELECT doc_id, unnest(toks) AS term FROM cjk_docs),
+postings AS (
+    SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT doc_id, len(toks) AS length FROM cjk_docs),
+consts AS (SELECT count(*) AS n, avg(length) AS avgdl FROM stats),
+qterms AS (SELECT term FROM (VALUES {_CJK_QTERMS_SQL}) AS q(term)),
+scored AS (
+    SELECT p.doc_id,
+           sum( ln(greatest(1.0, c.n / greatest(1, d.df)))
+                * (p.tf * 2.0)
+                / (p.tf + 1.0 * (1.0 - 0.75 + 0.75 * s.length / c.avgdl)) )
+               AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN stats s USING (doc_id)
+    CROSS JOIN consts c
+    WHERE d.df > 0
+    GROUP BY p.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC
+LIMIT 10
 """
 
 
@@ -743,6 +829,7 @@ QUERIES = {
     "text_contamination": q_contamination,
     "text_tokenize_unicode": q_tokenize_unicode,
     "text_tokenize_cjk": q_tokenize_cjk,
+    "search_bm25_cjk": q_bm25_cjk,
     "text_redact_pii": q_redact_pii,
     "text_repetition": q_repetition,
     "pipeline_mixture_weights": q_mixture_weights,
@@ -973,6 +1060,7 @@ SELECT doc_id, position, term
 FROM (VALUES {_UNI_EXPECTED}) AS t(doc_id, position, term)
 """,
     "text_tokenize_cjk": _TOKENIZE_CJK_SQL,
+    "search_bm25_cjk": _BM25_CJK_SQL,
     "text_entropy": """
 WITH ch AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n,

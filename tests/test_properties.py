@@ -321,3 +321,17 @@ def test_delta_positions_roundtrip_random(spark):
         assert all(g >= 0 for g in enc[1:]), r["id"]
         if enc:
             assert enc[0] == r["positions"][0]
+
+
+def test_cjk_query_terms_literal_matches_tokenizer(spark):
+    """Pins the search_bm25_cjk query-term literal to the engine
+    tokenizer: if tokenize_cjk semantics drift, this fails before the
+    oracle row silently scores a different term set."""
+    from big_data_assignment_2_spark.functions.text import tokenize_cjk
+    from big_data_assignment_2_spark.plans.text_queries import (
+        _CJK_QUERY, _CJK_QUERY_TERMS)
+
+    df = spark.createDataFrame([(_CJK_QUERY,)], "text string")
+    got = df.select(tokenize_cjk("text").alias("t")).first()["t"]
+    assert tuple(got) == _CJK_QUERY_TERMS
+    assert _ref_tokenize_cjk(_CJK_QUERY) == list(_CJK_QUERY_TERMS)
