@@ -100,6 +100,12 @@ EXTRA = [
     # repeated) time what a production pipeline actually pays, mirroring
     # the r10 ANN build/probe split.  Both stay registered as oracle gate
     # rows for correctness continuity.
+    # r17 additions: the keep-chain policy priced against its pairwise
+    # sibling (sim_semdedup_scaled above), and BM25 over the CJK bigram
+    # index priced against search_bm25_topk (bigrams ≈ 2x postings on
+    # the snippet share of each doc).
+    "sim_semdedup_chain",    # greedy transitive semdedup (applyInPandas)
+    "search_bm25_cjk",       # BM25 over a CJK character-bigram index
 ]
 
 # Queries additionally timed COLD (spark.catalog.clearCache() first, single

@@ -298,7 +298,7 @@ def test_delta_positions_roundtrip_probe_equality_and_size(
     # asserting delta on a PLAIN store fails fast instead of
     # double-decoding
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="absolute positions"):
+    with _pytest.raises(ValueError, match="refusing to guess"):
         read_index(spark, index_path, delta_positions=True)
 
     # positional consumer equality
