@@ -108,6 +108,9 @@ def test_no_accidental_cartesian_in_any_query(spark, sf_dir):
         # (append_probe shares bm25_topk's scoring plan verbatim)
         "search_bm25_topk", "search_bm25_batch",
         "search_bm25_append_probe",
+        # BM25 over the CJK bigram index reuses the same
+        # _bm25_scores_from_terms plan (broadcast 1-row N+avgdl) (r17)
+        "search_bm25_cjk",
         # delete/compact probes share bm25_topk's scoring plan verbatim too
         "search_bm25_delete_probe", "search_bm25_compact_probe",
         # batched persisted probe: bm25_topk_batch's broadcast 1-row
