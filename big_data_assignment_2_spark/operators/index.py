@@ -131,6 +131,38 @@ def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     }
 
 
+def build_query_index(docs: DataFrame, terms: list[str],
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> dict[str, DataFrame]:
+    """:func:`build_index` scoped to a KNOWN query-term set — the
+    in-flight single-query search shape (r17, guide §2.3 "shuffle fewer
+    bytes" / §2.4): the term literal filter lands directly above the
+    tokenize Generate, so the (term, doc_id) aggregation shuffles only
+    query-term occurrences instead of the whole token stream, and
+    document frequency derives from the FILTERED postings (df(t) = number
+    of docs containing t — exactly the same value build_index produces
+    for every t ∈ terms, since postings are per-doc-distinct by
+    construction) instead of re-tokenizing the corpus a second time.
+    ``documents_info`` stays corpus-wide — N and avgdl are corpus stats.
+
+    Result-identical to build_index for ANY consumer that only reads
+    terms ∈ ``terms`` from term_document / document_frequency, which is
+    what every single-query scoring path does (the scoring joins begin
+    by filtering both relations to the query terms).
+    """
+    tokens = tokenize_positions(docs, text_col, id_col)
+    if terms:
+        tokens = tokens.filter(F.col("term").isin(sorted(set(terms))))
+    else:  # empty query: empty postings, same as the unfiltered join
+        tokens = tokens.filter(F.lit(False))
+    postings = build_postings(tokens)
+    return {
+        "term_document": postings,
+        "document_frequency": doc_freq(postings),
+        "documents_info": doc_stats(docs, text_col, id_col),
+    }
+
+
 def build_fielded_index(docs: DataFrame, split_at: int,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> dict[str, dict[str, DataFrame]]:

@@ -473,10 +473,16 @@ def search_documents(spark: SparkSession, docs: DataFrame, query: str,
                      k: int = 10, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """End-to-end: build the index lineage and run one query over it.
-    For repeated queries, build the index once and reuse."""
-    from .index import build_index
+    For repeated queries, build the index once and reuse.
 
-    ix = build_index(docs, text_col=text_col, id_col=id_col)
+    r17: the in-flight index is QUERY-SCOPED (index.build_query_index) —
+    the query terms are known plan literals here, so the postings/df
+    aggregations shuffle only query-term rows; result-identical (the
+    scoring joins filtered to exactly these terms anyway)."""
+    from .index import build_query_index
+
+    ix = build_query_index(docs, tokenize_query(query),
+                           text_col=text_col, id_col=id_col)
     return bm25_topk(spark, query, ix["term_document"],
                      ix["document_frequency"], ix["documents_info"], k=k)
 

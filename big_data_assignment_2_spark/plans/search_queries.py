@@ -322,10 +322,16 @@ PHRASE = ["data", "line"]
 
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query BM25: 3 queries scored in one plan, top-5 each."""
-    from ..operators.index import build_index
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_query_index
     from ..operators.search import bm25_topk_batch
 
-    ix = build_index(load_table(spark, sf_dir, "documents"))
+    # r17: index scoped to the UNION of the batch queries' terms
+    # (see q_proximity — identical results for every scored term).
+    batch_terms = [t for q in BATCH_QUERIES.values()
+                   for t in tokenize_query(q)]
+    ix = build_query_index(load_table(spark, sf_dir, "documents"),
+                           batch_terms)
     return bm25_topk_batch(spark, BATCH_QUERIES, ix["term_document"],
                            ix["document_frequency"], ix["documents_info"], k=5)
 
@@ -446,13 +452,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(60+rank) sums (operators.search.rrf_fuse)."""
     from pyspark.sql import functions as F
 
-    from ..operators.index import build_index
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_query_index
     from ..operators.search import bm25_topk, rrf_fuse
     from ..operators.similarity import brute_force_topk
 
     docs = load_table(spark, sf_dir, "documents")
     em = load_table(spark, sf_dir, "embeddings")
-    ix = build_index(docs)
+    # r17: query-scoped in-flight index (see q_proximity).
+    ix = build_query_index(docs, tokenize_query(FLAGSHIP_QUERY))
     bm = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
                    ix["document_frequency"], ix["documents_info"], k=FUSE_K)
     # ranks over the already-top-K (TakeOrderedAndProject) relation: the
@@ -499,11 +507,12 @@ def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text — the serving feature the reference's stored positions
     lists (`reducer1.py:7`) exist for but its query path never built."""
     from ..functions.text import tokenize_query
-    from ..operators.index import build_index
+    from ..operators.index import build_query_index
     from ..operators.search import bm25_topk, snippet_extract
 
     docs = load_table(spark, sf_dir, "documents")
-    ix = build_index(docs)
+    # r17: query-scoped in-flight index (see q_proximity).
+    ix = build_query_index(docs, tokenize_query(FLAGSHIP_QUERY))
     page = bm25_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
                      ix["document_frequency"], ix["documents_info"], k=10) \
         .select("doc_id")
@@ -518,11 +527,12 @@ def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     each value — one grouping-sets aggregation over the matched-doc
     metadata join (single shuffle for all dimensions)."""
     from ..functions.text import tokenize_query
-    from ..operators.index import build_index
+    from ..operators.index import build_query_index
     from ..operators.search import facet_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    ix = build_index(docs)
+    # r17: query-scoped in-flight index (see q_proximity).
+    ix = build_query_index(docs, tokenize_query(FLAGSHIP_QUERY))
     return facet_counts(ix["term_document"], docs,
                         tokenize_query(FLAGSHIP_QUERY), ["lang", "source"])
 
@@ -535,11 +545,13 @@ def q_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     as page one's last row; in serving it arrives from the client."""
     from pyspark.sql import functions as F
 
-    from ..operators.index import build_index
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_query_index
     from ..operators.search import bm25_page_after, bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    ix = build_index(docs)
+    # r17: query-scoped in-flight index (see q_proximity).
+    ix = build_query_index(docs, tokenize_query(FLAGSHIP_QUERY))
     args = (ix["term_document"], ix["document_frequency"], ix["documents_info"])
     page1 = bm25_topk(spark, FLAGSHIP_QUERY, *args, k=10)
     cursor = page1.orderBy(F.asc("score"), F.desc("doc_id")).limit(1)
@@ -551,11 +563,15 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct query terms appear close together outrank bag-of-words
     matches — min pairwise term gap computed in-row from the postings
     (no token explode), blended as score·(1 + 1/(1+min_dist))."""
-    from ..operators.index import build_index
+    from ..functions.text import tokenize_query
+    from ..operators.index import build_query_index
     from ..operators.search import proximity_boosted_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    ix = build_index(docs)
+    # r17: in-flight index scoped to the (plan-literal) query terms —
+    # the postings/df shuffles carry query-term rows only; identical
+    # results (the scoring joins filter to these terms anyway).
+    ix = build_query_index(docs, tokenize_query(FLAGSHIP_QUERY))
     return proximity_boosted_topk(spark, FLAGSHIP_QUERY, ix["term_document"],
                                   ix["document_frequency"],
                                   ix["documents_info"], k=10)
