@@ -1123,20 +1123,26 @@ def incremental_dedup(docs: DataFrame, historical: Column,
             .withColumn("doc_id", F.col("__nid").cast("string"))
             .persist(StorageLevel.MEMORY_AND_DISK))
 
-    keyed = base.select("doc_id", "__nid", "__hist",
-                        tokenset_key("__text").alias("__k"))
+    # r17 (guide §2.4 "remove shuffles outright"): the per-doc sorted
+    # distinct token array is computed IN-ROW (sort_array ∘ array_distinct
+    # ∘ tokenize) — the previous explode → groupBy(collect_list) paid a
+    # full token shuffle to rebuild exactly this array; the tokenset key
+    # then derives from the SAME persisted array (md5 of the joined
+    # tokens ≡ tokenset_key by definition), so the corpus is tokenized
+    # once per run instead of twice.  (Token-less docs now carry an empty
+    # array instead of being absent — inert downstream: signatures drop
+    # empty arrays and the verify join only sees banded candidates.)
+    arrays = (base.select(
+        "doc_id", "__nid", "__hist",
+        F.sort_array(F.array_distinct(tokenize("__text"))).alias("__toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    keyed = arrays.select("doc_id", "__nid", "__hist",
+                          F.md5(F.array_join("__toks", " ")).alias("__k"))
     hist_keys = (keyed.filter("__hist")
                  .groupBy("__k").agg(F.min("__nid").alias("__exact_nid")))
     inc = (keyed.filter(~F.col("__hist"))
            .join(hist_keys, "__k", "left")
            .persist(StorageLevel.MEMORY_AND_DISK))
-
-    # MinHash bands for history and for the not-exact incoming remainder.
-    ts = doc_tokensets(base, "__text", "doc_id")
-    arrays = (ts.groupBy("doc_id")
-              .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
-              .join(base.select("doc_id", "__nid", "__hist"), "doc_id")
-              .persist(StorageLevel.MEMORY_AND_DISK))
     hist_bands = (lsh_band_keys(
         minhash_signatures_from_arrays(arrays.filter("__hist")))
         .join(arrays.filter("__hist").select("doc_id", "__nid"), "doc_id")
@@ -1242,14 +1248,17 @@ def write_fingerprint_store(docs: DataFrame, base_path: str,
             .withColumn("doc_id", F.col("__nid").cast("string"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     try:
-        (base.select(tokenset_key("__text").alias("__k"),
-                     F.col("__nid").alias("__exact_nid"))
+        # r17: in-row token arrays + key derived from them — one
+        # tokenize pass, no explode/collect_list shuffle (see
+        # incremental_dedup).
+        arrays = (base.select(
+            "doc_id", "__nid",
+            F.sort_array(F.array_distinct(tokenize("__text")))
+            .alias("__toks"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        (arrays.select(F.md5(F.array_join("__toks", " ")).alias("__k"),
+                       F.col("__nid").alias("__exact_nid"))
          .write.mode("overwrite").parquet(f"{base_path}/keys"))
-        arrays = (doc_tokensets(base, "__text", "doc_id")
-                  .groupBy("doc_id")
-                  .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
-                  .join(base.select("doc_id", "__nid"), "doc_id")
-                  .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             (lsh_band_keys(minhash_signatures_from_arrays(arrays))
              .join(arrays.select("doc_id", "__nid"), "doc_id")
@@ -1427,14 +1436,19 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     # CacheManager entries for the life of the session; checkpoint
     # blocks are RDD-level and the ContextCleaner reclaims them when the
     # returned frame is garbage-collected.
-    inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
+    # r17: in-row token arrays; the key derives from the SAME persisted
+    # array relation (md5(array_join) ≡ tokenset_key), so each batch pays
+    # one tokenize pass and zero explode/collect_list shuffles (see
+    # incremental_dedup).
+    inc_arrays = (base.select(
+        "doc_id", "__nid",
+        F.sort_array(F.array_distinct(tokenize("__text"))).alias("__toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    inc = (inc_arrays.select(
+        "doc_id", "__nid", F.md5(F.array_join("__toks", " ")).alias("__k"))
            .join(hist_keys, "__k", "left")
            .select("doc_id", "__nid", "__exact_nid")
            .persist(StorageLevel.MEMORY_AND_DISK))
-    inc_arrays = (doc_tokensets(base, "__text", "doc_id")
-                  .groupBy("doc_id")
-                  .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
-                  .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         return _flag_against_history(
             inc, inc_arrays,

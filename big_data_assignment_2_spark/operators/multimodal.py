@@ -90,6 +90,22 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int]:
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30)
 
 
+def _spread_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition UP to the session's default parallelism
+    before a Python (mapInPandas) generator stage when the upstream scan
+    has fewer partitions (r17, guide §2.5 "input skew"): the harness
+    corpus is one small parquet file → one scan partition, which
+    serializes the whole per-payload Python codec chain on a single
+    core.  Scale-adaptive, not a constant: on a real corpus the scan
+    already has >= cores partitions and this is a no-op.  Row-to-task
+    assignment is the only thing that changes — every per-payload result
+    is a pure function of the row, so results are multiset-identical."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def decode_media(media: DataFrame, batch_size: int = 256,
                  fake: bool = True) -> DataFrame:
     """Arrow-batched decode via ``mapInPandas`` — the canonical shape for a
@@ -236,7 +252,8 @@ def generate_media_real(docs: DataFrame, batch_size: int = 256) -> DataFrame:
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+    return _spread_for_python(
+        docs.select("doc_id", "text", "n_chars")).mapInPandas(
         gen, MEDIA_SCHEMA)
 
 
@@ -654,7 +671,8 @@ def generate_media_png(docs: DataFrame, batch_size: int = 256) -> DataFrame:
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def decode_media_png(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -2136,7 +2154,8 @@ def generate_media_jpeg(docs: DataFrame, batch_size: int = 256) -> DataFrame:
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def generate_media_jpeg_dri(docs: DataFrame,
@@ -2164,7 +2183,8 @@ def generate_media_jpeg_dri(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def generate_media_jpeg_progressive(docs: DataFrame,
@@ -2191,7 +2211,8 @@ def generate_media_jpeg_progressive(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def decode_media_jpeg(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -2464,7 +2485,8 @@ def generate_media_mp4_mjpeg(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def demux_media_mp4(media: DataFrame, batch_size: int = 64) -> DataFrame:
@@ -2536,7 +2558,8 @@ def generate_media_jpeg_color(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def decode_media_jpeg_color(media: DataFrame,
@@ -2621,7 +2644,8 @@ def generate_media_jpeg_422(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
 
 
 def generate_media_jpeg_420(docs: DataFrame,
@@ -2647,4 +2671,5 @@ def generate_media_jpeg_420(docs: DataFrame,
 
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(batch_size))
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    return _spread_for_python(docs.select("doc_id")).mapInPandas(
+        gen, MEDIA_SCHEMA)
