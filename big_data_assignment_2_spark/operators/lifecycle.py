@@ -61,9 +61,11 @@ def append_tombstones(spark: SparkSession, base_path: str, ids,
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).cast(id_type).alias(col))
     else:
+        from ..functions.localrel import inline_rows
+
         caster = str if id_type == "string" else int
-        tomb = spark.createDataFrame([(caster(i),) for i in ids],
-                                     f"{col} {id_type}")
+        tomb = inline_rows(spark, [(caster(i),) for i in ids],
+                           f"{col} {id_type}")
     tomb.write.mode("append").parquet(f"{base_path}/tombstones")
 
 

@@ -463,15 +463,22 @@ def write_ivfpq(vectors: DataFrame, base_path: str, n_centroids: int = 4,
     finally:
         for df in cached:
             df.unpersist()
+    # r17: single-slice parallelize instead of coalesce(1) — a Python
+    # local relation defaults to defaultParallelism slices, and
+    # coalesce(1) makes ONE task drain all of them through sequential
+    # Python-worker rounds (measured 6-7 s to write a 4-row codebook;
+    # single-slice: ~0.2 s).  Same single output file.
     spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(cent)],
+        spark.sparkContext.parallelize(
+            [(i, list(c)) for i, c in enumerate(cent)], 1),
         "cid INT, centroid ARRAY<DOUBLE>") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{base_path}/coarse")
+        .write.mode("overwrite").parquet(f"{base_path}/coarse")
     spark.createDataFrame(
-        [(s, i, list(c)) for s, book in enumerate(books)
-         for i, c in enumerate(book)],
+        spark.sparkContext.parallelize(
+            [(s, i, list(c)) for s, book in enumerate(books)
+             for i, c in enumerate(book)], 1),
         "subspace INT, cid INT, centroid ARRAY<DOUBLE>") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{base_path}/books")
+        .write.mode("overwrite").parquet(f"{base_path}/books")
 
 
 def _read_ivfpq_codebooks(spark: SparkSession, base_path: str):

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import inline_rows
 from ..functions.scoring import B_DEFAULT, K1_DEFAULT, bm25_term_score, idf_plain
 from ..functions.text import tokenize, tokenize_query
 
@@ -54,7 +55,7 @@ def bm25_scores(spark: SparkSession, query: str, term_document: DataFrame,
     terms = tokenize_query(query)
     if not terms:
         return term_document.sparkSession.createDataFrame([], "doc_id string, score double")
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    terms_df = inline_rows(spark, [(t,) for t in terms], "term string")
     # Plan notes (live in _bm25_scores_from_terms): A4+A5 as a broadcast
     # 1-row relation (one job, no pre-pass); J1 broadcasts the tiny term
     # relation against postings and df; J2's inner join on doc length
@@ -98,7 +99,7 @@ def bm25_topk_batch(spark: SparkSession, queries: dict[str, str],
     if not rows:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, score double, rank int")
-    terms_df = spark.createDataFrame(rows, "query_id string, term string")
+    terms_df = inline_rows(spark, rows, "query_id string, term string")
     stats = F.broadcast(documents_info.agg(
         F.count("*").alias("__n"), F.avg("length").alias("__avgdl")))
     scored = (
@@ -191,7 +192,7 @@ def bm25_fuzzy_topk(spark: SparkSession, query: str,
     terms = tokenize_query(query)
     if not terms:
         return spark.createDataFrame([], "doc_id string, score double")
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    terms_df = inline_rows(spark, [(t,) for t in terms], "term string")
     eff = fuzzy_expand_terms(terms_df, document_frequency, max_dist)
     scores = _bm25_scores_from_terms(eff, term_document, document_frequency,
                                      documents_info, k1, b)
@@ -237,7 +238,7 @@ def bm25_prefix_topk(spark: SparkSession, query: str,
     terms = [t.lower() for t in query.split() if t]
     if not terms:
         return spark.createDataFrame([], "doc_id string, score double")
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    terms_df = inline_rows(spark, [(t,) for t in terms], "term string")
     eff = prefix_expand_terms(terms_df, document_frequency)
     scores = _bm25_scores_from_terms(eff, term_document, document_frequency,
                                      documents_info, k1, b)
@@ -282,7 +283,7 @@ def bm25f_topk(spark: SparkSession, query: str,
     terms = tokenize_query(query)
     if not terms:
         return spark.createDataFrame([], "doc_id string, score double")
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    terms_df = inline_rows(spark, [(t,) for t in terms], "term string")
     uterms = terms_df.distinct()
 
     contribs, pairs = [], []
@@ -414,7 +415,7 @@ def snippet_extract(term_document: DataFrame, docs: DataFrame,
     self-join, no UDF.  The final snippet render joins the page-sized
     doc-id set back to the corpus text."""
     spark = term_document.sparkSession
-    terms_df = spark.createDataFrame([(t,) for t in set(query_terms)],
+    terms_df = inline_rows(spark, [(t,) for t in set(query_terms)],
                                      "term string")
     hits = (term_document.join(F.broadcast(terms_df), "term")
             .join(F.broadcast(doc_ids.select("doc_id")), "doc_id")
@@ -501,8 +502,8 @@ def facet_counts(term_document: DataFrame, documents: DataFrame,
     match relation).  Returns (facet, value, n_docs).
     """
     spark = term_document.sparkSession
-    terms_df = spark.createDataFrame(
-        [(t,) for t in dict.fromkeys(query_terms)], "term string")
+    terms_df = inline_rows(
+        spark, [(t,) for t in dict.fromkeys(query_terms)], "term string")
     matched = (term_document.join(F.broadcast(terms_df), "term")
                .select("doc_id").distinct())
     m = matched.join(
@@ -583,7 +584,7 @@ def proximity_boosted_topk(spark: SparkSession, query: str,
     from ..functions.text import tokenize_query
 
     terms = list(dict.fromkeys(tokenize_query(query)))
-    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    terms_df = inline_rows(spark, [(t,) for t in terms], "term string")
     hits = (term_document.join(F.broadcast(terms_df), "term")
             .select("term", "doc_id", "positions"))
     a, b = hits.alias("a"), hits.alias("b")

@@ -599,7 +599,8 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metric math degrades to an unpartitioned WindowExec (the
     # single-partition warning); a scan-sourced column keeps them
     # partitioned for the general multi-query case this row stands for.
-    qid = F.broadcast(spark.createDataFrame([("q1",)], "query_id string"))
+    from ..functions.localrel import inline_rows
+    qid = F.broadcast(inline_rows(spark, [("q1",)], "query_id string"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"))
     run = (page.crossJoin(qid)
