@@ -1136,6 +1136,9 @@ def incremental_dedup(docs: DataFrame, historical: Column,
         "doc_id", "__nid", "__hist",
         F.sort_array(F.array_distinct(tokenize("__text"))).alias("__toks"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    # Eager cache fill — see flag_batch_against_store: without it the
+    # multi-branch plan's racing stages re-run the map-side projection.
+    arrays.count()
     keyed = arrays.select("doc_id", "__nid", "__hist",
                           F.md5(F.array_join("__toks", " ")).alias("__k"))
     hist_keys = (keyed.filter("__hist")
@@ -1436,19 +1439,21 @@ def flag_batch_against_store(batch: DataFrame, base_path: str,
     # CacheManager entries for the life of the session; checkpoint
     # blocks are RDD-level and the ContextCleaner reclaims them when the
     # returned frame is garbage-collected.
-    # r17: in-row token arrays; the key derives from the SAME persisted
-    # array relation (md5(array_join) ≡ tokenset_key), so each batch pays
-    # one tokenize pass and zero explode/collect_list shuffles (see
-    # incremental_dedup).
-    inc_arrays = (base.select(
-        "doc_id", "__nid",
-        F.sort_array(F.array_distinct(tokenize("__text"))).alias("__toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    inc = (inc_arrays.select(
-        "doc_id", "__nid", F.md5(F.array_join("__toks", " ")).alias("__k"))
+    # (r17 note: the in-row token-array form that wins in
+    # incremental_dedup was ALSO tried here and measured 2x SLOWER for
+    # this serving probe (2.2 -> 4.4 s at sf0.1, alternating A/B, eager
+    # cache fill included) — this path localCheckpoints its result and
+    # re-derives everything per batch, and the shuffle-built arrays
+    # relation amortizes better across the probe's branches than a
+    # map-side projection cache.  Measured, kept as-is.)
+    inc = (base.select("doc_id", "__nid", tokenset_key("__text").alias("__k"))
            .join(hist_keys, "__k", "left")
            .select("doc_id", "__nid", "__exact_nid")
            .persist(StorageLevel.MEMORY_AND_DISK))
+    inc_arrays = (doc_tokensets(base, "__text", "doc_id")
+                  .groupBy("doc_id")
+                  .agg(F.sort_array(F.collect_list("term")).alias("__toks"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         return _flag_against_history(
             inc, inc_arrays,
