@@ -188,6 +188,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
+    # Effective-parallelism evidence (r18, VERDICT r17 #2): the driver's
+    # $SPARK_GRAFT_CPUS scaling probe could not verify from the output that
+    # the bench honors the core count (session.py wires it into
+    # local[$SPARK_GRAFT_CPUS], but nothing in the JSON proved it).  Emit
+    # the actual master URL and sc.defaultParallelism in BOTH the compact
+    # line and BENCH_LOCAL so the contract is checkable from stdout alone.
+    sc = spark.sparkContext
+    master = sc.master
+    default_parallelism = sc.defaultParallelism
+
     # Pre-existing machine pressure, sampled BEFORE any Spark work: the
     # bench's own 32-thread execution drives 1-min loadavg into the
     # 8-11 range even on an idle machine, so per-row loadavg alone can't
@@ -577,6 +587,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf_val,
+        "master": master,
+        "default_parallelism": default_parallelism,
         "load_start": load_start,
         "load_rows": load_rows,
         "queries": all_mins,
@@ -611,6 +623,10 @@ def main() -> None:
         "value": full["value"],
         "unit": "sec",
         "sf": sf_val,
+        # scaling-contract proof (VERDICT r17 #2): actual master URL +
+        # defaultParallelism so the driver's core-count probe is verifiable
+        "master": master,
+        "parallelism": default_parallelism,
         "queries": timings,          # headline mins only — fits the tail
         "suspect": suspect,
         # self-adjudication verdict in the driver-visible tail: 1-min

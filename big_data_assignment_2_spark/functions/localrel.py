@@ -36,6 +36,15 @@ def inline_rows(spark: SparkSession, rows: list[tuple],
     st = StructType.fromDDL(schema)
     if not rows:
         return spark.createDataFrame([], schema)
+    # Arity guard (r18 advice): zip() would silently truncate a
+    # wrong-arity row where createDataFrame raises — fail loudly instead
+    # of handing a buggy caller wrong data.  Input is bounded by
+    # contract, so the per-row check is free.
+    for i, row in enumerate(rows):
+        if len(row) != len(st.fields):
+            raise ValueError(
+                f"inline_rows: row {i} has {len(row)} values for "
+                f"{len(st.fields)}-field schema {schema!r}")
     structs = [
         F.struct(*[
             F.lit(v).cast(f.dataType).alias(f.name)

@@ -149,6 +149,12 @@ def build_query_index(docs: DataFrame, terms: list[str],
     terms ∈ ``terms`` from term_document / document_frequency, which is
     what every single-query scoring path does (the scoring joins begin
     by filtering both relations to the query terms).
+
+    CONTRACT (r18 advice): the returned document_frequency is restricted
+    to ``terms`` — it must NEVER feed a term-EXPANSION consumer
+    (bm25_fuzzy_topk / bm25_prefix_topk / more_like_this use df as the
+    vocabulary, so a scoped index silently degrades expansion to exact
+    matches).  Expansion paths must build the full :func:`build_index`.
     """
     tokens = tokenize_positions(docs, text_col, id_col)
     if terms:

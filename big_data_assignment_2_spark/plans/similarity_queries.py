@@ -373,10 +373,11 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified retrieval (Carbonell & Goldstein '98): re-rank each
     query's top-20 page so pick i maximizes λ·sim(q,d) −
     (1−λ)·max_{s∈picked} sim(d,s) — the de-duplicating final-page pass
-    every retrieval stack serves.  The k-step selection is UNROLLED into
-    chained plan stages (per-query argmax windows), mirroring the Lloyd
-    oracle pattern; no driver loop.  All sims 6-dp rounded first, so the
-    unrolled CTE replay is exact."""
+    every retrieval stack serves.  The k-step selection runs as a
+    per-query cogrouped applyInPandas greedy loop (one shuffle; r18 —
+    the unrolled-argmax form produced a 10k-line plan).  All sims are
+    Spark-computed and 6-dp rounded first, so the oracle's unrolled CTE
+    replay is exact."""
     from ..operators.similarity import brute_force_topk, mmr_rerank
 
     em = load_table(spark, sf_dir, "embeddings")

@@ -87,8 +87,10 @@ def test_mmr_cache_registry_releases_caches(spark, sf_dir):
                      mmr_rerank(cand, em, k=K, lam=LAM,
                                 cache_registry=reg).collect()))
     assert got == baseline
-    # candidates + pairs + one pick level per step 2..K
-    assert len(reg) == 2 + (K - 1)
+    # r18: only the thrice-referenced candidate page is persisted (the
+    # greedy selection moved into one cogrouped applyInPandas stage, so
+    # the per-level pick caches no longer exist)
+    assert len(reg) == 1
     for df in reg:
         assert df.is_cached
         df.unpersist()

@@ -60,7 +60,7 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "1-row union-sketch aggregate",
     # --- plans/search_queries.py ---
     (f"{PKG}/plans/search_queries.py", "q_eval_ndcg",
-     "spark.createDataFrame([('q1',)], 'query_id string')"):
+     "inline_rows(spark, [('q1',)], 'query_id string')"):
         "literal 1-row query-id relation",
     # --- plans/similarity_queries.py ---
     (f"{PKG}/plans/similarity_queries.py", "q_filtered_recall", "qlbl"):
