@@ -193,11 +193,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
 
     1. adjacent-pair count — one vocab-sized agg (``zip_with`` of the
        symbol array against its own tail, explode, sum(freq));
-    2. argmax merge — a bounded 1-row ``collect`` (same sanctioned shape
+    2. argmax merge — a bounded top-K ``collect`` (same sanctioned shape
        as the Lloyd centroid collect in similarity.py), tie-broken
-       deterministically by (count DESC, lhs ASC, rhs ASC);
-    3. fold the merge into the vocabulary symbol arrays as a PLAN-TIME
-       LITERAL via the same ``_merge_pair`` higher-order fold the
+       deterministically by (count DESC, lhs ASC, rhs ASC); a PREFIX of
+       provably-independent runner-up merges is accepted in the same
+       round when the counts prove they are the next sequential argmaxes
+       (r18 — fewer vocab-sized aggregation passes, merge list
+       bit-identical to the one-merge-per-round loop);
+    3. fold the merges into the vocabulary symbol arrays as PLAN-TIME
+       LITERALS via the same ``_merge_pair`` higher-order fold the
        encoder uses — native, no Python on the data path.
 
     Pair counts follow the classic formulation: every adjacent position
@@ -230,21 +234,73 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
                             lambda c: c != F.lit("")).alias("toks"))
            .persist(StorageLevel.MEMORY_AND_DISK))
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    # Batched rounds (r18, VERDICT r17 #6, guide §2.4 "do fewer passes"):
+    # each round collects the TOP-K pair counts instead of the top-1 and
+    # accepts a PREFIX of provably-independent merges driver-side, so one
+    # vocabulary-sized aggregation pays for several merges.  Bit-identity
+    # argument (counts can never increase under a merge; a merge (x,y)→xy
+    # only changes counts of pairs sharing a symbol with {x,y}, and every
+    # pair it CREATES has count ≤ the old count of a pair sharing x or y):
+    # after accepting a batch B, the next list entry p is the true
+    # next-round argmax iff
+    #   (a) p's symbols are disjoint from every accepted {x, y, x+y}
+    #       (p's own count is then exactly its old count),
+    #   (b) every OTHER pair q with old_cnt ≥ p.cnt is visible in the
+    #       top-K and does not share a symbol with B (a sharing q — or a
+    #       pair created from it — could retain/reach p.cnt with an
+    #       unknowable lex position), and
+    #   (c) p.cnt is strictly above the K-th count, so no unseen pair
+    #       (all ≤ cnt_K) can tie it (vacuous when the whole pair table
+    #       fit in K rows).
+    # Disjoint q below p in the sorted list lose by (cnt DESC, x, y)
+    # order exactly as in the sequential loop.  Worst case every batch
+    # is 1 merge and the job count matches the old per-merge loop.
+    topk = max(4 * n_merges, 16)
+    while len(merges) < n_merges:
         pair = F.zip_with(
             F.slice("toks", F.lit(1), F.size("toks") - 1),
             F.slice("toks", F.lit(2), F.size("toks") - 1),
             lambda x, y: F.struct(x.alias("x"), y.alias("y")))
-        best = (cur.select("freq", F.explode(pair).alias("p"))
-                .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "x", "y")
-                .limit(1).collect())
-        if not best:
+        top = (cur.select("freq", F.explode(pair).alias("p"))
+               .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+               .agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "x", "y")
+               .limit(topk).collect())
+        if not top:
             break
-        x, y, cnt = best[0]["x"], best[0]["y"], int(best[0]["cnt"])
-        merges.append((rank, x, y, x + y, cnt))
-        cur = (cur.select("word", "freq",
-                          _merge_pair(F.col("toks"), x, y).alias("toks"))
+        saw_all = len(top) < topk
+        boundary = int(top[-1]["cnt"])
+        batch: list[tuple[str, str, int]] = []
+        syms: set[str] = set()
+        for i, r in enumerate(top):
+            if len(merges) + len(batch) >= n_merges:
+                break
+            x, y, cnt = r["x"], r["y"], int(r["cnt"])
+            if i > 0:
+                ok = (saw_all or cnt > boundary) and not ({x, y} & syms)
+                if ok:
+                    for j in range(i + 1, len(top)):
+                        q = top[j]
+                        if (int(q["cnt"]) >= cnt
+                                and {q["x"], q["y"]} & syms):
+                            ok = False
+                            break
+                if not ok:
+                    break
+            batch.append((x, y, cnt))
+            syms |= {x, y, x + y}
+            # A self-pair merge (x,x) can CREATE pairs (e.g. (xx,x) from
+            # runs of x) whose count reaches the member's own count with
+            # an unknowable lex position — nothing after it is provable
+            # this round.  (For x≠y, created-pair counts are bounded by
+            # old counts of OTHER pairs sharing a symbol, which the
+            # q-scan above already vets.)
+            if x == y:
+                break
+        toks = F.col("toks")
+        for x, y, cnt in batch:
+            merges.append((len(merges), x, y, x + y, cnt))
+            toks = _merge_pair(toks, x, y)
+        cur = (cur.select("word", "freq", toks.alias("toks"))
                .persist(StorageLevel.MEMORY_AND_DISK))
     return merges

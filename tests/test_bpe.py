@@ -121,6 +121,31 @@ def test_bpe_train_stops_when_no_pairs(spark):
     assert _train(spark, "a b c a", 4) == []
 
 
+def test_bpe_train_batched_rounds_match_sequential(spark):
+    """r18 batched rounds: a round may accept several provably-independent
+    merges from one top-K collect — the merge list must stay bit-identical
+    to the one-merge-per-round reference in both the batchable and the
+    must-stop cases."""
+    # All-disjoint, strictly ordered counts: one round can take all 4.
+    freqs = {"ab": 5, "cd": 4, "ef": 3, "gh": 2}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    assert _train(spark, text, 4) == _ref_bpe_train(freqs, 4)
+    # (a,b)=5 then (b,c)=4 shares a symbol with the batch: batching MUST
+    # stop, because after merging (a,b) the true round-2 argmax is (b,c)
+    # — a naive "skip to the next disjoint pair" would pick (c,d).
+    freqs = {"ab": 5, "bc": 4, "cd": 4}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    got = _train(spark, text, 3)
+    assert got == _ref_bpe_train(freqs, 3)
+    assert got[1][1:] == ("b", "c", "bc", 4)
+    # Tie at the count boundary with a SHARING later entry: (a,e) ties
+    # (c,d) at 3 and shares 'a' with the accepted (a,b) — (c,d) must not
+    # be batched past it (the sequential loop picks (a,e) first by lex).
+    freqs = {"ab": 4, "ae": 3, "cd": 3}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    assert _train(spark, text, 3) == _ref_bpe_train(freqs, 3)
+
+
 def test_bpe_train_encode_oracle_survives_exhausted_corpus(spark, tmp_path):
     """r7 ADVICE: when the corpus yields fewer than BPE_TRAIN_MERGES
     merges, the train+encode oracle's per-round m{k} CTEs go empty; the
