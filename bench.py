@@ -91,7 +91,7 @@ EXTRA = [
     "search_hybrid_rrf",     # BM25 + dense-cosine reciprocal-rank fusion
     "search_proximity",      # positions-array min-gap boosted ranking (r14)
     "sim_ivf_filtered",      # pre-filtered ANN (label pruned in-list, r14)
-    "sim_mmr_diversify",     # unrolled MMR diversity re-rank (r14)
+    "sim_mmr_diversify",     # MMR diversity re-rank (cogrouped greedy, r18)
     # CHANGELOG (round 11, per VERDICT r10 #2): dedup_store_rollover and
     # stream_dedup_near_live are RETIRED from the bench — both rebuild
     # their fingerprint store from scratch per run (certification shape;
@@ -323,7 +323,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as warmdir:
         # Untimed warmup build: parquet-write + codegen paths compile once,
         # so the single timed build below isn't billed JIT/IO-warmup noise.
-        write_index(build_index(load_table(spark, sf_dir, "documents")),
+        write_index(build_index(load_table(spark, sf_dir, "documents"),
+                        term_buckets=16),
                     warmdir)
     # min-of-3 with a TRUE median (r16 advice: the r15 "median" of two
     # runs was max(build_runs) — not a median, inflating the row's
@@ -383,7 +384,8 @@ def main() -> None:
     # storage win.  Build is untimed setup (amortized serving, as with
     # every probe row).
     with tempfile.TemporaryDirectory() as dxdir:
-        write_index(build_index(load_table(spark, sf_dir, "documents")),
+        write_index(build_index(load_table(spark, sf_dir, "documents"),
+                        term_buckets=16),
                     dxdir, delta_positions=True)
         store_bytes["postings_delta"] = _tree_bytes(
             os.path.join(dxdir, "term_document"))

@@ -35,6 +35,21 @@ def tokenize(col: Column | str) -> Column:
     sf0.1, alternating A/B) — this is the hottest expression in the
     repo (every index build and most dedup/text operators run it over
     the whole corpus).
+
+    Unicode-whitespace contract (r18 advice): the single-pass form and
+    the old three-pass form differ on text containing Unicode-only
+    whitespace (NBSP, U+2000-200A, U+3000): the old ``split('\\s+')``
+    used Java's ASCII ``\\s``, so ``'a\\u00A0b'`` survived as ONE token
+    with the NBSP inside; the maximal-``(?U)\\w``-run definition splits
+    it into ``a`` and ``b``.  The SPLIT behavior is the contract — it is
+    what the Python reference (`mapper1.py`) produces, since Python's
+    ``str.split()`` splits on Unicode whitespace — so r17's rewrite was
+    a reference-parity FIX on this edge, pinned by
+    tests/test_r17_optimizations.py::test_tokenize_unicode_whitespace.
+    (The harness corpus is pure-ASCII, so the DuckDB oracles — RE2,
+    ASCII ``\\w`` — are unaffected; ``tokenize_cjk`` intentionally keeps
+    the three-pass form, whose strip step already spaces out CJK
+    punctuation, and its oracle replays that same pipeline.)
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)

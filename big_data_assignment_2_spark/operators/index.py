@@ -120,10 +120,42 @@ def merge_index(base: dict[str, DataFrame], delta_docs: DataFrame,
 
 
 def build_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                title_col: str | None = None) -> dict[str, DataFrame]:
-    """E2 collapsed (SURVEY.md §3): the three index tables as one lineage."""
+                title_col: str | None = None,
+                term_buckets: int | None = None) -> dict[str, DataFrame]:
+    """E2 collapsed (SURVEY.md §3): the three index tables as one lineage.
+
+    ``term_buckets`` (r18, VERDICT r17 #7 — guide §2.4 "two operations
+    keyed the same way can share one exchange"): when the index is built
+    TO BE PERSISTED bucket-partitioned, pass the same bucket count as
+    ``write_index``/``partition_postings_by_term_bucket``.  The token
+    stream is then hash-partitioned ONCE on (term_bucket, term) — the
+    postings aggregation's required clustering by (term_bucket, term,
+    doc_id) is satisfied by that partitioning (a subset of the grouping
+    key), so the aggregate adds NO second exchange, and the writer skips
+    its repartition because every row of a bucket is already co-located.
+    Build+persist pays one wide shuffle of the token stream instead of
+    two (tokens for the agg + the whole postings relation again for the
+    layout).  term_document then carries a ``term_bucket`` column
+    (metadata-tagged with the count so the writer can fail fast on a
+    mismatched bucket count); leave the default ``None`` for in-flight
+    (non-persisted) indexes — partitioning by ≤term_buckets distinct
+    values would cap the aggregation's parallelism for no layout gain.
+    """
     tokens = tokenize_positions(docs, text_col, id_col)
-    postings = build_postings(tokens)
+    if term_buckets is not None:
+        from .persist import term_bucket
+        tokens = (tokens
+                  .withColumn("term_bucket",
+                              term_bucket(F.col("term"), term_buckets)
+                              .alias("term_bucket",
+                                     metadata={"n_buckets": term_buckets}))
+                  .repartition(F.col("term_bucket"), F.col("term")))
+        postings = tokens.groupBy("term_bucket", "term", "doc_id").agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("position")).alias("positions"),
+        )
+    else:
+        postings = build_postings(tokens)
     return {
         "term_document": postings,
         "document_frequency": doc_freq(postings),

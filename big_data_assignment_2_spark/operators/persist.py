@@ -293,11 +293,33 @@ def partition_postings_by_term_bucket(postings: DataFrame, path: str,
     ``rowgroup_bytes`` sizes parquet rowgroups (``parquet.block.size``):
     at 100 TB you tune this so a selective term probe skips most groups
     while scans still stream ≥tens of MB per group; tests use a tiny value
-    to exercise skipping on small data."""
-    w = (postings.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-         .repartition(F.col("term_bucket"))
-         .sortWithinPartitions("term")
-         .write.mode("overwrite"))
+    to exercise skipping on small data.
+
+    When ``postings`` already carries a ``term_bucket`` column (a
+    build_index(term_buckets=N) lineage — r18), the rows are already
+    hash-clustered on (term_bucket, term) by the build's single exchange,
+    so the writer skips its repartition outright (guide §2.4): every
+    bucket's rows are co-located and each write task emits into only the
+    bucket directories it holds.  The column's metadata pins the bucket
+    count the builder used — a mismatch with ``n_buckets`` fails fast
+    here instead of silently laying out directories probes won't find."""
+    if "term_bucket" in postings.columns:
+        meta = postings.schema["term_bucket"].metadata or {}
+        built_n = meta.get("n_buckets")
+        if built_n != n_buckets:
+            raise ValueError(
+                f"postings were built with term_buckets={built_n!r} but "
+                f"the store is being written with n_buckets={n_buckets}; "
+                "probes derive directories from the WRITE count — pass "
+                "the same value to build_index and the writer")
+        w = (postings.sortWithinPartitions("term")
+             .write.mode("overwrite"))
+    else:
+        w = (postings.withColumn("term_bucket",
+                                 term_bucket(F.col("term"), n_buckets))
+             .repartition(F.col("term_bucket"))
+             .sortWithinPartitions("term")
+             .write.mode("overwrite"))
     if rowgroup_bytes is not None:
         w = w.option("parquet.block.size", str(rowgroup_bytes))
     w.partitionBy("term_bucket").parquet(path)

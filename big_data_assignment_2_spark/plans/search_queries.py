@@ -169,7 +169,8 @@ def q_bm25_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_append_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_append_*", keep=ixdir)
-    write_index(build_index(docs.filter((nid % 4) != 0)), ixdir)
+    write_index(build_index(docs.filter((nid % 4) != 0),
+                        term_buckets=16), ixdir)
     append_to_index(docs.filter((nid % 4) == 0), ixdir)
     return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
 
@@ -202,7 +203,8 @@ def q_phrase_append_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_appdelta_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_appdelta_*", keep=ixdir)
-    write_index(build_index(docs.filter((nid % 4) != 0)), ixdir,
+    write_index(build_index(docs.filter((nid % 4) != 0),
+                        term_buckets=16), ixdir,
                 delta_positions=True)
     append_to_index(docs.filter((nid % 4) == 0), ixdir)
     return phrase_match(read_index(spark, ixdir)["term_document"], PHRASE)
@@ -242,7 +244,7 @@ def q_bm25_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_delete_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_delete_*", keep=ixdir)
-    write_index(build_index(docs), ixdir)
+    write_index(build_index(docs, term_buckets=16), ixdir)
     delete_from_index(
         spark, ixdir,
         docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))
@@ -278,7 +280,7 @@ def q_bm25_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_compact_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_compact_*", keep=ixdir)
-    write_index(build_index(docs), ixdir)
+    write_index(build_index(docs, term_buckets=16), ixdir)
     delete_from_index(
         spark, ixdir,
         docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))
@@ -308,7 +310,8 @@ def q_bm25_probe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_delta_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_delta_*", keep=ixdir)
-    write_index(build_index(docs), ixdir, delta_positions=True)
+    write_index(build_index(docs, term_buckets=16), ixdir,
+                delta_positions=True)
     return bm25_probe_persisted(spark, ixdir, FLAGSHIP_QUERY, k=10)
 
 
@@ -360,7 +363,7 @@ def q_bm25_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     ixdir = os.path.join(scratch, f"ix_batchprobe_{os.getpid()}")
     cleanup_stale_scratch(scratch, "ix_batchprobe_*", keep=ixdir)
-    write_index(build_index(docs), ixdir)
+    write_index(build_index(docs, term_buckets=16), ixdir)
     delete_from_index(
         spark, ixdir,
         docs.filter((nid % IX_DELETE_MOD) == IX_DELETE_REM).select("doc_id"))

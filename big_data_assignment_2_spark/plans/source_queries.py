@@ -134,7 +134,7 @@ def q_index_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     path = os.path.join(_SCRATCH, "index_store")
-    write_index(build_index(docs), path, term_buckets=8)
+    write_index(build_index(docs, term_buckets=8), path, term_buckets=8)
     back = read_index(spark, path)
 
     def tagged(df: DataFrame, tbl: str, *cols) -> DataFrame:

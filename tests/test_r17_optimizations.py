@@ -46,6 +46,33 @@ def test_tokenize_single_pass_equals_reference(spark, sf_dir):
     assert diff == 0
 
 
+def test_tokenize_unicode_whitespace(spark):
+    """r18 advice: the single-pass and three-pass forms DIVERGE on
+    Unicode-only whitespace (Java split's \\s is ASCII; the old form kept
+    'a\\u00A0b' as one NBSP-containing token).  The contract is the
+    SPLIT behavior — Python's str.split() (the reference tokenizer's
+    final step, mapper1.py) splits on Unicode whitespace — pinned here
+    explicitly so the divergence from the old form is a decided fix,
+    not an accident."""
+    from big_data_assignment_2_spark.functions.text import tokenize
+
+    cases = [
+        ("nbsp", "a\u00a0b", ["a", "b"]),
+        ("enspace", "x\u2002y", ["x", "y"]),
+        ("ideographic", "p\u3000q", ["p", "q"]),
+        ("mixed", "a\u00a0b\u2009c", ["a", "b", "c"]),
+    ]
+    d = spark.createDataFrame([(n, t) for n, t, _ in cases],
+                              "name string, text string")
+    got = {r["name"]: r["toks"]
+           for r in d.select("name", tokenize("text").alias("toks"))
+           .collect()}
+    for n, t, want in cases:
+        assert got[n] == want, (n, got[n], want)
+        # and the reference semantics: Python Unicode str.split()
+        assert t.lower().split() == want
+
+
 # --- pq_codebooks: threaded + shared-init ≡ sequential Lloyd ------------
 
 def test_pq_codebooks_match_sequential_lloyd(spark, sf_dir):
